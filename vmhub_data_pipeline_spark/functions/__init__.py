@@ -1,0 +1,3 @@
+"""Shared column-expression helpers (all JVM-side built-ins, no Python UDFs)."""
+
+from .exact import davg, dsum, quant, sql_davg, sql_dsum  # noqa: F401

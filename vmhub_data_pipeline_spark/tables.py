@@ -1,0 +1,49 @@
+"""Fixture-table loading for the driver's synthetic star schema.
+
+Tables (per /root/repo/TESTDATA.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table
+under ``{sf_dir}/``.
+
+All loads go through ``spark.read.parquet`` so Catalyst gets real parquet
+scans: column pruning and predicate pushdown reach the file
+(``PushedFilters``/``ReadSchema`` in ``.explain``), and at cluster scale a
+directory of part-files partitions automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region and
+# nation are fixed-size; supplier/part/customer grow with sf but stay far
+# below executor memory at the tested sfs — at true 100 TB scale the planner's
+# size-based broadcast threshold takes over, which is why joins below use
+# explicit broadcast() only for the fixed-size dims).
+FIXED_SIZE_DIMS = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}; valid: {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load tables by name; applies runtime tuning (UTC tz, AQE) first."""
+    tune(spark)
+    return [table(spark, sf_dir, n) for n in names]
