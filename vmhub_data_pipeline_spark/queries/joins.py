@@ -1,1 +1,349 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Join suite — SURVEY.md §2.4 (J1-J4).
+
+The reference executes no joins itself but lands dimension + fact endpoints
+into one dataset expressly for joint analysis (reference src/main.py:324,
+328-341), and its message_history table exists for campaign-attribution
+joins against customers (reference src/utils/bigquery_helper.py:63,67,68).
+
+Scale notes per query are inline; the global stance: fixed-size dims
+(region, nation) are force-broadcast (J1's credential lookup-join shape),
+growing-with-sf tables stay on size-based planner choice + AQE, as-of joins
+avoid the naive join-then-filter-then-rank shuffle blowup by using a single
+union+window pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import dsum, sql_dsum
+from ..tables import load
+from . import register
+
+_Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register("join_q3_shipping", oracle=_Q3_ORACLE, tags=("join", "agg"))
+def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: filtered 3-table star join + grouped revenue.
+
+    Filters are applied before the joins (Catalyst pushes them below the
+    join anyway; writing them early keeps the intent explicit). customer and
+    orders shrink through their filters, lineitem joins on the shuffle key
+    l_orderkey = o_orderkey; AQE picks broadcast for the filtered customer
+    side when it fits.
+    """
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price, 4).alias("revenue"))
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT
+  n_name,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("join_q5_region_revenue", oracle=_Q5_ORACLE, tags=("join", "agg"))
+def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table star join with a local-supplier constraint.
+
+    region/nation are fixed-size -> explicit broadcast() so the big fact
+    path never shuffles for them regardless of planner statistics; the
+    c_nationkey = s_nationkey constraint rides the supplier equi-join.
+    """
+    cust, orders, li, supp, nation, region = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc_price, 4).alias("revenue"))
+    )
+
+
+_BCAST_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_customers,
+  {sql_dsum('c_acctbal', 2, 'sum_bal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("join_broadcast_dim", oracle=_BCAST_ORACLE, tags=("join", "broadcast"))
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-dim lookup join, force-broadcast — the Spark form of the
+    reference's per-tenant config fan-out (Firestore doc joined against all
+    fetched data, reference src/utils/firestore_helper.py:8-28 +
+    src/main.py:306-310). Zero shuffle on the fact side."""
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    dim = nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        cust.join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", 2).alias("sum_bal"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+@register("join_semi", oracle=_SEMI_ORACLE, tags=("join", "semi"))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one big order. Semi joins
+    ship only the join key of the right side — no payload shuffle."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@register("join_anti", oracle=_ANTI_ORACLE, tags=("join", "anti"))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no large order — the "customers never
+    messaged" query shape implied by the reference's campaign tables
+    (SURVEY §2.4 J4). The >300k threshold keeps the anti set non-empty at
+    every fixture sf so the oracle check exercises real rows."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_OUTER_ORACLE = f"""
+SELECT
+  c_custkey,
+  c_mktsegment,
+  COUNT(o_orderkey) AS n_orders,
+  {sql_dsum('COALESCE(o_totalprice, 0)', 2, 'total_spend')}
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+@register("join_left_outer_agg", oracle=_OUTER_ORACLE, tags=("join", "outer"))
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + per-customer aggregate keeping zero-order rows."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+_FULL_ORACLE = """
+WITH clicks AS (
+  SELECT CAST(ts AS DATE) AS ds, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY ds
+),
+purchases AS (
+  SELECT CAST(ts AS DATE) AS ds, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY ds
+)
+SELECT
+  COALESCE(clicks.ds, purchases.ds) AS ds,
+  COALESCE(n_clicks, 0)             AS n_clicks,
+  COALESCE(n_purchases, 0)          AS n_purchases
+FROM clicks
+FULL OUTER JOIN purchases ON clicks.ds = purchases.ds
+"""
+
+
+@register("join_full_outer", oracle=_FULL_ORACLE, tags=("join", "outer"))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (click vs purchase days)."""
+    (events,) = load(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("c_ds"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("p_ds"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purch, F.col("c_ds") == F.col("p_ds"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_ds"), F.col("p_ds")).alias("ds"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+_ASOF_ORACLE = """
+SELECT
+  p.event_id  AS purchase_id,
+  p.user_id   AS user_id,
+  p.ts        AS purchase_ts,
+  v.event_id  AS view_id,
+  v.ts        AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("join_asof_attribution", oracle=_ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: attribute each purchase to the latest view at-or-before it
+    by the same user — the campaign-attribution join implied by the
+    reference's message_history (sent_at vs purchase time, reference
+    src/utils/bigquery_helper.py:63,67,68).
+
+    Spark has no native as-of join; the naive form (equi-join on user +
+    range filter + rank) explodes to O(views x purchases) per user. This
+    implementation is the scalable single-pass form: union both sides,
+    one window sorted by (user, ts), carry the last non-null view forward.
+    One shuffle on user_id, linear work per row — survives 100 TB.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_purchase"),
+        F.col("event_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    # views sort before purchases at equal ts (is_purchase asc) => "<=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "is_purchase",
+        "event_id",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return merged.filter(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "view_id",
+        "view_ts",
+    )
+
+
+_BANDED_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 1000000)
+)
+SELECT
+  band,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(ROUND(p_retailprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM part
+JOIN bands ON p_size >= lo AND p_size < hi
+GROUP BY band
+"""
+
+
+@register("join_range_banded", oracle=_BANDED_ORACLE, tags=("join", "range"))
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/interval) join: parts into size bands. The band table
+    is a literal -> broadcast nested-loop join with a trivially small inner
+    side; the general range-join-at-scale path (bucketize the range key so
+    it becomes equi + residual) is operators/joins.py:range_join_bucketed."""
+    (part,) = load(spark, sf_dir, "part")
+    bands = part.sparkSession.createDataFrame(
+        [("small", 0, 15), ("medium", 15, 35), ("large", 35, 1_000_000)],
+        "band string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", 2).alias("sum_price"),
+        )
+    )

@@ -35,6 +35,9 @@ _BUILD_TIME_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as long (ns since epoch) and convert in tables.table().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Conf that is runtime-settable on an existing session (e.g. the driver's).
@@ -43,6 +46,7 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -12,6 +12,7 @@ directory of part-files partitions automatically.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import tune
@@ -40,7 +41,13 @@ FIXED_SIZE_DIMS = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; valid: {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is parquet TIMESTAMP(NANOS), read as ns-since-epoch long via
+        # spark.sql.legacy.parquet.nanosAsLong. Integer `div` floors to µs,
+        # matching DuckDB's ns->µs truncation exactly.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
