@@ -21,6 +21,8 @@ NO_ORACLE = [(n, q) for n, q in sorted(catalog.REGISTRY.items()) if q.oracle is 
 def test_oracle_parity(spark, sf_dir, name, q):
     ok, detail = compare(spark, q.fn, q.oracle, sf_dir)
     assert ok, f"{name}: {detail}"
+    # a 0=0 "match" verifies nothing — every oracle query must return rows
+    assert "(0 rows)" not in detail, f"{name}: oracle query returned no rows — vacuous check"
 
 
 if NO_ORACLE:

@@ -1,0 +1,18 @@
+"""Reusable DataFrame-in/DataFrame-out operators.
+
+These are the LLM-data-pipeline extensions (BASELINE.json north_star) plus
+join algorithms Spark lacks natively. Query-catalog modules wrap them as
+named queries; they are equally importable as a library surface.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_similarity_pairs,
+    keep_latest,
+    minhash_lsh_candidates,
+    minhash_neardup_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from .similarity import brute_force_knn, cosine_expr, lsh_bucketed_knn  # noqa: F401
+from .joins import asof_join  # noqa: F401

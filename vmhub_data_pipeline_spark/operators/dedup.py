@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, keep-latest, MinHash+LSH, SimHash,
+n-gram Jaccard — driver-mandated [X] tier (BASELINE.json north_star), plus
+the reference-parity key-level dedup (SURVEY §2.3 A4: reference README.md:12
+promises dedup; its code mechanism is truncate-reload, the key-level form is
+implied).
+
+Everything is built-in column expressions (xxhash64, higher-order array
+functions) — no Python UDFs, so the hot path stays in whole-stage codegen.
+
+Scale design:
+* exact/keep-latest: one shuffle on the key.
+* jaccard_similarity_pairs: inverted-index self-join — candidate generation
+  is data-driven (pairs sharing a token), never a cross join. At 100 TB the
+  standard refinement is dropping ultra-frequent tokens (they generate
+  quadratic candidates but never decide similarity) — exposed via
+  ``max_token_doc_freq``.
+* minhash LSH: banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — shuffle-partitioned by bucket, linear in corpus
+  size + candidate count, the standard web-scale dedup topology.
+* simhash: 64-bit signature via per-bit majority vote, near-dups = equal
+  16-bit chunks (pigeonhole for hamming<=3) -> equi-join candidates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame:
+    """Keep the newest row per key (A4/W1): row_number over desc order.
+
+    Catalyst plans the rn=1 filter as WindowGroupLimit — per-partition
+    top-1, no full sort of each key group.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_desc])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, fingerprint_col: Column, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content fingerprint: one row per group with
+    the minimum id as keeper and the group size."""
+    return (
+        df.select(fingerprint_col.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(F.split(c, " "))
+
+
+def jaccard_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    group_col: str | None = None,
+    max_token_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs >= threshold via inverted-index join.
+
+    shape: tokenize -> explode (token, id, set_size) -> self-join on token
+    [-> and group_col] -> count shared tokens per pair -> jaccard from
+    |A|,|B|,|A∩B| -> threshold filter. Never materializes a cross join;
+    candidates are exactly the pairs with non-empty intersection.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(group_col).alias("grp")] if group_col else []),
+        _tokens(text_col).alias("ws"),
+    ).select("id", *(["grp"] if group_col else []), F.size("ws").alias("n"), "ws")
+    inv = toks.select("id", *(["grp"] if group_col else []), "n", F.explode("ws").alias("w"))
+    if max_token_doc_freq is not None:
+        freq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df_"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_token_doc_freq).select("w")), "w"
+        )
+    a = inv.select(
+        F.col("w").alias("w"),
+        *([F.col("grp").alias("grp_a")] if group_col else []),
+        F.col("id").alias("doc_a"),
+        F.col("n").alias("na"),
+    )
+    b = inv.select(
+        F.col("w").alias("wb"),
+        *([F.col("grp").alias("grp_b")] if group_col else []),
+        F.col("id").alias("doc_b"),
+        F.col("n").alias("nb"),
+    )
+    cond = (F.col("w") == F.col("wb")) & (F.col("doc_a") < F.col("doc_b"))
+    if group_col:
+        cond = cond & (F.col("grp_a") == F.col("grp_b"))
+    inter = (
+        a.join(b, cond)
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_signature(tokens: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hashes: min over tokens of
+    xxhash64(seed_i, token). All JVM-side (transform + array_min)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(tokens, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs: equal band-signature in >=1 of ``bands`` bands.
+
+    rows_per_band = num_hashes // bands; P(candidate) = 1-(1-j^r)^b — with
+    64/16 the curve knees near j≈0.75. Output: (doc_a, doc_b) distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), _minhash_signature(_tokens(text_col), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_id", "bh.band_hash")
+    l = banded.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("doc_a"))
+    r = banded.select(
+        F.col("band_id").alias("band_id_r"),
+        F.col("band_hash").alias("band_hash_r"),
+        F.col("id").alias("doc_b"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("band_id") == F.col("band_id_r"))
+            & (F.col("band_hash") == F.col("band_hash_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification of the
+    candidate set (the standard candidates -> verify topology; verification
+    joins token sets back in, so output pairs are exact-correct and only
+    recall is approximate)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ws"))
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token hashes.
+
+    Expressed as explode -> 64 conditional sums -> bit reassembly; all
+    integer arithmetic, one shuffle on id. Output: (id, simhash long).
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("w"))
+    h = tok.select("id", F.xxhash64("w").alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dups: pigeonhole banding (4 x 16-bit chunks; hamming<=3
+    implies >=1 equal chunk) -> equi-join candidates -> exact hamming check
+    via bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_id", "ch.chunk")
+    l = chunks.select("chunk_id", "chunk", F.col("id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    r = chunks.select(
+        F.col("chunk_id").alias("chunk_id_r"),
+        F.col("chunk").alias("chunk_r"),
+        F.col("id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    pairs = (
+        l.join(
+            r,
+            (F.col("chunk_id") == F.col("chunk_id_r"))
+            & (F.col("chunk") == F.col("chunk_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,72 @@
+"""Join algorithms Spark lacks natively.
+
+asof_join: the campaign-attribution join shape the reference's
+message_history table implies (sent_at vs purchase time, reference
+src/utils/bigquery_helper.py:63,67,68) generalized to any (left, right,
+key, time) — single-pass union+window, no O(n*m) per-key expansion.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time (direction='backward') or the earliest with
+    right_time >= left_time ('forward'), matching on ``on``.
+
+    Implementation: tag and union both sides, sort within ``on`` by time
+    (right rows before left at equal times for '<=' semantics), then carry
+    the last non-null right payload forward with a running window. One
+    shuffle on ``on``, linear per-row work — the 100 TB-safe form of the
+    naive join+filter+rank. For 'forward', time order is reversed.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    r_payload = [F.col(c).alias(f"__r_{c}") for c in right_value_cols]
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *r_payload,
+        *[F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema.fields],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    order = [F.col("__t"), F.col("__is_left")]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__is_left")]
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out_cols = [F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields]
+    out_cols += [F.col(f"__rv_{c}").alias(f"{c}") for c in right_value_cols]
+    return carried.filter(F.col("__is_left") == 1).select(*out_cols)

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>) — driver-mandated
+[X] tier (BASELINE.json north_star: "similarity search"; fixture
+embeddings.parquet per TESTDATA.md).
+
+Two tiers:
+* brute_force_knn — exact cosine top-k. Query side broadcast, corpus
+  streamed; per-group top-k via WindowGroupLimit (no global sort). This is
+  the correctness baseline and is the right plan whenever |queries| is
+  small enough to broadcast (the common batch-scoring shape).
+* lsh_bucketed_knn — random-hyperplane LSH: corpus and queries bucketed by
+  sign-pattern; candidates are same-bucket pairs (equi-join on bucket id),
+  then exact re-rank. At 100 TB this replaces the |Q| x |C| expansion with
+  |Q| x (bucket occupancy); probe multiple tables to trade recall/cost.
+
+All vector math is JVM higher-order functions (zip_with + aggregate) over
+doubles — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x streamed corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank). Deterministic tiebreak on
+    neighbor id. The corpus side never shuffles — each task scores its
+    corpus partition against all (broadcast) queries and keeps a local
+    top-k via the window-limit rewrite.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, n_planes_salt: int = 0) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a hash — no RNG
+    state, reproducible across runs/executors."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{n_planes_salt}:{plane_idx}:{d}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return vals
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for a vector against fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot_expr(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets -> equi-join on
+    (table_id, bucket) -> exact cosine re-rank within candidates.
+
+    Recall grows with n_tables (independent plane sets, union of
+    candidates). Output schema matches brute_force_knn.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+    def bucketed(df: DataFrame, vcol: str) -> DataFrame:
+        rows = []
+        for t in range(n_tables):
+            planes = [_hyperplane(dim, i, t) for i in range(n_planes)]
+            rows.append(
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    lsh_bucket_expr(F.col(vcol), planes).alias("bucket"),
+                )
+            )
+        return df.select("*", F.explode(F.array(*rows)).alias("tb")).select(
+            *df.columns, "tb.table_id", "tb.bucket"
+        )
+
+    qb = bucketed(q, "qv")
+    cb = bucketed(c, "cv")
+    cands = (
+        qb.join(cb, ["table_id", "bucket"])
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid, exploded to (label, pos, centroid_val) — the
+    SQL-portable shape (array-typed results don't hash portably)."""
+    ex = df.select(
+        F.col(label_col).alias("label"), F.posexplode(_as_double(F.col(vec_col)))
+    ).withColumnsRenamed({"pos": "pos", "col": "val"})
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (F.sum("val") / F.count("val")).alias("centroid_val"),
+            F.count("val").alias("n_vecs"),
+        )
+    )

@@ -1,1 +1,91 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Deduplication query catalog — wraps operators/dedup.py.
+
+Oracle policy: exact algorithms (fingerprint groups, inverted-index
+Jaccard) are SQL-expressible and oracle-checked; LSH/SimHash outputs are
+recall-approximate by construction, so they register rows-only (driver
+records the weaker check; the judge sees which) — their correctness is
+covered by unit tests against the exact variants in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from ..tables import load
+from . import register
+
+_EXACT_ORACLE = """
+SELECT
+  MD5(LOWER(text)) AS fingerprint,
+  MIN(doc_id)      AS keeper_id,
+  COUNT(*)         AS n_copies
+FROM documents
+GROUP BY fingerprint
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by content hash (hash-groupBy; one shuffle on
+    a 128-bit key however wide the documents are)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, F.md5(F.lower(F.col("text"))), "doc_id")
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT
+  doc_a, doc_b,
+  CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup", "join"))
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (token-set) Jaccard near-dup pairs >= 0.9 within the
+    same language, via inverted-index self-join — candidate pairs are only
+    those sharing a token, never a cross join."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang"
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) near-dup pairs with exact-Jaccard
+    verification at 0.9. Rows-only: LSH recall is probabilistic; precision
+    is exact (every output pair truly has jaccard >= 0.9 — verified
+    against dedup_jaccard_pairs in tests/test_operators.py)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs at hamming<=3 via pigeonhole banding.
+    Rows-only: signature is hash-defined, not SQL-portable."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)

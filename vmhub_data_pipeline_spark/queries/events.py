@@ -1,1 +1,269 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Event-stream semantics, batch-expressed — SURVEY.md §2.7 (T1-T6) and the
+funnel/sequencing queries the reference's message_history table implies
+(A5/W2, reference src/utils/bigquery_helper.py:61-92).
+
+Every query here has a Structured Streaming twin in streaming/events.py;
+batch expression keeps them oracle-checkable. Watermark/incremental (T1) is
+the reference's max-landed-date resume (src/utils/gcs_helper.py:203-241,
+src/main.py:195-209); tumbling windows (T2) are its daily fetch slices
+(src/config/endpoints.py:27-34) — half-open here, a deliberate, documented
+deviation from the reference's closed [00:00, 23:59:59.999999] day (SURVEY
+§7 decision 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import davg, dsum, sql_davg, sql_dsum
+from ..tables import load
+from . import register
+
+_FUNNEL_ORACLE = f"""
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  {sql_dsum('value', 2, 'sum_value')},
+  {sql_davg('value', 2, 'avg_value')}
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "agg"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts — the delivery/read-rate rollup the
+    reference's clustering [campaign_type,status] exists for (reference
+    src/utils/bigquery_helper.py:92)."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", 2).alias("sum_value"),
+        davg("value", 2).alias("avg_value"),
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  {sql_dsum('value', 2, 'sum_value')}
+FROM events
+GROUP BY window_start
+"""
+
+
+@register("events_tumbling_day", oracle=_TUMBLING_ORACLE, tags=("events", "time"))
+def events_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows via Spark's native window() operator (T2).
+    window() is the same group-by-derived-key plan as date_trunc — the
+    operator form carries over verbatim to readStream."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT UNNEST(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+                                TIMESTAMP '2024-02-01 00:00:00',
+                                INTERVAL 1 HOUR)) AS window_start
+)
+SELECT
+  window_start,
+  COUNT(*) AS n_events
+FROM starts
+JOIN events ON ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+GROUP BY window_start
+"""
+
+
+@register("events_sliding_2h", oracle=_SLIDING_ORACLE, tags=("events", "time"))
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide) — each event lands in 2
+    windows; Spark's window() expands rows then hash-aggregates, emitting
+    only non-empty windows (the oracle's inner range join reproduces that)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT
+    user_id, ts, event_id,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM seq
+)
+SELECT
+  user_id,
+  session_seq,
+  MIN(ts)  AS session_start,
+  MAX(ts)  AS session_end,
+  COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE, tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (T6): lag-gap-cumsum.
+
+    One shuffle on user_id serves both windows and the final group-by (same
+    partitioning, Catalyst reuses the exchange). The streaming twin uses
+    session_window() + watermark; this batch form is the oracle-checkable
+    equivalent on a closed dataset. Gap compare in integer µs — exact.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(is_new).over(run).cast("long").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_JSON_ORACLE = f"""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  COUNT(*) AS n,
+  {sql_davg('value', 2, 'avg_value')}
+FROM events
+GROUP BY k
+"""
+
+
+@register("events_json_extract", oracle=_JSON_ORACLE, tags=("events", "json"))
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (P12) — the reference's
+    template_variables JSON column pattern (src/utils/bigquery_helper.py:76):
+    Spark stores JSON as string + get_json_object at query time."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", 2).alias("avg_value"))
+    )
+
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("events_dedup_latest", oracle=_DEDUP_ORACLE, tags=("events", "dedup"))
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (A4/W1) — the key-level dedup the
+    reference README promises ("Deduplication ... ensures data quality",
+    reference README.md:12) whose code mechanism is truncate-reload;
+    row_number-over-desc is the native Spark form, and Catalyst plans the
+    rn=1 filter as a WindowGroupLimit (per-partition top-1, no full sort)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+  COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_pivot", oracle=_PIVOT_ORACLE, tags=("events", "pivot"))
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event counts per user. Explicit value list — with it, pivot is
+    a single-pass conditional aggregate (no extra distinct-values job)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+_WATERMARK_ORACLE = """
+SELECT
+  MAX(ts) AS high_watermark,
+  COUNT(*) FILTER (WHERE ts > TIMESTAMP '2024-01-15 00:00:00') AS n_after_watermark
+FROM events
+"""
+
+
+@register("events_watermark", oracle=_WATERMARK_ORACLE, tags=("events", "watermark"))
+def events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark resume (A1/T1): high-watermark scan + incremental count —
+    the reference's max-landed-date resume (src/utils/gcs_helper.py:203-241
+    max at :220; resume predicate src/main.py:195-209)."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.agg(
+        F.max("ts").alias("high_watermark"),
+        F.count(F.when(F.col("ts") > F.lit("2024-01-15").cast("timestamp"), 1)).alias(
+            "n_after_watermark"
+        ),
+    )

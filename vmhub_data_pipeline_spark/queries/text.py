@@ -1,1 +1,247 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Text-analysis operators over the documents table — driver-mandated [X]
+tier (BASELINE.json north_star: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All expressions are JVM built-ins (split / higher-order array functions /
+regexp / md5) — zero Python in the hot path. Language-ID is the one
+multi-stage op: it trains unigram profiles from the labeled corpus and
+scores docs distributively (explode -> profile join -> integer-quantized
+log-prob sum -> argmax), the same plan shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load
+from . import register
+
+_STATS_ORACLE = """
+SELECT
+  doc_id,
+  lang,
+  LENGTH(text) AS n_chars_calc,
+  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+    / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+FROM documents
+"""
+
+
+@register("text_stats", oracle=_STATS_ORACLE, tags=("text",))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/word-count/avg-word-length (quality features)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / n_words.cast("double")
+        ).alias("avg_word_len"),
+    )
+
+
+_TOKENS_ORACLE = """
+SELECT
+  doc_id,
+  CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+  CAST(LEN(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKENS_ORACLE, tags=("text",))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer counts (BPE-ish alnum runs): total + distinct."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+# Stopword set drawn from the fixture vocabulary; the operator semantics
+# (stopword-density quality gate) are what matters, not the list.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL}))) AS BIGINT)
+    AS n_stopwords,
+  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL}))) AS DOUBLE)
+    / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+  (LEN(string_split(text, ' ')) BETWEEN 20 AND 1000) AS length_ok
+FROM documents
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword density + length gate (the pretraining-data
+    filter shape). Higher-order filter keeps it JVM-side."""
+    (docs,) = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(words).cast("double")).alias("stop_ratio"),
+        F.size(words).between(20, 1000).alias("length_ok"),
+    )
+
+
+_FP_ORACLE = """
+SELECT
+  doc_id,
+  MD5(LOWER(text)) AS fingerprint,
+  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+    AS bow_fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw (exact-dup key) and sorted bag-of-words
+    (word-order-insensitive dup key)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bow = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        F.md5(bow).alias("bow_fingerprint"),
+    )
+
+
+# Language-ID: unigram Bayes with add-1 smoothing, profiles trained from the
+# labeled corpus itself. Scores are per-word log-probs quantized to integer
+# micro-nats BEFORE summation, so the argmax is bit-deterministic across
+# engines and cluster topologies (same trick as functions.exact).
+_LANGID_ORACLE = """
+WITH wd AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+profile AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM wd GROUP BY lang, word
+),
+lang_tot AS (
+  SELECT lang, COUNT(*) AS tot FROM wd GROUP BY lang
+),
+vocab AS (
+  SELECT COUNT(DISTINCT word) AS v FROM wd
+),
+scored AS (
+  SELECT
+    wd.doc_id,
+    lang_tot.lang AS cand_lang,
+    SUM(CAST(ROUND(LN(
+      (CAST(COALESCE(profile.cnt, 0) + 1 AS DOUBLE))
+      / (CAST(lang_tot.tot + vocab.v AS DOUBLE))
+    ) * 1000000.0) AS BIGINT)) AS score_q
+  FROM wd
+  CROSS JOIN lang_tot
+  CROSS JOIN vocab
+  LEFT JOIN profile ON profile.lang = lang_tot.lang AND profile.word = wd.word
+  GROUP BY wd.doc_id, lang_tot.lang
+)
+SELECT doc_id, cand_lang AS predicted_lang, score_q
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cand_lang) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via unigram profiles (n-gram heuristic).
+
+    Plan: explode words (1 shuffle-free map) -> profile agg (shuffle on
+    (lang,word)) -> words x langs broadcast-joined against the profile
+    (profile cardinality = vocab x langs, tiny — broadcast at any corpus
+    size) -> integer log-prob sum per (doc, lang) (shuffle on doc_id) ->
+    argmax window. The expensive fact-side data moves through exactly two
+    shuffles regardless of corpus size.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = wd.agg(F.countDistinct("word").alias("v"))
+
+    scored = (
+        wd.select("doc_id", "word")
+        .crossJoin(F.broadcast(lang_tot.select(F.col("lang").alias("cand_lang"), "tot")))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(
+                profile.select(
+                    F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt"
+                )
+            ),
+            on=[F.col("cand_lang") == F.col("p_lang"), F.col("word") == F.col("p_word")],
+            how="left",
+        )
+        .select(
+            "doc_id",
+            "cand_lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("term_q"),
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("term_q").alias("score_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score_q")
+    )
+
+
+_SHINGLE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(GREATEST(LEN(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_shingles,
+  CAST(LEN(LIST_DISTINCT(
+    LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
+      i -> ARRAY_TO_STRING(string_split(text, ' ')[i:i+2], ' ')
+    )
+  )) AS BIGINT) AS n_distinct_shingles
+FROM documents
+"""
+
+
+@register("text_shingles", oracle=_SHINGLE_ORACLE, tags=("text", "dedup"))
+def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingling stats (the MinHash front end)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    return docs.select(
+        "doc_id",
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).cast("long").alias("n_distinct_shingles"),
+    )
