@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): run the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+"value" is the total wall-clock of all headline queries (each executed to
+completion via a count-collecting action). Spark session build time is
+excluded — the metric is query execution, matching how the reference's
+baseline is derived (per-operation pacing, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vmhub_data_pipeline_spark import queries as catalog
+from vmhub_data_pipeline_spark.session import build_session
+
+# Representative slice of SURVEY §2: scan+agg, star joins, windows,
+# sessionization, text, dedup (exact + LSH), vector search.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "daily_revenue",
+    "join_q3_shipping",
+    "join_q5_region_revenue",
+    "join_asof_attribution",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_sessionize",
+    "text_langid",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session("vmhub-bench")
+    qs = catalog.queries()
+
+    # one warm-up action so JVM/codegen startup doesn't pollute query 1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

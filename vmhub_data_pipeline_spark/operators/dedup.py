@@ -59,6 +59,36 @@ def _tokens(text_col: str | Column) -> Column:
     return F.array_distinct(F.split(c, " "))
 
 
+def token_set_df(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 1
+) -> DataFrame:
+    """(id, ws): distinct token set per row; shingle_size>1 gives word
+    n-gram shingles.
+
+    Shingles are the right MinHash unit for natural text: unigram sets
+    saturate on small vocabularies (every pair looks similar), while the
+    n-gram space is large enough that only true near-dups overlap.
+
+    The split is materialized in its own projection BEFORE the shingle
+    lambda references it — inlined, Catalyst re-evaluates split() inside
+    every slice() call and shingling goes O(words^2) per document (measured
+    4.6x slower at sf0.1).
+    """
+    if shingle_size == 1:
+        return df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ws"))
+    k = shingle_size
+    staged = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__w")
+    ).withColumn("__nw", F.size("__w"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("__nw") - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, k)),
+        )
+    )
+    return staged.select("id", shingles.alias("ws"))
+
+
 def jaccard_similarity_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,15 +143,29 @@ def jaccard_similarity_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def _minhash_signature(tokens: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` min-hashes: min over tokens of
-    xxhash64(seed_i, token). All JVM-side (transform + array_min)."""
-    return F.array(
+def _minhash_signatures(tok_sets: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig array<long>) via explode + ``num_hashes`` min-aggregates.
+
+    Permutations come from universal hashing h_i = h1 + i*h2 (two real
+    xxhash64 evaluations per token, the rest are one multiply-add) — the
+    standard many-permutation trick. The explode->hash-agg shape keeps every
+    expression small enough for whole-stage codegen; a single giant
+    array-of-64-transforms expression de-optimizes to interpreted mode.
+    """
+    p = 2147483647  # 2^31-1; keeps i*h2+h1 far below long overflow (ANSI mode)
+    tok = tok_sets.select("id", F.explode("ws").alias("w"))
+    hashed = tok.select(
+        "id",
+        F.pmod(F.xxhash64("w"), F.lit(p)).alias("h1"),
+        F.pmod(F.xxhash64(F.lit("salt"), "w"), F.lit(p)).alias("h2"),
+    )
+    mins = hashed.groupBy("id").agg(
         *[
-            F.array_min(F.transform(tokens, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(p))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -129,17 +173,19 @@ def minhash_lsh_candidates(
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-signature in >=1 of ``bands`` bands.
 
     rows_per_band = num_hashes // bands; P(candidate) = 1-(1-j^r)^b — with
-    64/16 the curve knees near j≈0.75. Output: (doc_a, doc_b) distinct.
+    the 64/8 default (r=8) the curve knees near j≈0.85: recall 0.99 at
+    j=0.9 while j=0.5 pairs are sampled at only ~3% (candidate volume, not
+    correctness — candidates are exact-verified downstream).
+    Output: (doc_a, doc_b) distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), _minhash_signature(_tokens(text_col), num_hashes).alias("sig")
-    )
+    sig = _minhash_signatures(token_set_df(df, id_col, text_col, shingle_size), num_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -180,14 +226,16 @@ def minhash_neardup_pairs(
     text_col: str,
     threshold: float = 0.9,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification of the
     candidate set (the standard candidates -> verify topology; verification
-    joins token sets back in, so output pairs are exact-correct and only
-    recall is approximate)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
-    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ws"))
+    joins shingle sets back in, so output pairs are exact-correct and only
+    recall is approximate). Jaccard is over ``shingle_size``-gram shingle
+    sets (the standard web-dedup formulation)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
+    toks = token_set_df(df, id_col, text_col, shingle_size)
     ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
     tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")

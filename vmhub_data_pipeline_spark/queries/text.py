@@ -234,14 +234,17 @@ FROM documents
 def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram shingling stats (the MinHash front end)."""
     (docs,) = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    # words materialized in its own projection: inlined into the slice
+    # lambda, Catalyst re-evaluates split() per shingle (O(words^2)/doc)
+    staged = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).withColumn(
+        "nw", F.size("w")
     )
-    return docs.select(
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("nw") - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
+    )
+    return staged.select(
         "doc_id",
-        F.greatest(n - 2, F.lit(0)).cast("long").alias("n_shingles"),
+        F.greatest(F.col("nw") - 2, F.lit(0)).cast("long").alias("n_shingles"),
         F.size(F.array_distinct(shingles)).cast("long").alias("n_distinct_shingles"),
     )
