@@ -1,0 +1,161 @@
+"""Operator-level properties: LSH recall vs exact, simhash sanity, as-of
+join vs naive, keep-latest, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vmhub_data_pipeline_spark.operators import (
+    asof_join,
+    brute_force_knn,
+    jaccard_similarity_pairs,
+    keep_latest,
+    lsh_bucketed_knn,
+    minhash_neardup_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from vmhub_data_pipeline_spark.operators.dedup import token_set_df
+from vmhub_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # exact ground truth: all-pairs shingle-set jaccard (feasible at sf0.001)
+    toks = token_set_df(docs, "doc_id", "text", 3)
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ta.crossJoin(tb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.9)
+        .collect()
+    }
+    approx_rows = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    approx = {(r["doc_a"], r["doc_b"]) for r in approx_rows}
+    # precision is exact by construction (candidates are re-verified)
+    assert approx <= exact
+    # recall: 64/8 banding at j>=0.9 should capture nearly everything
+    if exact:
+        assert len(approx) / len(exact) >= 0.8
+
+
+def test_simhash_deterministic_and_neardup_sane(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    s2 = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert s1 == s2  # stable across runs
+    pairs = simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    for r in pairs:
+        assert r["hamming"] <= 3
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_asof_join_matches_naive(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00"),
+            (2, 10, "2024-01-01 01:00:00"),
+            (3, 20, "2024-01-01 02:00:00"),
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 00:30:00"),  # after event 1, before 2
+            (101, 10, "2024-01-01 05:00:00"),  # after event 2
+            (102, 20, "2024-01-01 01:00:00"),  # before any user-20 event
+            (103, 30, "2024-01-01 01:00:00"),  # user with no events
+        ],
+        "order_id long, user_id long, ots string",
+    ).withColumn("ots", F.col("ots").cast("timestamp"))
+
+    out = {
+        r["order_id"]: r["event_id"]
+        for r in asof_join(
+            orders, events, on="user_id", left_time="ots", right_time="ts",
+            right_value_cols=["event_id"],
+        ).collect()
+    }
+    assert out == {100: 1, 101: 2, 102: None, 103: None}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 1, 5)], "id long, k long, t long").select(
+        "id", "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t")
+    )
+    right = spark.createDataFrame(
+        [(90, 1, 3), (91, 1, 7), (92, 1, 9)], "rid long, k long, t long"
+    ).select("rid", "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"))
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_value_cols=["rid"], direction="forward",
+    ).collect()
+    assert out[0]["rid"] == 91  # earliest right at-or-after t=5
+
+
+def test_keep_latest(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k long, v long, payload string"
+    )
+    out = {r["k"]: r["payload"] for r in keep_latest(df, ["k"], ["v"]).collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_knn_lsh_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(c, q, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_knn(
+            c, q, "vec_id", "embedding", k=5, dim=64, n_planes=6, n_tables=4
+        ).collect()
+    }
+    # random near-orthogonal vectors are LSH's worst case; require >0 overlap
+    # and correct shape rather than a strong recall bound
+    assert len(approx) > 0
+    assert len(brute) == 50
+    assert len(approx & brute) > 0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert r["format"] in {"png", "jpeg", "webp"}
+        assert len(r["content_sha"]) == 64
+    # determinism across runs
+    again = extract_media_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from vmhub_data_pipeline_spark.operators.multimodal import _decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_image(b"notanimage")

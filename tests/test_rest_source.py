@@ -1,0 +1,99 @@
+"""REST ingest source: error taxonomy, bisect salvage, distributed fetch
+(SURVEY §2.1 S1-S3; reference parity: src/api/vmhub_client.py:44-140,
+src/main.py:42-180)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vmhub_data_pipeline_spark.sources import (
+    EndpointConfig,
+    FatalHTTPError,
+    MockVMHubAPI,
+    RestIngestor,
+    fetch_endpoint_distributed,
+)
+
+RECORDS = [{"id": i, "amount": i * 1.5} for i in range(25)]
+
+
+def _api(fail_plan=None):
+    return MockVMHubAPI({"clientes": RECORDS}, fail_plan)
+
+
+def test_page_size_cap_enforced():
+    # clientes cap is 10 (reference src/api/vmhub_client.py:115-116)
+    with pytest.raises(ValueError, match="exceeds API cap"):
+        EndpointConfig("clientes", page_size=50)
+
+
+def test_happy_path_pagination():
+    cfg = EndpointConfig("clientes", page_size=10)
+    api = _api()
+    got = [r for page in RestIngestor(cfg, api.get).fetch_all() for r in page]
+    assert got == RECORDS
+    # 25 records / 10 per page -> pages 0,1 full, page 2 partial (5 rows,
+    # still yielded), page 3 empty -> EOF (reference stops on EMPTY page,
+    # src/main.py:70-72)
+    assert [c[1] for c in api.calls] == [0, 1, 2, 3]
+
+
+def test_eof_on_empty_page():
+    cfg = EndpointConfig("clientes", page_size=10)
+    api = MockVMHubAPI({"clientes": RECORDS[:20]})  # exactly 2 full pages
+    got = [r for page in RestIngestor(cfg, api.get).fetch_all() for r in page]
+    assert len(got) == 20
+    assert api.calls[-1][1] == 2  # probed page 2, got [], stopped
+
+
+def test_429_retries_then_succeeds():
+    cfg = EndpointConfig("clientes", page_size=10)
+    api = _api({("clientes", 1): [429, 429]})
+    got = [r for page in RestIngestor(cfg, api.get).fetch_all() for r in page]
+    assert got == RECORDS  # both 429s retried within budget
+
+
+def test_5xx_at_later_page_is_eof():
+    # reference src/api/vmhub_client.py:75-78: 500 at page>0 = end of data
+    cfg = EndpointConfig("clientes", page_size=10)
+    api = _api({("clientes", 2): [500]})
+    got = [r for page in RestIngestor(cfg, api.get).fetch_all() for r in page]
+    assert got == RECORDS[:20]
+
+
+def test_404_is_fatal():
+    cfg = EndpointConfig("clientes", page_size=10)
+    api = _api({("clientes", 0): [404]})
+    with pytest.raises(FatalHTTPError):
+        list(RestIngestor(cfg, api.get).fetch_all())
+
+
+def test_poison_page_bisect_salvage():
+    # page 1 fails all retries at page_size=10 but records fetch fine at
+    # size 1 -> bisect keeps all rows (reference src/main.py:111-178)
+    cfg = EndpointConfig("clientes", page_size=10, max_retries=2)
+    api = _api({("clientes", 1): ["poison"] * 10})
+    got = [r for page in RestIngestor(cfg, api.get).fetch_all() for r in page]
+    assert got == RECORDS
+
+
+def test_distributed_fetch(spark):
+    cfg = EndpointConfig("vendas", page_size=10, requires_date_range=True)
+
+    def transport_factory():
+        api = MockVMHubAPI({"vendas": RECORDS})
+        return api.get
+
+    df = fetch_endpoint_distributed(
+        spark, cfg, transport_factory, dates=["2024-01-01", "2024-01-02"]
+    )
+    rows = df.collect()
+    # each date slice fetches the full mock dataset
+    assert len(rows) == 2 * len(RECORDS)
+    rec = json.loads(rows[0]["record"])
+    # lineage envelope injected per record (reference src/main.py:33-40)
+    assert rec["source_system"] == "VMHUB"
+    assert "ingestion_timestamp" in rec
+    assert {r["date"] for r in rows} == {"2024-01-01", "2024-01-02"}

@@ -1,0 +1,137 @@
+"""Structured Streaming semantics verified against batch oracles (SURVEY §2
+Milestone 4: T1-T3, T6): the streaming transformations over the events
+fixture must produce the same answers as the equivalent batch queries."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from vmhub_data_pipeline_spark.streaming import (
+    events_file_stream,
+    start_to_memory,
+    stream_dedup,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+)
+from vmhub_data_pipeline_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(tmp_path_factory):
+    """Events fixture re-landed as NDJSON (the lake format) split into
+    several files so the file source streams multiple batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    out = str(d / "events")
+    # uses the session from conftest lazily via the first test's spark fixture;
+    # we write here with a throwaway read in each test instead
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _prepare(spark, path: str):
+    from vmhub_data_pipeline_spark.streaming.events import TS_FORMAT
+
+    ev = table(spark, SF, "events")
+    ev.repartition(4).write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
+    return ev
+
+
+def _run(stream_df, spark, name, mode="append"):
+    q = start_to_memory(stream_df, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_equals_batch(spark, events_json_dir):
+    ev = _prepare(spark, events_json_dir)
+    out = _run(
+        stream_tumbling_counts(events_file_stream(spark, events_json_dir)),
+        spark,
+        "t_tumble",
+        mode="complete",  # append withholds windows newer than the watermark — on
+        # finite data the last day never closes
+    )
+    got = {r["window_start"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sliding_equals_batch(spark, events_json_dir):
+    ev = _prepare(spark, events_json_dir)
+    out = _run(
+        stream_sliding_counts(events_file_stream(spark, events_json_dir)),
+        spark,
+        "t_slide",
+        mode="complete",
+    )
+    got = {r["window_start"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["ws"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_equal_batch_sessionize(spark, events_json_dir):
+    ev = _prepare(spark, events_json_dir)
+    out = _run(
+        stream_session_windows(events_file_stream(spark, events_json_dir)),
+        spark,
+        "t_sess",
+        mode="complete",
+    )
+    # session_window semantics: end = last_event + gap; compare (user, start,
+    # n_events) against the batch lag-gap-cumsum formulation
+    got = {(r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()}
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in ev.select(
+            "user_id", "ts", "event_id", F.sum(is_new).over(run).alias("seq")
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_replayed_file(spark, events_json_dir, tmp_path):
+    ev = _prepare(spark, events_json_dir)
+    # replay: copy one landed file to simulate a duplicate page delivery
+    import glob
+    import shutil as sh
+
+    src = glob.glob(f"{events_json_dir}/part-*.json")[0]
+    sh.copy(src, f"{events_json_dir}/replayed-copy.json")
+    try:
+        out = _run(
+            stream_dedup(events_file_stream(spark, events_json_dir)), spark, "t_dedup"
+        )
+        assert out.count() == ev.count()  # duplicates dropped exactly
+        assert out.select("event_id").distinct().count() == ev.count()
+    finally:
+        import os
+
+        os.remove(f"{events_json_dir}/replayed-copy.json")

@@ -1,0 +1,120 @@
+"""NDJSON data lake + warehouse refresh (SURVEY §2.1 S4/S5/S8/S9, §2.7 T4).
+
+Reference layout: ``CNPJ_{cnpj}/{endpoint}/[{yyyymmdd}/]response_pg{n}.json``
+(src/main.py:25-31) — multi-tenancy and time encoded in the PATH. Here the
+same information is ordinary partition columns (``cnpj``, ``endpoint``,
+``ds``), which Spark turns back into a path layout via partitionBy — and
+which is strictly more queryable (partition pruning on any prefix).
+
+Refresh semantics: the reference reloads the ENTIRE endpoint prefix with
+WRITE_TRUNCATE each run — idempotent but O(all-history)
+(src/utils/bigquery_helper.py:120; prefix list src/main.py:254-255).
+``refresh_table`` keeps the idempotency but scopes the rewrite to the
+partitions present in the incoming batch (dynamic partition overwrite) — a
+deliberate, semantics-preserving improvement recorded in SURVEY §3.3: at
+100 TB a full truncate-reload per run is the difference between a job and
+an outage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schema.spec import conform
+from ..operators.dedup import keep_latest
+
+
+@dataclass(frozen=True)
+class LakeLayout:
+    root: str
+    partition_cols: tuple[str, ...] = ("cnpj", "endpoint", "ds")
+
+
+def write_lake(df: DataFrame, layout: LakeLayout, mode: str = "append") -> None:
+    """Land records as NDJSON partitioned by (cnpj, endpoint, ds) — the
+    Spark form of the reference's per-page blob writes
+    (src/utils/gcs_helper.py:42-78; NDJSON join at :46-47).
+
+    spark's json writer IS newline-delimited JSON, one record per line —
+    byte-compatible with the reference's lake format.
+    """
+    missing = [c for c in layout.partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing partition columns: {missing}")
+    df.write.mode(mode).partitionBy(*layout.partition_cols).json(layout.root)
+
+
+def read_lake(
+    spark: SparkSession,
+    layout: LakeLayout,
+    schema: T.StructType | None = None,
+    **predicates: str,
+) -> DataFrame:
+    """Read the NDJSON lake with an explicit schema (PERMISSIVE mode: bad
+    records -> nulls, unknown fields ignored — the Spark equivalent of the
+    reference's schema-enforced, fault-tolerant load,
+    src/utils/bigquery_helper.py:115-122).
+
+    ``predicates`` are equality filters on partition columns; they prune at
+    the file index (no data touched outside matching partitions), which is
+    the reference's only-fetch-days-after-watermark behavior generalized.
+    """
+    reader = spark.read
+    if schema is not None:
+        part_fields = [
+            T.StructField("cnpj", T.StringType()),
+            T.StructField("endpoint", T.StringType()),
+            T.StructField("ds", T.StringType()),
+        ]
+        declared = T.StructType(
+            list(schema.fields)
+            + [f for f in part_fields if f.name not in {x.name for x in schema.fields}]
+        )
+        reader = reader.schema(declared)
+    df = reader.option("mode", "PERMISSIVE").json(layout.root)
+    for col, val in predicates.items():
+        df = df.filter(F.col(col) == val)
+    return df
+
+
+def refresh_table(
+    lake_df: DataFrame,
+    table_path: str,
+    schema: T.StructType | None = None,
+    dedup_keys: list[str] | None = None,
+    order_col: str = "ingestion_timestamp",
+    partition_cols: tuple[str, ...] = ("ds",),
+) -> None:
+    """Lake -> warehouse materialization: conform -> dedup-keep-latest ->
+    dynamic-partition-overwrite parquet.
+
+    The overwrite is idempotent per partition (re-running a day rewrites
+    exactly that day — T4), replacing the reference's whole-table
+    WRITE_TRUNCATE (src/utils/bigquery_helper.py:120). Dedup keeps the
+    newest record per key by lineage timestamp — the key-level dedup the
+    reference README promises (README.md:12).
+    """
+    df = lake_df
+    if schema is not None:
+        # partition columns survive conformance even when undeclared — they
+        # are layout, not payload
+        declared = {f.name for f in schema.fields}
+        part_fields = [
+            T.StructField(c, df.schema[c].dataType)
+            for c in partition_cols
+            if c in df.columns and c not in declared
+        ]
+        df = conform(df, T.StructType(list(schema.fields) + part_fields))
+    if dedup_keys:
+        df = keep_latest(df, dedup_keys, [order_col])
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,69 @@
+"""Incremental watermark + daily range generation (SURVEY §2.3 A1, §2.7 T1).
+
+Reference behavior: resume ``vendas`` from max(date) already landed, parsed
+from path segments with bad-value tolerance (src/utils/gcs_helper.py:203-241,
+max at :220, tolerant parse :213-218); cold start = today - 730 days
+(src/main.py:204); daily stepping (src/config/endpoints.py:19-34).
+
+``lake_watermark`` works on FILE METADATA (partition directory values), not
+data — listing partitions is O(partitions) regardless of data volume, the
+same property the reference gets from prefix listing.
+"""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from .lake import LakeLayout
+
+COLD_START_DAYS = 730  # reference src/main.py:204: 2 * 365
+
+
+def lake_watermark(
+    spark: SparkSession, layout: LakeLayout, cnpj: str, endpoint: str
+) -> date | None:
+    """Max landed ds for (cnpj, endpoint), or None if nothing landed.
+
+    Reads partition values from the file index (``input_file_name`` is not
+    needed — ds is a partition column, so this scans zero data rows: the
+    aggregate folds over the partition-value metadata only). Invalid ds
+    values parse to NULL and are skipped (reference's warn-and-skip,
+    src/utils/gcs_helper.py:213-218).
+    """
+    try:
+        df = (
+            spark.read.option("basePath", layout.root)
+            .json(f"{layout.root}/cnpj={cnpj}/endpoint={endpoint}")
+        )
+    except Exception:
+        return None
+    if "ds" not in df.columns:
+        return None
+    row = df.select(
+        F.max(F.expr("try_to_date(cast(ds as string), 'yyyy-MM-dd')")).alias("wm")
+    ).first()
+    return row["wm"] if row else None
+
+
+def daily_ranges(start: date, end: date) -> list[tuple[date, date]]:
+    """Closed daily slices [d, d] from start to end inclusive — the driver
+    loop of the reference's get_daily_ranges (src/config/endpoints.py:19-34).
+    Day boundaries are handled half-open downstream (SURVEY §7 decision 1).
+    """
+    out = []
+    d = start
+    while d <= end:
+        out.append((d, d))
+        d += timedelta(days=1)
+    return out
+
+
+def resume_start(watermark: date | None, today: date) -> date:
+    """Where to resume fetching: day after the watermark, or the 730-day
+    cold-start backfill window (reference src/main.py:195-209, :204)."""
+    if watermark is None:
+        return today - timedelta(days=COLD_START_DAYS)
+    return watermark + timedelta(days=1)
