@@ -1,0 +1,93 @@
+"""Physical-plan regression gates: the plans we shipped are the plans we
+keep (SURVEY §4; the 100 TB design stance enforced as assertions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vmhub_data_pipeline_spark import queries as catalog
+from vmhub_data_pipeline_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_window_group_limit,
+)
+
+catalog._load_all()
+Q = catalog.REGISTRY
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """All four Q6 predicates must reach the parquet reader."""
+    df = Q["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    """Q1 reads 7 of 11 lineitem columns; ReadSchema must not contain the
+    unused join keys."""
+    plan = explain_str(Q["q1_pricing_summary"].fn(spark, sf_dir))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "no ReadSchema in plan"
+    s = read_schema[0]
+    assert "l_partkey" not in s and "l_suppkey" not in s and "l_orderkey" not in s
+
+
+def test_broadcast_dims_stay_broadcast(spark, sf_dir):
+    """Fixed-size dims must broadcast (J1 lookup-join shape) — a silent
+    regression to sort-merge join is a 100 TB shuffle of the fact table."""
+    assert has_broadcast_join(Q["join_broadcast_dim"].fn(spark, sf_dir))
+    assert has_broadcast_join(Q["join_q5_region_revenue"].fn(spark, sf_dir))
+
+
+def test_topk_plans_as_group_limit(spark, sf_dir):
+    """rank<=k filters must plan as WindowGroupLimit (per-partition top-k),
+    not a full per-key sort."""
+    assert has_window_group_limit(Q["window_topk_per_group"].fn(spark, sf_dir))
+    assert has_window_group_limit(Q["events_dedup_latest"].fn(spark, sf_dir))
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = explain_str(Q["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_pair_generation(spark, sf_dir):
+    """Near-dup pair generation must never degrade to CartesianProduct —
+    the inverted-index/LSH equi-joins are the whole point."""
+    for name in ("dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash"):
+        plan = explain_str(Q[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Brute-force kNN: the query side broadcasts; the corpus must stream
+    (no shuffle of the big side before scoring)."""
+    df = Q["knn_cosine_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_shuffle_budgets(spark, sf_dir):
+    """Exchange-count ceilings per query shape: catching a plan that grows
+    an extra shuffle (e.g. a lost partitioning reuse) at review time."""
+    budgets = {
+        "q1_pricing_summary": 1,   # partial+final agg = 1 exchange
+        "q6_forecast_revenue": 1,  # single scalar agg
+        "daily_revenue": 1,
+        "events_sessionize": 1,    # window + groupBy share one shuffle on user_id
+        "window_running_sum": 1,
+        "events_dedup_latest": 1,
+    }
+    for name, budget in budgets.items():
+        n = count_exchanges(Q[name].fn(spark, sf_dir))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_langid_profile_joins_are_broadcast(spark, sf_dir):
+    """langid's profile/totals join against the exploded fact side must be
+    broadcast — profile cardinality is vocab x langs (tiny) at any corpus
+    size; a shuffle join would move the whole corpus twice."""
+    plan = explain_str(Q["text_langid"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -84,6 +84,10 @@ def extract_media_features(
     shuffle); only the pixel decode is faked/stubbed."""
     import pandas as pd
 
+    from ..functions.pickling import ship_module_by_value
+
+    ship_module_by_value(__name__)
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

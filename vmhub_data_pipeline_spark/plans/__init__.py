@@ -1,0 +1,8 @@
+from .introspect import (  # noqa: F401
+    explain_str,
+    count_exchanges,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_window_group_limit,
+    codegen_coverage,
+)

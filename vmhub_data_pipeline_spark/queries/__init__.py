@@ -75,4 +75,6 @@ def _load_all() -> None:
     from . import dedup  # noqa: F401
     from . import vector  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import stats  # noqa: F401
+    from . import multimodal  # noqa: F401
     _LOADED = True

@@ -1,0 +1,281 @@
+"""Statistical aggregates + subquery surface (A6 completion).
+
+Variance/stddev/correlation are computed from EXACT integer moments
+(sum x, sum x^2, sum xy in quantized cents) and assembled with an identical
+double expression on both engines — the built-in var_samp/corr would differ
+in low bits across engines/partitionings (different merge order), and a
+single-pass integer-moment formulation is also the right distributed shape:
+one aggregate, no second pass, no fp drift at any cluster size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import quant
+from ..tables import load
+from . import register
+
+
+def _moments_var(sx: F.Column, sxx: F.Column, n: F.Column, scale: int) -> F.Column:
+    """Sample variance from exact integer moments, in original units."""
+    m = float(10**scale)
+    sxd = sx.cast("double")
+    sxxd = sxx.cast("double")
+    nd = n.cast("double")
+    return (sxxd - sxd * sxd / nd) / (nd - F.lit(1.0)) / F.lit(m * m)
+
+
+_VARIANCE_ORACLE = """
+WITH m AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT)) AS sx,
+    SUM(CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT)) AS sxx,
+    SUM(CAST(ROUND(l_discount * 100.0) AS HUGEINT)) AS sy,
+    SUM(CAST(ROUND(l_discount * 100.0) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100.0) AS HUGEINT)) AS syy,
+    SUM(CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100.0) AS HUGEINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS var_price,
+  ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0) / 10000.0), 4) AS stddev_price,
+  ROUND(
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+    / SQRT(
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      ), 6) AS corr_price_disc
+FROM m
+"""
+
+
+@register("agg_variance_corr", oracle=_VARIANCE_ORACLE, tags=("agg", "stats"))
+def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of price and price-discount correlation per
+    returnflag via exact integer moments (single-pass, order-independent)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    x = quant("l_extendedprice", 2).cast("decimal(38,0)")
+    y = quant("l_discount", 2).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    var_price = _moments_var(F.col("sx"), F.col("sxx"), n, 2)
+    cov_num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast(
+        "double"
+    ) / n.cast("double")
+    var_x_num = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast(
+        "double"
+    ) / n.cast("double")
+    var_y_num = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast(
+        "double"
+    ) / n.cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(var_price, 4).alias("var_price"),
+        F.round(F.sqrt(var_price), 4).alias("stddev_price"),
+        F.round(cov_num / F.sqrt(var_x_num * var_y_num), 6).alias("corr_price_disc"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 4)        AS median_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 4)  AS p25_price,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 4)  AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentiles", oracle=_PCT_ORACLE, tags=("agg", "stats"))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p25/p95). Spark percentile()
+    and DuckDB quantile_cont share the linear-interpolation definition.
+    (percentile_approx is the sketch-based scale path; exact here because
+    the oracle must hash-match.)"""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+_ARGMAX_ORACLE = """
+SELECT
+  l_returnflag,
+  ARG_MAX(l_orderkey,
+          CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) * 10000000000 + l_orderkey)
+    AS priciest_orderkey,
+  MAX(l_extendedprice) AS max_price,
+  ARG_MIN(l_orderkey,
+          CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) * 10000000000 + l_orderkey)
+    AS cheapest_orderkey
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_arg_minmax", oracle=_ARGMAX_ORACLE, tags=("agg",))
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX/ARG_MIN (min_by/max_by). The ordering key is a composite
+    (price_cents, orderkey) packed into one exact BIGINT — deterministic
+    under price ties, and portable (DuckDB arg_max can't order by struct)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    key = quant("l_extendedprice", 2) * F.lit(10_000_000_000) + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(F.col("l_orderkey"), key).alias("priciest_orderkey"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min_by(F.col("l_orderkey"), key).alias("cheapest_orderkey"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT
+  n_nationkey,
+  STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@register("agg_collect_sorted", oracle=_COLLECT_ORACLE, tags=("agg", "collect"))
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct string aggregation (collect_set -> array_sort ->
+    concat_ws): deterministic despite collect_set's arbitrary order."""
+    nation, cust = load(spark, sf_dir, "nation", "customer")
+    return (
+        nation.join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+_SCALAR_SUB_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+"""
+
+
+@register("subquery_scalar", oracle=_SCALAR_SUB_ORACLE, tags=("subquery",))
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter (planned as a broadcast of
+    one value). MAX passes a raw column value through — exact on both
+    engines, so the predicate boundary is deterministic."""
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    cust.createOrReplaceTempView("customer")
+    supp.createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+        """
+    )
+
+
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+    AND o2.o_totalprice > 450000
+)
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_ORACLE, tags=("subquery", "semi"))
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
+    joins — same physical plan as join_semi/join_anti, SQL surface parity)."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_ORACLE)
+
+
+_UNION_ALL_ORACLE = """
+SELECT partkey, COUNT(*) AS n_mentions
+FROM (
+  SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 45
+  UNION ALL
+  SELECT p_partkey AS partkey FROM part WHERE p_retailprice > 1800
+)
+GROUP BY partkey
+HAVING COUNT(*) > 1
+"""
+
+
+@register("set_union_all", oracle=_UNION_ALL_ORACLE, tags=("setop",))
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (duplicate-preserving) + dup detection via HAVING."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    a = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("partkey"))
+    b = part.filter(F.col("p_retailprice") > 1800).select(F.col("p_partkey").alias("partkey"))
+    return (
+        a.unionByName(b)
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .filter(F.col("n_mentions") > 1)
+    )
+
+
+_CASE_ORACLE = """
+SELECT
+  CASE
+    WHEN c_acctbal < 0 THEN 'negative'
+    WHEN c_acctbal < 3000 THEN 'low'
+    WHEN c_acctbal < 7000 THEN 'mid'
+    ELSE 'high'
+  END AS bal_band,
+  COUNT(*) AS n,
+  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+GROUP BY bal_band
+"""
+
+
+@register("case_bucketing", oracle=_CASE_ORACLE, tags=("projection",))
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch CASE bucketing + aggregation on the derived key."""
+    (cust,) = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return cust.groupBy(band.alias("bal_band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )

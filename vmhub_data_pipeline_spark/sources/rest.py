@@ -207,18 +207,9 @@ def fetch_endpoint_distributed(
     # have this package on the worker PYTHONPATH (sys.path edits are
     # driver-only). Registering this module for by-value pickling ships the
     # code inside the task closure instead of by module reference.
-    import sys as _sys
+    from ..functions.pickling import ship_module_by_value
 
-    for _cp_name in ("pyspark.cloudpickle", "cloudpickle"):
-        # pyspark serializes closures with its VENDORED cloudpickle — that is
-        # the one that must know about by-value pickling
-        try:
-            import importlib
-
-            _cp = importlib.import_module(_cp_name)
-            _cp.register_pickle_by_value(_sys.modules[__name__])
-        except Exception:
-            pass  # best-effort; with the package installed on workers it's moot
+    ship_module_by_value(__name__)
 
     spec_rows = [(d,) for d in (dates or ["__nodate__"])]
     specs = spark.createDataFrame(spec_rows, "date string").repartition(
