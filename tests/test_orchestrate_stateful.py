@@ -1,0 +1,65 @@
+"""Endpoint fan-out orchestration + applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vmhub_data_pipeline_spark.pipeline import run_endpoints
+from vmhub_data_pipeline_spark.streaming.events import (
+    TS_FORMAT,
+    events_file_stream,
+    start_to_memory,
+)
+from vmhub_data_pipeline_spark.streaming.stateful import stream_user_profiles
+from vmhub_data_pipeline_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_endpoints_isolates_failures():
+    calls = []
+
+    def ok_job():
+        calls.append("ok")
+        return 42
+
+    def bad_job():
+        raise RuntimeError("endpoint exploded")
+
+    results = run_endpoints({"clientes": ok_job, "vendas": bad_job}, max_workers=2)
+    by_name = {r.endpoint: r for r in results}
+    assert by_name["clientes"].ok and by_name["clientes"].rows == 42
+    assert not by_name["vendas"].ok
+    assert "endpoint exploded" in by_name["vendas"].error
+    # one failure never blocks the other endpoint (reference src/main.py:344-352)
+    assert calls == ["ok"]
+
+
+def test_stateful_user_profiles_match_batch(spark, tmp_path):
+    ev = table(spark, SF, "events")
+    path = str(tmp_path / "events")
+    ev.repartition(3).write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
+
+    q = start_to_memory(
+        stream_user_profiles(events_file_stream(spark, path)),
+        "t_profiles",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per (user, micro-batch); the LAST emission
+    # per user carries the final state
+    out = spark.table("t_profiles")
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in out.orderBy("n_events").collect()  # ascending: later overwrite wins
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == want

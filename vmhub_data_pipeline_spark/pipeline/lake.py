@@ -88,6 +88,7 @@ def refresh_table(
     dedup_keys: list[str] | None = None,
     order_col: str = "ingestion_timestamp",
     partition_cols: tuple[str, ...] = ("ds",),
+    cluster_by: tuple[str, ...] = (),
 ) -> None:
     """Lake -> warehouse materialization: conform -> dedup-keep-latest ->
     dynamic-partition-overwrite parquet.
@@ -111,6 +112,13 @@ def refresh_table(
         df = conform(df, T.StructType(list(schema.fields) + part_fields))
     if dedup_keys:
         df = keep_latest(df, dedup_keys, [order_col])
+    if cluster_by:
+        # storage clustering for downstream scan locality — the Spark form
+        # of the reference's BigQuery clustering_fields
+        # (src/utils/bigquery_helper.py:92): range-partition then sort
+        # within files so equality/range predicates on the cluster keys
+        # touch few row groups (parquet min/max pruning).
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
