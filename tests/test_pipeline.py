@@ -83,6 +83,20 @@ def test_refresh_idempotent_and_dedup(spark, tmp_path):
     assert spark.read.parquet(tbl).count() == 6
 
 
+def test_refresh_clustering_sorts_within_files(spark, tmp_path):
+    """cluster_by must produce files sorted on the cluster key (the
+    BigQuery clustering_fields analog, reference bigquery_helper.py:92)."""
+    import glob
+
+    layout = LakeLayout(str(tmp_path / "lake"))
+    tbl = str(tmp_path / "warehouse" / "clustered")
+    write_lake(_records(spark, n=50), layout)
+    refresh_table(read_lake(spark, layout), tbl, cluster_by=("name",))
+    for f in glob.glob(f"{tbl}/ds=*/part-*.parquet"):
+        names = [r["name"] for r in spark.read.parquet(f).select("name").collect()]
+        assert names == sorted(names), f"file {f} not sorted on cluster key"
+
+
 def test_watermark_resume(spark, tmp_path):
     layout = LakeLayout(str(tmp_path / "lake"))
     assert lake_watermark(spark, layout, "12345678000190", "vendas") is None

@@ -117,8 +117,13 @@ def refresh_table(
         # of the reference's BigQuery clustering_fields
         # (src/utils/bigquery_helper.py:92): range-partition then sort
         # within files so equality/range predicates on the cluster keys
-        # touch few row groups (parquet min/max pruning).
-        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+        # touch few row groups (parquet min/max pruning). The sort leads
+        # with the write-partition columns: the partitioned-file writer
+        # requires that ordering and would otherwise re-sort (non-stably),
+        # destroying the cluster order.
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
+            *partition_cols, *cluster_by
+        )
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
