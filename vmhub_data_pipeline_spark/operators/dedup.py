@@ -172,16 +172,18 @@ def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-signature in >=1 of ``bands`` bands.
 
     rows_per_band = num_hashes // bands; P(candidate) = 1-(1-j^r)^b — with
-    the 64/8 default (r=8) the curve knees near j≈0.85: recall 0.99 at
-    j=0.9 while j=0.5 pairs are sampled at only ~3% (candidate volume, not
-    correctness — candidates are exact-verified downstream).
+    the 32/8 default (r=4) recall at j=0.9 is 0.9998 while j=0.5 pairs are
+    sampled at ~40% (candidate volume only, not correctness — candidates
+    are exact-verified downstream; shingle jaccard between non-dups is far
+    below 0.5, so the mid-similarity band is sparse in practice). Measured
+    vs 64/8 on the fixture corpus: identical output, half the cost.
     Output: (doc_a, doc_b) distinct.
     """
     rows_per_band = num_hashes // bands
@@ -225,7 +227,7 @@ def minhash_neardup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.9,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:

@@ -75,7 +75,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(8 bands x 8 rows) near-dup pairs with exact-Jaccard
+    """MinHash(32) + LSH(8 bands x 4 rows) near-dup pairs with exact-Jaccard
     verification at 0.9. Rows-only: LSH recall is probabilistic; precision
     is exact (every output pair truly has jaccard >= 0.9 — verified
     against dedup_jaccard_pairs in tests/test_operators.py)."""
