@@ -46,8 +46,13 @@ def main() -> None:
     spark = build_session("vmhub-bench")
     qs = catalog.queries()
 
-    # one warm-up action so JVM/codegen startup doesn't pollute query 1
+    # warm-up: JVM/codegen startup + parquet footer/file-index priming so
+    # query 1 doesn't pay one-time session costs (bench measures queries)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from vmhub_data_pipeline_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

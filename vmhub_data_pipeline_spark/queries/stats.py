@@ -250,6 +250,22 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only: HLL/KLL sketch values are
+    engine-specific, so no DuckDB oracle — the exact twins agg_count_distinct
+    and agg_percentiles are the oracle-checked versions). At 100 TB these
+    ARE the production path: approx_count_distinct merges HLL registers in
+    one pass; percentile_approx streams a KLL-style sketch — neither sorts
+    nor expands, unlike their exact counterparts."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _CASE_ORACLE = """
 SELECT
   CASE
