@@ -13,6 +13,8 @@ from vmhub_data_pipeline_spark.operators import (
     keep_latest,
     lsh_bucketed_knn,
     minhash_neardup_pairs,
+    range_join_bucketed,
+    salted_join,
     simhash,
     simhash_neardup_pairs,
 )
@@ -131,6 +133,44 @@ def test_knn_lsh_recall_vs_brute(spark):
     assert len(approx) > 0
     assert len(brute) == 50
     assert len(approx & brute) > 0
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import pyspark.sql.functions as F
+
+    points = spark.createDataFrame([(i, float(i)) for i in range(100)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 7.0), (2, 95.0, 200.0), (3, 40.0, 40.5)],
+        "iid long, lo double, hi double",
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+        ).collect()
+    }
+    bucketed = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(points, intervals, "x", "lo", "hi", 8.0).collect()
+    }
+    assert bucketed == naive and len(naive) > 0
+
+
+def test_salted_join_matches_plain(spark):
+    import pyspark.sql.functions as F
+
+    # pathological skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(1000)], "lid long, k long"
+    )
+    right = spark.createDataFrame([(k, f"dim{k}") for k in range(1000)], "k long, payload string")
+    plain = {
+        (r["lid"], r["payload"]) for r in left.join(right, "k").collect()
+    }
+    salted = {
+        (r["lid"], r["payload"]) for r in salted_join(left, right, "k", salt=8).collect()
+    }
+    assert salted == plain
 
 
 def test_multimodal_plumbing(spark):

@@ -79,6 +79,33 @@ def test_poison_page_bisect_salvage():
     assert got == RECORDS
 
 
+def test_python_datasource_with_pushdown(spark):
+    """The vmhub format: catalog-integrated scan with date-filter pushdown
+    pruning fetch partitions before any 'network' call."""
+    import json as _json
+
+    from vmhub_data_pipeline_spark.sources.vmhub_datasource import VMHubDataSource
+
+    spark.dataSource.register(VMHubDataSource)
+    df = (
+        spark.read.format("vmhub")
+        .option("endpoint", "clientes")
+        .option("page_size", "10")
+        .option("dates", "2024-01-01,2024-01-02")
+        .option("records_json", _json.dumps(RECORDS))
+        .load()
+    )
+    assert df.count() == 2 * len(RECORDS)
+    import pyspark.sql.functions as F
+
+    pruned = df.filter(F.col("date") == "2024-01-02")
+    assert pruned.count() == len(RECORDS)
+    # pushFilters consumed the date predicate -> one fetch partition left
+    assert pruned.rdd.getNumPartitions() == 1
+    rec = json.loads(pruned.first()["record"])
+    assert rec["id"] == 0
+
+
 def test_distributed_fetch(spark):
     cfg = EndpointConfig("vendas", page_size=10, requires_date_range=True)
 

@@ -15,4 +15,4 @@ from .dedup import (  # noqa: F401
     simhash_neardup_pairs,
 )
 from .similarity import brute_force_knn, cosine_expr, lsh_bucketed_knn  # noqa: F401
-from .joins import asof_join  # noqa: F401
+from .joins import asof_join, range_join_bucketed, salted_join  # noqa: F401

@@ -70,3 +70,62 @@ def asof_join(
     out_cols = [F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields]
     out_cols += [F.col(f"__rv_{c}").alias(f"{c}") for c in right_value_cols]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval range join at scale: bucketize so it becomes an
+    equi-join + residual filter.
+
+    The naive non-equi join (lo <= p < hi) plans as a broadcast nested loop
+    — fine for a literal band table (queries/joins.py join_range_banded),
+    quadratic when both sides are large. Here each interval explodes into
+    the buckets it overlaps, each point maps to one bucket, and the join is
+    an equi-join on bucket id followed by the exact residual predicate.
+    Cost: O(points + intervals * avg_span/bucket_width + matches); pick
+    bucket_width near the median interval length.
+    """
+    b = float(bucket_width)
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / b),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bucket").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant inner equi-join: left rows get a random-ish salt in
+    [0, salt) (deterministic from row content via hash, for reproducibility)
+    and the right side replicates ``salt`` ways, so one hot key spreads over
+    ``salt`` shuffle partitions instead of one straggler task.
+
+    AQE's skewJoin handles moderate skew automatically at runtime; explicit
+    salting is for pathological keys (one key = 30% of rows) where even a
+    split partition overwhelms a task. Trade-off: right side is replicated
+    ``salt`` times — use for large-left/small-right joins on skewed keys.
+    """
+    lhs = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    rhs = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return lhs.join(rhs, [on, "__salt"]).drop("__salt")

@@ -38,6 +38,8 @@ _BUILD_TIME_CONF = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read natively;
     # read as long (ns since epoch) and convert in tables.table().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python Data Source API filter pushdown (vmhub_datasource.pushFilters)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Conf that is runtime-settable on an existing session (e.g. the driver's).
@@ -47,6 +49,7 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
