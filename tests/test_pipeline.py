@@ -83,6 +83,21 @@ def test_refresh_idempotent_and_dedup(spark, tmp_path):
     assert spark.read.parquet(tbl).count() == 6
 
 
+def test_read_lake_path_glob_filter(spark, tmp_path):
+    """S7: basename pattern filter at the file index (reference fnmatch,
+    src/utils/gcs_helper.py:139-175)."""
+    layout = LakeLayout(str(tmp_path / "lake"))
+    write_lake(_records(spark), layout)
+    everything = read_lake(spark, layout).count()
+    assert everything == 6
+    some = read_lake(spark, layout, path_glob="part-*").count()
+    assert some == 6  # spark writer names files part-*
+    # non-matching glob with a declared schema -> empty, not an error
+    schema = compile_schema([{"name": "id", "type": "INTEGER"}])
+    nothing = read_lake(spark, layout, schema, path_glob="response_pg*.json").count()
+    assert nothing == 0
+
+
 def test_refresh_clustering_sorts_within_files(spark, tmp_path):
     """cluster_by must produce files sorted on the cluster key (the
     BigQuery clustering_fields analog, reference bigquery_helper.py:92)."""

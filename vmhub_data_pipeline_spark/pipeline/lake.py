@@ -52,6 +52,7 @@ def read_lake(
     spark: SparkSession,
     layout: LakeLayout,
     schema: T.StructType | None = None,
+    path_glob: str | None = None,
     **predicates: str,
 ) -> DataFrame:
     """Read the NDJSON lake with an explicit schema (PERMISSIVE mode: bad
@@ -62,8 +63,13 @@ def read_lake(
     ``predicates`` are equality filters on partition columns; they prune at
     the file index (no data touched outside matching partitions), which is
     the reference's only-fetch-days-after-watermark behavior generalized.
+    ``path_glob`` filters files by basename pattern at the file index — the
+    reference's fnmatch-on-blob-name filter (S7,
+    src/utils/gcs_helper.py:139-175) without listing a single extra file.
     """
     reader = spark.read
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
     if schema is not None:
         part_fields = [
             T.StructField("cnpj", T.StringType()),

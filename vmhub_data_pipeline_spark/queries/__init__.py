@@ -77,4 +77,5 @@ def _load_all() -> None:
     from . import pipeline_ops  # noqa: F401
     from . import stats  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import streaming_queries  # noqa: F401
     _LOADED = True

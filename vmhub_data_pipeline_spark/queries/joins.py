@@ -311,6 +311,58 @@ def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_ORACLE = f"""
+SELECT
+  cn.n_name AS cust_nation,
+  sn.n_name AS supp_nation,
+  CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 4, 'volume')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('NATION_3', 'NATION_7')
+  AND sn.n_name IN ('NATION_3', 'NATION_7')
+  AND cn.n_name <> sn.n_name
+GROUP BY cust_nation, supp_nation, ship_year
+"""
+
+
+@register("join_q7_nation_volume", oracle=_Q7_ORACLE, tags=("join", "agg"))
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: cross-nation trade volume by year (fixture nations
+    NATION_3/NATION_7 standing in for the FRANCE/GERMANY pair) — the nation dim
+    joins TWICE under different roles (self-aliased broadcast), plus year
+    extraction as a derived group key."""
+    li, orders, cust, supp, nation = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    pair = ["NATION_3", "NATION_7"]
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(pair))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(pair))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(dsum(disc_price, 4).alias("volume"))
+    )
+
+
 _BANDED_ORACLE = """
 WITH bands(band, lo, hi) AS (
   VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 1000000)

@@ -1,0 +1,67 @@
+"""Streaming catalog entries — real Structured Streaming runs whose final
+output is deterministic on a closed dataset, so they CAN be oracle-checked:
+the driver sees a genuine readStream->writeStream execution hash-match a
+batch SQL oracle.
+
+Each call re-lands the events fixture as NDJSON (the lake format) into a
+scratch dir, runs the stream with an availableNow trigger to completion,
+and returns the memory-sink table. Complete output mode: every window's
+final value is emitted exactly once.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dsum, sql_dsum
+from ..streaming.events import TS_FORMAT, events_file_stream
+from ..tables import load
+from . import register
+
+_STREAM_TUMBLE_ORACLE = f"""
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 2, 'sum_value')}
+FROM events
+GROUP BY window_start
+"""
+
+
+@register("streaming_tumbling_day", oracle=_STREAM_TUMBLE_ORACLE, tags=("streaming",))
+def streaming_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows via an ACTUAL streaming execution (file
+    source -> withWatermark -> window agg -> memory sink, availableNow).
+    Distinct aggregates are unsupported in streaming, so the payload is
+    count + exact-quantized sum — both deterministic, hence oracle-able.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="vmhub_stream_")
+    events.repartition(4).write.mode("overwrite").option(
+        "timestampFormat", TS_FORMAT
+    ).json(scratch)
+
+    stream = (
+        events_file_stream(spark, scratch)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
