@@ -15,7 +15,10 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session("vmhub-tests", master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"))
+    # small shuffle fan-out: at fixture scale, 32 shuffle partitions cost
+    # more in task scheduling than they buy in parallelism
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    s = build_session("vmhub-tests", master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"))
     yield s
     s.stop()
 

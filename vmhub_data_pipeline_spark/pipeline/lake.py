@@ -18,11 +18,14 @@ an outage.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 from ..schema.spec import conform
 from ..operators.dedup import keep_latest
@@ -130,6 +133,19 @@ def refresh_table(
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
             *partition_cols, *cluster_by
         )
+    # load observability — rows/partitions per refresh, riding the write job
+    # itself (Observation adds no extra pass), the reference's per-load-job
+    # stats trail (src/utils/bigquery_helper.py:141-147)
+    obs = Observation("refresh_stats")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        # observed metrics forbid DISTINCT aggregates; the HLL sketch is the
+        # right tool for a metric anyway
+        F.approx_count_distinct(F.concat_ws("/", *partition_cols)).alias(
+            "approx_partitions_touched"
+        ),
+    )
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -137,3 +153,7 @@ def refresh_table(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    try:
+        log.info("refresh %s: %s", table_path, obs.get)
+    except Exception:
+        pass  # metrics are best-effort; the write already succeeded
