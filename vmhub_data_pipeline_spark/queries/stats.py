@@ -224,6 +224,25 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EXISTS_ORACLE)
 
 
+_CORR_SCALAR_ORACLE = """
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal = (
+  SELECT MAX(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+@register("subquery_correlated_scalar", oracle=_CORR_SCALAR_ORACLE, tags=("subquery",))
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-group max lookup) — Catalyst
+    de-correlates it into an aggregate + join; the equality compares a raw
+    column against a raw MAX (no arithmetic), so it is engine-exact."""
+    (cust,) = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(_CORR_SCALAR_ORACLE)
+
+
 _UNION_ALL_ORACLE = """
 SELECT partkey, COUNT(*) AS n_mentions
 FROM (

@@ -55,7 +55,11 @@ def streaming_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
     )
-    name = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(spark, stream, "stream_tumble")
+
+
+def _run_to_memory(spark: SparkSession, stream, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -65,3 +69,53 @@ def streaming_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT
+    user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           OR LAG(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM seq
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register("streaming_session_windows", oracle=_STREAM_SESSION_ORACLE, tags=("streaming", "session"))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window() in an ACTUAL streaming run, oracle-checked
+    against the SQL lag-gap-cumsum sessionization: (user, session_start,
+    n_events) are definitionally identical between the two formulations
+    (session END differs — session_window pads the gap — so it's excluded).
+    """
+    (events,) = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="vmhub_stream_")
+    events.repartition(4).write.mode("overwrite").option(
+        "timestampFormat", TS_FORMAT
+    ).json(scratch)
+
+    stream = (
+        events_file_stream(spark, scratch)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, stream, "stream_sess")
