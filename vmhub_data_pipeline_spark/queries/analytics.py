@@ -218,6 +218,30 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPINGID_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_flag,
+  CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_status,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPINGID_ORACLE, tags=("agg", "rollup"))
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns distinguishing real NULL group keys from
+    rollup subtotal rows."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _HAVING_ORACLE = f"""
 SELECT
   l_suppkey,

@@ -130,6 +130,9 @@ _LANGID_ORACLE = """
 WITH wd AS (
   SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
 ),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS wcnt FROM wd GROUP BY doc_id, word
+),
 profile AS (
   SELECT lang, word, COUNT(*) AS cnt FROM wd GROUP BY lang, word
 ),
@@ -141,17 +144,17 @@ vocab AS (
 ),
 scored AS (
   SELECT
-    wd.doc_id,
+    wc.doc_id,
     lang_tot.lang AS cand_lang,
-    SUM(CAST(ROUND(LN(
+    SUM(wc.wcnt * CAST(ROUND(LN(
       (CAST(COALESCE(profile.cnt, 0) + 1 AS DOUBLE))
       / (CAST(lang_tot.tot + vocab.v AS DOUBLE))
     ) * 1000000.0) AS BIGINT)) AS score_q
-  FROM wd
+  FROM wc
   CROSS JOIN lang_tot
   CROSS JOIN vocab
-  LEFT JOIN profile ON profile.lang = lang_tot.lang AND profile.word = wd.word
-  GROUP BY wd.doc_id, lang_tot.lang
+  LEFT JOIN profile ON profile.lang = lang_tot.lang AND profile.word = wc.word
+  GROUP BY wc.doc_id, lang_tot.lang
 )
 SELECT doc_id, cand_lang AS predicted_lang, score_q
 FROM (
@@ -166,22 +169,25 @@ WHERE rn = 1
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via unigram profiles (n-gram heuristic).
 
-    Plan: explode words (1 shuffle-free map) -> profile agg (shuffle on
-    (lang,word)) -> words x langs broadcast-joined against the profile
-    (profile cardinality = vocab x langs, tiny — broadcast at any corpus
-    size) -> integer log-prob sum per (doc, lang) (shuffle on doc_id) ->
-    argmax window. The expensive fact-side data moves through exactly two
-    shuffles regardless of corpus size.
+    Plan: explode words -> per-(doc,word) count (the fact side collapses to
+    distinct words per doc BEFORE the language expansion — the quantized
+    log-prob just multiplies by the count, integer-exact) -> profile agg
+    (shuffle on (lang,word)) -> wc x langs broadcast-joined against the
+    profile (profile cardinality = vocab x langs, tiny — broadcast at any
+    corpus size) -> integer log-prob sum per (doc, lang) (shuffle on
+    doc_id) -> argmax window. The expensive fact-side data moves through
+    exactly two shuffles regardless of corpus size, at distinct-word (not
+    token) volume.
     """
     (docs,) = load(spark, sf_dir, "documents")
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    wc = wd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("wcnt"))
     profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
     lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
     vocab = wd.agg(F.countDistinct("word").alias("v"))
 
     scored = (
-        wd.select("doc_id", "word")
-        .crossJoin(F.broadcast(lang_tot.select(F.col("lang").alias("cand_lang"), "tot")))
+        wc.crossJoin(F.broadcast(lang_tot.select(F.col("lang").alias("cand_lang"), "tot")))
         .crossJoin(F.broadcast(vocab))
         .join(
             F.broadcast(
@@ -195,15 +201,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "cand_lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v")).cast("double")
-                )
-                * 1_000_000.0
-            )
-            .cast("long")
-            .alias("term_q"),
+            (
+                F.col("wcnt")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tot") + F.col("v")).cast("double")
+                    )
+                    * 1_000_000.0
+                ).cast("long")
+            ).alias("term_q"),
         )
         .groupBy("doc_id", "cand_lang")
         .agg(F.sum("term_q").alias("score_q"))

@@ -239,6 +239,32 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTRANK_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+  ROUND(CUME_DIST()    OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_percent_rank", oracle=_PCTRANK_ORACLE, tags=("window",))
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: rational (rank-1)/(n-1) and rank/n values —
+    identical integer-derived doubles on both engines; unique tiebreak keys
+    make the ranks themselves deterministic."""
+    (cust,) = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
 _FIRSTLAST_ORACLE = """
 SELECT
   c_custkey,
