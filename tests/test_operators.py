@@ -173,6 +173,31 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_ivf_knn_recall_vs_brute(spark):
+    from vmhub_data_pipeline_spark.operators.similarity import ivf_knn
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(c, q, "vec_id", "embedding", k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(c, q, "vec_id", "embedding", k=5, n_clusters=8, nprobe=4).collect()
+    }
+    assert len(ivf) == 50  # every query returns a full top-5 (nprobe cells nonempty)
+    # probing half the cells must recover a meaningful share of true neighbors
+    assert len(ivf & brute) / len(brute) >= 0.4
+    # determinism across runs (k-means init is id-ordered, no RNG)
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(c, q, "vec_id", "embedding", k=5, n_clusters=8, nprobe=4).collect()
+    }
+    assert ivf == ivf2
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     media = attach_binary_payload(docs, "doc_id", "text")

@@ -124,6 +124,52 @@ def test_watermark_resume(spark, tmp_path):
     assert (date(2024, 2, 1) - resume_start(None, date(2024, 2, 1))).days == 730
 
 
+def test_compaction_preserves_content(spark, tmp_path):
+    from vmhub_data_pipeline_spark.pipeline import compact_partition, partition_stats
+
+    layout = LakeLayout(str(tmp_path / "lake"))
+    # land the same day several times -> many small files
+    for i in range(4):
+        write_lake(_records(spark, n=20, ts=f"2024-01-0{i+1}T00:00:00Z"), layout)
+    before = read_lake(spark, layout).orderBy("id", "ingestion_timestamp").collect()
+    n_before, _ = partition_stats(layout, "12345678000190", "vendas", "2024-01-01")
+    assert n_before >= 4
+    n_after = compact_partition(
+        spark, layout, "12345678000190", "vendas", "2024-01-01",
+        target_file_bytes=10_000_000,
+    )
+    assert 0 < n_after < n_before
+    after = read_lake(spark, layout).orderBy("id", "ingestion_timestamp").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # idempotent: second compaction is a no-op
+    assert compact_partition(
+        spark, layout, "12345678000190", "vendas", "2024-01-01",
+        target_file_bytes=10_000_000,
+    ) == 0
+
+
+def test_refresh_incremental_touches_only_new_days(spark, tmp_path):
+    from vmhub_data_pipeline_spark.pipeline import refresh_incremental
+
+    layout = LakeLayout(str(tmp_path / "lake"))
+    tbl = str(tmp_path / "warehouse" / "vendas")
+    write_lake(_records(spark, ds="2024-01-01", ts="2024-01-01T00:00:00Z"), layout)
+    refresh_table(read_lake(spark, layout), tbl, dedup_keys=["id"])
+    old_files = set((tmp_path / "warehouse" / "vendas" / "ds=2024-01-01").glob("part-*"))
+
+    write_lake(_records(spark, ds="2024-01-02", ts="2024-01-02T00:00:00Z"), layout)
+    refresh_incremental(spark, layout, tbl, since_ds="2024-01-02", dedup_keys=["id"])
+
+    out = spark.read.parquet(tbl)
+    # partition values type-infer to dates on read-back
+    assert set(str(r["ds"]) for r in out.select("ds").distinct().collect()) == {
+        "2024-01-01",
+        "2024-01-02",
+    }
+    # day-1 files untouched by the incremental run (dynamic overwrite scope)
+    assert set((tmp_path / "warehouse" / "vendas" / "ds=2024-01-01").glob("part-*")) == old_files
+
+
 def test_daily_ranges():
     r = daily_ranges(date(2024, 1, 1), date(2024, 1, 3))
     assert r == [

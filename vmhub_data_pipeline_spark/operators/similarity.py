@@ -154,6 +154,116 @@ def lsh_bucketed_knn(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Plain Lloyd's k-means over an embedding column, Spark-distributed.
+
+    Deterministic init: the k vectors with the smallest ids. Each iteration
+    is one job: broadcast current centroids -> assign (argmin cosine-free
+    squared L2 via expression) -> groupBy centroid -> component-wise mean
+    (posexplode + avg). Centroid count k is driver-sized (k x dim floats),
+    the data never leaves executors except k centroids per iteration —
+    the standard scalable topology.
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in v.orderBy("id").limit(k).collect()
+    ]
+    for _ in range(max_iter):
+        assigned = v.select("id", "v", _nearest_centroid_expr(cents).alias("c"))
+        new = (
+            assigned.select("c", F.posexplode("v"))
+            .groupBy("c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        by_c = {r["c"]: [float(x) for x in r["centroid"]] for r in new}
+        cents = [by_c.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def _centroid_scores(cents: list[list[float]]) -> Column:
+    """Array of per-centroid scores argmax-equivalent to nearest-by-L2:
+    <v,c> - |c|^2/2 (|v|^2 is row-constant). Linear expression size —
+    chaining F.when comparisons instead nests the whole running expression
+    per centroid and the tree grows exponentially with k (measured: k=16
+    never finishes analysis)."""
+    return F.array(
+        *[
+            dot_expr(F.col("v"), F.array(*[F.lit(x) for x in c]))
+            - F.lit(sum(x * x for x in c) / 2.0)
+            for c in cents
+        ]
+    )
+
+
+def _nearest_centroid_expr(cents: list[list[float]]) -> Column:
+    """argmin_c ||v - c||^2 via array argmax (first match -> deterministic
+    lowest-index tie-break)."""
+    scores = _centroid_scores(cents)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer -> corpus bucketed by
+    nearest centroid (1 bucket each), queries probe their ``nprobe`` nearest
+    centroids -> equi-join on centroid id -> exact cosine re-rank.
+
+    Per query the candidate set shrinks from |corpus| to ~nprobe/n_clusters
+    of it; recall grows with nprobe. Output schema matches brute_force_knn.
+    """
+    cents = kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("neighbor_id", F.col("v").alias("cv"), F.col("v"))
+    c = c.select("neighbor_id", "cv", _nearest_centroid_expr(cents).alias("bucket"))
+
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probes = []
+    for i, cent in enumerate(cents):
+        score = dot_expr(F.col("v"), F.array(*[F.lit(x) for x in cent])) - F.lit(
+            sum(x * x for x in cent) / 2.0
+        )
+        probes.append(F.struct(score.alias("s"), F.lit(i).alias("c")))
+    qb = q.select(
+        "query_id",
+        F.col("v").alias("qv"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.c").alias("bucket"))
+
+    scored = qb.join(c, "bucket").select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label centroid, exploded to (label, pos, centroid_val) — the
     SQL-portable shape (array-typed results don't hash portably)."""

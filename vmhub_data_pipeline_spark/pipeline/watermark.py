@@ -67,3 +67,26 @@ def resume_start(watermark: date | None, today: date) -> date:
     if watermark is None:
         return today - timedelta(days=COLD_START_DAYS)
     return watermark + timedelta(days=1)
+
+
+def refresh_incremental(
+    spark: SparkSession,
+    layout: LakeLayout,
+    table_path: str,
+    since_ds: str,
+    **refresh_kwargs,
+) -> None:
+    """Incremental warehouse refresh: only lake partitions with ds >=
+    ``since_ds`` are read (partition pruning — zero IO on older days) and
+    only those partitions are overwritten (dynamic overwrite). This is the
+    reference's watermark-resume generalized to the load side: where the
+    reference truncate-reloads ALL history every run
+    (src/utils/bigquery_helper.py:120, src/main.py:254-255), this touches
+    O(new days) regardless of table age.
+    """
+    import pyspark.sql.functions as F
+
+    from .lake import read_lake, refresh_table
+
+    lake_df = read_lake(spark, layout).filter(F.col("ds") >= since_ds)
+    refresh_table(lake_df, table_path, **refresh_kwargs)

@@ -12,7 +12,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.similarity import brute_force_knn, centroids, lsh_bucketed_knn, norm_expr
+from ..operators.similarity import (
+    brute_force_knn,
+    centroids,
+    ivf_knn,
+    lsh_bucketed_knn,
+    norm_expr,
+)
 from ..tables import load
 from . import register
 
@@ -129,6 +135,20 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("norm_raw", 6).alias("l2_norm"),
             F.round("l1_raw", 6).alias("l1_norm"),
         )
+    )
+
+
+@register("ann_ivf_topk", oracle=None, tags=("vector", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: distributed k-means coarse quantizer,
+    corpus bucketed once, queries probe 4 of 16 cells, exact re-rank of
+    ~25% of the corpus per query. Rows-only (approximate recall; measured
+    against brute force in tests/test_operators.py)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return ivf_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, nprobe=4
     )
 
 
