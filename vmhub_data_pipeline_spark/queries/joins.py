@@ -466,6 +466,98 @@ def join_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT
+    p_type,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) AS rev_q
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+)
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_q ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev_q) AS DOUBLE) * 100.0 AS promo_revenue_pct,
+  CAST(SUM(rev_q) AS DOUBLE) / 10000.0   AS total_revenue
+FROM j
+"""
+
+
+@register("join_q14_promo_share", oracle=_Q14_ORACLE, tags=("join", "agg"))
+def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share — a ratio of two exact integer
+    sums (one division of identical operands on both engines, bit-exact)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    rev_q = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_type", rev_q.alias("rev_q"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_q")).otherwise(F.lit(0)))
+    total = F.sum("rev_q")
+    return j.agg(
+        (promo.cast("double") / total.cast("double") * F.lit(100.0)).alias(
+            "promo_revenue_pct"
+        ),
+        (total.cast("double") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+_Q19_ORACLE = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+"""
+
+
+@register("join_q19_disjunctive", oracle=_Q19_ORACLE, tags=("join", "filter"))
+def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunctive multi-attribute predicates across both
+    join sides — the OR-of-ANDs shape that exercises Catalyst's predicate
+    normalization (common join-key conjunct extraction)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 30)
+        )
+    )
+    rev_q = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_q).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
 _BANDED_ORACLE = """
 WITH bands(band, lo, hi) AS (
   VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 1000000)
