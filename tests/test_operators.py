@@ -92,6 +92,35 @@ def test_asof_join_matches_naive(spark):
     assert out == {100: 1, 101: 2, 102: None, 103: None}
 
 
+def test_asof_join_payload_columns_from_same_row(spark):
+    # A NULL in ONE payload column of the matched right row must stay NULL,
+    # not get back-filled from an older right row (payload rides as one
+    # struct, picked atomically).
+    left = spark.createDataFrame([(1, 1, 10)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "old-a", "old-b"), (1, 8, "new-a", None)],
+        "k long, t long, a string, b string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_value_cols=["a", "b"],
+    ).collect()
+    assert out[0]["a"] == "new-a"
+    assert out[0]["b"] is None  # NOT "old-b"
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    from vmhub_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    cents = kmeans_fit(df, "id", "v", k=16, max_iter=2)
+    assert len(cents) == 2  # clamped to corpus size, no IndexError
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_fit(df.filter(F.col("id") > 99), "id", "v", k=4)
+
+
 def test_asof_join_forward(spark):
     left = spark.createDataFrame([(1, 1, 5)], "id long, k long, t long").select(
         "id", "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t")

@@ -35,6 +35,59 @@ def test_run_endpoints_isolates_failures():
     assert calls == ["ok"]
 
 
+class _FakeGroupState:
+    """Minimal GroupState double for exercising the timeout path directly
+    (a real ProcessingTimeTimeout needs multi-micro-batch wall-clock waits)."""
+
+    def __init__(self, existing=None, timed_out=False):
+        self._state = existing
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def update(self, v):
+        self._state = v
+
+    def remove(self):
+        self._state, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_timeout_removes_state_and_emits_nothing():
+    from vmhub_data_pipeline_spark.streaming.stateful import _update_user_profile
+
+    state = _FakeGroupState(existing=(5, 1200, 1_000_000), timed_out=True)
+    out = list(_update_user_profile((7,), iter([]), state))
+    assert out == []  # no spurious row on timeout
+    assert state.removed  # idle-key state dropped
+    assert state.timeout_set is None  # not re-registered
+
+
+def test_stateful_data_path_updates_and_extends_timeout():
+    import pandas as pd
+
+    from vmhub_data_pipeline_spark.streaming.stateful import _update_user_profile
+
+    pdf = pd.DataFrame(
+        {"value": [1.25, 2.50], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    state = _FakeGroupState()
+    out = list(_update_user_profile((7,), iter([pdf]), state))
+    assert len(out) == 1 and out[0]["n_events"].iloc[0] == 2
+    assert state.get == (2, 375, int(pd.Timestamp("2024-01-02").value) // 1000)
+    assert state.timeout_set == 24 * 3600 * 1000
+
+
 def test_stateful_user_profiles_match_batch(spark, tmp_path):
     import pyspark.sql.functions as F0
 

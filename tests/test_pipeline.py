@@ -148,6 +148,30 @@ def test_compaction_preserves_content(spark, tmp_path):
     ) == 0
 
 
+def test_compaction_recovers_from_stale_old_dir(spark, tmp_path):
+    # A crash after the rename-aside leaves a {part}__old directory; the next
+    # compaction must clear it and still swap atomically.
+    from pathlib import Path
+
+    from vmhub_data_pipeline_spark.pipeline import compact_partition
+
+    layout = LakeLayout(str(tmp_path / "lake"))
+    for i in range(4):
+        write_lake(_records(spark, n=20, ts=f"2024-01-0{i+1}T00:00:00Z"), layout)
+    before = read_lake(spark, layout).orderBy("id", "ingestion_timestamp").collect()
+    part = Path(layout.root) / "cnpj=12345678000190" / "endpoint=vendas" / "ds=2024-01-01"
+    stale = Path(f"{part}__old")
+    stale.mkdir()
+    (stale / "part-junk.json").write_text('{"id": 999999}\n')
+    assert compact_partition(
+        spark, layout, "12345678000190", "vendas", "2024-01-01",
+        target_file_bytes=10_000_000,
+    ) > 0
+    assert not stale.exists()  # stale crash debris cleared, not resurrected
+    after = read_lake(spark, layout).orderBy("id", "ingestion_timestamp").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
 def test_refresh_incremental_touches_only_new_days(spark, tmp_path):
     from vmhub_data_pipeline_spark.pipeline import refresh_incremental
 

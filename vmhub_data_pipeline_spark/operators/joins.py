@@ -34,22 +34,25 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
-    r_payload = [F.col(c).alias(f"__r_{c}") for c in right_value_cols]
+    # The whole right payload rides in ONE struct so last(ignorenulls=True)
+    # picks an entire right row atomically. Carrying each column separately
+    # would back-fill a NULL payload column from an OLDER right row, mixing
+    # payloads across rows.
+    payload_type = right.select(
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("p")
+    ).schema["p"].dataType
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *r_payload,
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__r_payload"),
         *[F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema.fields],
     )
     l = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in right_value_cols
-        ],
+        F.lit(None).cast(payload_type).alias("__r_payload"),
         *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
     )
     order = [F.col("__t"), F.col("__is_left")]
@@ -62,13 +65,10 @@ def asof_join(
     )
     carried = l.unionByName(r).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__rv"),
     )
     out_cols = [F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields]
-    out_cols += [F.col(f"__rv_{c}").alias(f"{c}") for c in right_value_cols]
+    out_cols += [F.col("__rv")[c].alias(c) for c in right_value_cols]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
 
 

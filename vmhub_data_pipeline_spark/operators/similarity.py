@@ -175,6 +175,9 @@ def kmeans_fit(
         [float(x) for x in r["v"]]
         for r in v.orderBy("id").limit(k).collect()
     ]
+    if not cents:
+        raise ValueError("kmeans_fit: empty corpus")
+    k = min(k, len(cents))  # corpus smaller than k: one centroid per row
     for _ in range(max_iter):
         assigned = v.select("id", "v", _nearest_centroid_expr(cents).alias("c"))
         new = (

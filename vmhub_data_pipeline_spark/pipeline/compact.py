@@ -43,9 +43,12 @@ def compact_partition(
     ceil(bytes/target) files. Returns the new file count (0 = skipped).
 
     Read -> coalesce (no shuffle: coalesce only merges read splits) ->
-    overwrite THE SAME partition path. The rewrite is atomic per partition
-    at the FileOutputCommitter level — the same idempotency boundary as
-    refresh_table's dynamic overwrite.
+    stage to a temp subtree -> swap. The swap renames the live partition
+    aside BEFORE moving the replacement in, so a crash at any point leaves
+    either the old data (at the original or __old path, recoverable) or the
+    new data — never neither. Local-filesystem paths only (shutil); an
+    object-store lake would route the same two-phase swap through Hadoop
+    FileSystem rename().
     """
     n_files, total_bytes = partition_stats(layout, cnpj, endpoint, ds)
     if n_files < min_files_to_compact:
@@ -61,8 +64,11 @@ def compact_partition(
     df.coalesce(n_out).write.mode("overwrite").json(tmp_path)
     import shutil
 
-    shutil.rmtree(part_path)
-    shutil.move(tmp_path, part_path)
+    old_path = f"{part_path}__old"
+    shutil.rmtree(old_path, ignore_errors=True)  # leftover from a prior crash
+    shutil.move(part_path, old_path)  # rename aside: old data still intact
+    shutil.move(tmp_path, part_path)  # new data in place
+    shutil.rmtree(old_path)  # only now is the old copy discarded
     new_n, _ = partition_stats(layout, cnpj, endpoint, ds)
     log.info("compacted %s: %d -> %d files", part_path, n_files, new_n)
     return new_n

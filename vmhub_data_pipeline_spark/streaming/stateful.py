@@ -37,6 +37,14 @@ STATE_SCHEMA = T.StructType(
 def _update_user_profile(key, pdfs: Iterable, state: GroupState):
     import pandas as pd
 
+    if state.hasTimedOut:
+        # Timeout invocation: no new data for this key within the timeout
+        # window. Drop the state and emit nothing — this is what bounds
+        # state size to ACTIVE keys. (Re-registering a timeout here would
+        # keep idle-key state alive forever.)
+        state.remove()
+        return
+
     (user_id,) = key
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
