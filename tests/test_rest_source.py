@@ -55,6 +55,45 @@ def test_429_retries_then_succeeds():
     assert got == RECORDS  # both 429s retried within budget
 
 
+def test_backoff_sleep_sequence_with_jitter():
+    # reference shape (src/api/vmhub_client.py:93-103):
+    # sleep = min(backoff + uniform(0, 0.1*backoff), backoff_max); backoff *= 1.5
+    cfg = EndpointConfig(
+        "clientes", page_size=10, backoff_initial=1.0, jitter_frac=0.1,
+        backoff_multiplier=1.5, backoff_max=16.0,
+    )
+    api = _api({("clientes", 1): [429, 429]})
+    sleeps: list[float] = []
+    ing = RestIngestor(cfg, api.get, sleeper=sleeps.append, rng=lambda: 0.5)
+    list(ing.fetch_all())
+    assert sleeps == [
+        pytest.approx(1.0 + 0.5 * 0.1 * 1.0),   # 1.05
+        pytest.approx(1.5 + 0.5 * 0.1 * 1.5),   # 1.575
+    ]
+
+
+def test_jitter_desynchronizes_two_workers():
+    cfg = EndpointConfig("clientes", page_size=10, backoff_initial=1.0)
+    seqs = []
+    for r in (0.2, 0.9):  # two workers, different RNG draws
+        api = _api({("clientes", 0): [429]})
+        sleeps: list[float] = []
+        RestIngestor(cfg, api.get, sleeper=sleeps.append, rng=lambda r=r: r).fetch_all().__next__()
+        seqs.append(tuple(sleeps))
+    assert seqs[0] != seqs[1]  # identical schedules = thundering herd
+
+
+def test_inter_page_pacing():
+    cfg = EndpointConfig("clientes", page_size=10, page_delay=0.5)
+    api = _api()
+    sleeps: list[float] = []
+    got = [r for page in RestIngestor(cfg, api.get, sleeper=sleeps.append).fetch_all() for r in page]
+    assert got == RECORDS
+    # pages 0..3 fetched (3 = empty EOF probe): paced before each page after
+    # the first, never before page 0 (reference src/main.py:86)
+    assert sleeps == [0.5, 0.5, 0.5]
+
+
 def test_5xx_at_later_page_is_eof():
     # reference src/api/vmhub_client.py:75-78: 500 at page>0 = end of data
     cfg = EndpointConfig("clientes", page_size=10)

@@ -68,6 +68,13 @@ class EndpointConfig:
     backoff_initial: float = 0.0  # seconds; 0 in tests (reference: 1.0)
     backoff_multiplier: float = 1.5
     backoff_max: float = 16.0
+    # bounded random jitter: sleep = min(backoff + U(0, jitter_frac*backoff),
+    # backoff_max) — decorrelates retry storms across workers
+    # (reference src/api/vmhub_client.py:94-95)
+    jitter_frac: float = 0.1
+    # inter-page pacing: client-side rate limit between successful pages
+    # (reference src/main.py:86 sleeps 0.5 s/page); 0 in tests
+    page_delay: float = 0.0
 
     def __post_init__(self) -> None:
         cap = PAGE_SIZE_CAPS.get(self.name)
@@ -122,14 +129,23 @@ class RestIngestor:
     """The per-worker fetch loop with the reference's full error taxonomy."""
 
     def __init__(self, cfg: EndpointConfig, transport: Callable[[str, int, int], list[dict]],
-                 sleeper: Callable[[float], None] | None = None) -> None:
+                 sleeper: Callable[[float], None] | None = None,
+                 rng: Callable[[], float] | None = None) -> None:
+        import random
+        import time
+
         self.cfg = cfg
         self.transport = transport
-        self.sleep = sleeper or (lambda s: None)
+        # real sleeping by default (workers must honor backoff/pacing);
+        # tests inject a recording sleeper or run with zero backoff
+        self.sleep = sleeper or time.sleep
+        self.rng = rng or random.random  # injectable for deterministic tests
 
     def _fetch_with_backoff(self, page: int, page_size: int) -> list[dict]:
-        """Retry loop: backoff x multiplier capped at backoff_max
-        (reference src/api/vmhub_client.py:44-103)."""
+        """Retry loop: backoff x multiplier, bounded jitter, capped at
+        backoff_max (reference src/api/vmhub_client.py:44-103; jitter term
+        :94-95 — uniform(0, jitter_frac*backoff) added BEFORE the cap, so
+        concurrent workers hitting the same 429 storm desynchronize)."""
         backoff = self.cfg.backoff_initial
         last: Exception | None = None
         for _ in range(self.cfg.max_retries + 1):
@@ -139,7 +155,8 @@ class RestIngestor:
                 raise
             except Exception as e:  # retryable
                 last = e
-                self.sleep(min(backoff, self.cfg.backoff_max))
+                jitter = self.rng() * self.cfg.jitter_frac * backoff
+                self.sleep(min(backoff + jitter, self.cfg.backoff_max))
                 backoff = max(backoff, 0.1) * self.cfg.backoff_multiplier
         raise last if last else RuntimeError("unreachable")
 
@@ -161,8 +178,11 @@ class RestIngestor:
         return out
 
     def fetch_all(self, max_pages: int = 10_000) -> Iterator[list[dict]]:
-        """Sequential page loop with EOF on empty page (src/main.py:57-72)."""
+        """Sequential page loop with EOF on empty page (src/main.py:57-72)
+        and client-side inter-page pacing (src/main.py:86)."""
         for page in range(max_pages):
+            if page and self.cfg.page_delay:
+                self.sleep(self.cfg.page_delay)
             try:
                 rows = self._fetch_with_backoff(page, self.cfg.page_size)
             except NoMoreDataError:
@@ -216,15 +236,9 @@ def fetch_endpoint_distributed(
         max(1, len(spec_rows) * tasks_per_date)
     )
 
-    cfg_dict = dict(
-        name=cfg.name,
-        page_size=cfg.page_size,
-        requires_date_range=cfg.requires_date_range,
-        max_retries=cfg.max_retries,
-        backoff_initial=cfg.backoff_initial,
-        backoff_multiplier=cfg.backoff_multiplier,
-        backoff_max=cfg.backoff_max,
-    )
+    import dataclasses
+
+    cfg_dict = dataclasses.asdict(cfg)  # every field survives into tasks
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from datetime import datetime, timezone
