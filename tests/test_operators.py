@@ -63,6 +63,43 @@ def test_simhash_deterministic_and_neardup_sane(spark):
         assert r["doc_a"] < r["doc_b"]
 
 
+def test_jaccard_token_cap_bounds_candidates_on_skewed_corpus(spark):
+    # 120 docs all sharing the stopword "the" (df = n); pairs of docs 2i/2i+1
+    # additionally share two rare words. Uncapped, every doc pair is a
+    # candidate (O(n^2)); with the frequency cap, candidates come only from
+    # rare tokens, and every reported jaccard is re-verified exactly.
+    n = 120
+    rows = []
+    for i in range(n):
+        pair = i // 2
+        rows.append((i, f"the rare{pair}a rare{pair}b uniq{i}x uniq{i}y"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0 exposes the raw candidate set size
+    capped = jaccard_similarity_pairs(docs, "doc_id", "text", threshold=0.0,
+                                      max_token_doc_freq=10)
+    uncapped = jaccard_similarity_pairs(docs, "doc_id", "text", threshold=0.0,
+                                        max_token_doc_freq=None)
+    assert uncapped.count() == n * (n - 1) // 2   # hot token -> quadratic
+    capped_rows = capped.collect()
+    assert len(capped_rows) == n // 2             # only rare-token pairs
+
+    # capped-mode jaccard is EXACT (verified over full sets, hot token
+    # included): sets {the, rareA, rareB, u1, u2} vs {the, rareA, rareB,
+    # u3, u4} -> |inter|=3, |union|=7
+    for r in capped_rows:
+        assert r["jaccard"] == pytest.approx(3 / 7)
+
+    # at a real threshold both modes agree on the pair set
+    hi_capped = {(r["doc_a"], r["doc_b"]) for r in
+                 jaccard_similarity_pairs(docs, "doc_id", "text", threshold=0.4,
+                                          max_token_doc_freq=10).collect()}
+    hi_exact = {(r["doc_a"], r["doc_b"]) for r in
+                jaccard_similarity_pairs(docs, "doc_id", "text", threshold=0.4,
+                                         max_token_doc_freq=None).collect()}
+    assert hi_capped == hi_exact == {(2 * p, 2 * p + 1) for p in range(n // 2)}
+
+
 def test_asof_join_matches_naive(spark):
     events = spark.createDataFrame(
         [

@@ -95,14 +95,25 @@ def jaccard_similarity_pairs(
     text_col: str,
     threshold: float,
     group_col: str | None = None,
-    max_token_doc_freq: int | None = None,
+    max_token_doc_freq: int | None = 10_000,
 ) -> DataFrame:
-    """EXACT token-set Jaccard pairs >= threshold via inverted-index join.
+    """Token-set Jaccard pairs >= threshold via inverted-index join.
 
     shape: tokenize -> explode (token, id, set_size) -> self-join on token
     [-> and group_col] -> count shared tokens per pair -> jaccard from
     |A|,|B|,|A∩B| -> threshold filter. Never materializes a cross join;
     candidates are exactly the pairs with non-empty intersection.
+
+    ``max_token_doc_freq`` is the inverted-index scale guard: a token in d
+    documents generates O(d^2) candidate pairs, so one stopword in a skewed
+    corpus goes quadratic. With the (default, finite) cap, tokens above the
+    cap are excluded from CANDIDATE GENERATION only, and every candidate is
+    re-verified with an exact array_intersect over the full token sets — so
+    reported jaccard values are always exact, and the only approximation is
+    recall: a pair sharing nothing but ultra-hot tokens is missed (at high
+    thresholds such pairs are mostly-stopword documents). Pass ``None`` for
+    full recall when the corpus is known to have no pathological tokens
+    (e.g. the tiny-vocabulary test fixture, where EVERY token is hot).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -135,12 +146,30 @@ def jaccard_similarity_pairs(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    ).cast("double")
-    return inter.select(
-        "doc_a", "doc_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    if max_token_doc_freq is None:
+        # uncapped: the index intersection count IS the exact |A∩B|
+        jac = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
+        ).cast("double")
+        return inter.select(
+            "doc_a", "doc_b", jac.alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    # capped: n_common misses hot tokens -> re-verify candidates exactly.
+    # Candidate volume is bounded by sum(df^2) over rare tokens only, so the
+    # verify join re-attaches full token sets to FEW pairs, not all pairs.
+    cand = inter.select("doc_a", "doc_b")
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("__ws_a"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("__ws_b"))
+    n_inter = F.size(F.array_intersect("__ws_a", "__ws_b")).cast("double")
+    n_union = (
+        F.size("__ws_a") + F.size("__ws_b")
+    ).cast("double") - n_inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", (n_inter / n_union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _minhash_signatures(tok_sets: DataFrame, num_hashes: int) -> DataFrame:

@@ -139,13 +139,20 @@ def lsh_bucketed_knn(
 
     qb = bucketed(q, "qv")
     cb = bucketed(c, "cv")
-    cands = (
+    # Score at the join, THEN collapse multi-table duplicates on the narrow
+    # (query_id, neighbor_id, cosine) shape. A distinct over rows still
+    # carrying both vectors would shuffle ~1 KB/row of payload just to dedup
+    # two ids; here the post-join shuffle is two longs + a double, and
+    # map-side partial aggregation collapses most duplicates before the wire.
+    scored = (
         qb.join(cb, ["table_id", "bucket"])
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()
-    )
-    scored = cands.select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

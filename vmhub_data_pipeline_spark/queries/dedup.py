@@ -66,10 +66,17 @@ WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram (token-set) Jaccard near-dup pairs >= 0.9 within the
     same language, via inverted-index self-join — candidate pairs are only
-    those sharing a token, never a cross join."""
+    those sharing a token, never a cross join.
+
+    max_token_doc_freq=None (full recall) is deliberate HERE ONLY: the
+    synthetic fixture draws from a ~30-word vocabulary, so every token
+    exceeds any sane frequency cap and the oracle demands every pair. A
+    real corpus keeps the operator's default cap (candidates from rare
+    tokens + exact re-verify), which this fixture cannot represent."""
     (docs,) = load(spark, sf_dir, "documents")
     return jaccard_similarity_pairs(
-        docs, "doc_id", "text", threshold=0.9, group_col="lang"
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
     )
 
 
