@@ -22,11 +22,14 @@ from vmhub_data_pipeline_spark import queries as catalog
 from vmhub_data_pipeline_spark.session import build_session
 
 # Representative slice of SURVEY §2: scan+agg, star joins, windows,
-# sessionization, text, dedup (exact + LSH), vector search.
+# sessionization, text, dedup (exact + LSH), vector search, percentile
+# stats, and a REAL Structured Streaming execution — one entry per tier so
+# a round-over-round regression in any tier is visible in BENCH_r{N}.
 HEADLINE = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "daily_revenue",
+    "agg_percentiles",
     "join_q3_shipping",
     "join_q5_region_revenue",
     "join_asof_attribution",
@@ -37,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
+    "streaming_tumbling_day",
 ]
 
 
@@ -53,6 +57,11 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    # land the streaming fixture outside the timed region: the NDJSON
+    # re-land is test harness, not query execution (cached per sf_dir)
+    from vmhub_data_pipeline_spark.queries.streaming_queries import _landed_events
+
+    _landed_events(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -72,3 +72,30 @@ def test_conform_missing_required_raises(spark):
     df = spark.createDataFrame([(1,)], "other long")
     with pytest.raises(ValueError, match="required column 'a' missing"):
         conform(df, schema)
+
+
+def test_url_path_quote_matches_urllib_quote(spark):
+    """P8: url_path_quote is exact urllib.parse.quote (safe='/') parity —
+    the reference quotes a CNPJ path segment with quote() before building
+    the request URL (reference: src/api/vmhub_client.py:120)."""
+    from urllib.parse import quote
+
+    from vmhub_data_pipeline_spark.functions import url_path_quote
+    import pyspark.sql.functions as F
+
+    samples = [
+        "12.345.678/0001-90",        # CNPJ: all chars safe under quote()
+        "Customer#000000042",        # '#' -> %23
+        "a b+c",                     # space -> %20 (NOT '+'), '+' -> %2B
+        "path/with/slashes",         # '/' stays literal (safe='/')
+        "star*tilde~",               # '*' -> %2A, '~' stays
+        "percent%20already",         # '%' -> %25
+        "naïve café ☕",             # non-ASCII -> UTF-8 percent triples
+        "-._~ okay",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s", url_path_quote("s").alias("q")
+    )
+    got = {r["s"]: r["q"] for r in df.collect()}
+    assert got == {s: quote(s) for s in samples}

@@ -135,3 +135,30 @@ def test_stream_dedup_drops_replayed_file(spark, events_json_dir, tmp_path):
         import os
 
         os.remove(f"{events_json_dir}/replayed-copy.json")
+
+
+def test_streaming_catalog_caches_fixture_landing(spark, monkeypatch):
+    """The catalog streaming queries land the NDJSON fixture once per
+    (app, sf_dir); a second invocation reuses the scratch dir and performs
+    no write job (VERDICT r1 #6: bench/driver double-runs must not be
+    dominated by fixture rewrites)."""
+    import vmhub_data_pipeline_spark.queries.streaming_queries as sq
+
+    sq._LANDED.clear()
+    calls = {"n": 0}
+    real = sq.tempfile.mkdtemp
+
+    def counting_mkdtemp(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq.tempfile, "mkdtemp", counting_mkdtemp)
+
+    first = sq.streaming_tumbling_day(spark, SF).count()
+    assert calls["n"] == 1
+    # second run of the SAME query and a DIFFERENT query over the same
+    # sf_dir both reuse the landed fixture
+    again = sq.streaming_tumbling_day(spark, SF).count()
+    sq.streaming_session_windows(spark, SF).count()
+    assert calls["n"] == 1
+    assert first == again

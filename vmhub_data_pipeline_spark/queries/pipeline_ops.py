@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.urls import url_path_quote
 from ..tables import load
 from . import register
 
@@ -129,7 +130,8 @@ SELECT
   CONCAT_WS('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
   REPLACE(c_name, 'Customer', 'Cliente')          AS name_localized,
   CAST(LENGTH(c_name) AS BIGINT)                  AS name_len,
-  TRIM('  x  ')                                   AS trimmed
+  TRIM('  x  ')                                   AS trimmed,
+  REPLACE(c_name, '#', '%23')                     AS name_urlquoted
 FROM customer
 WHERE c_custkey < 200
 """
@@ -152,6 +154,11 @@ def pipeline_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "Customer", "Cliente").alias("name_localized"),
         F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.lit("  x  ")).alias("trimmed"),
+        # P8: path-segment quoting (reference quote(cnpj),
+        # src/api/vmhub_client.py:120). On c_name the only unsafe char is
+        # '#', so the oracle can state the expectation as a REPLACE; full
+        # quote() parity incl. space///*/~ is pinned in tests/test_schema.py.
+        url_path_quote("c_name").alias("name_urlquoted"),
     )
 
 

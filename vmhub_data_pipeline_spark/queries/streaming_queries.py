@@ -3,10 +3,12 @@ output is deterministic on a closed dataset, so they CAN be oracle-checked:
 the driver sees a genuine readStream->writeStream execution hash-match a
 batch SQL oracle.
 
-Each call re-lands the events fixture as NDJSON (the lake format) into a
-scratch dir, runs the stream with an availableNow trigger to completion,
-and returns the memory-sink table. Complete output mode: every window's
-final value is emitted exactly once.
+The events fixture is landed as NDJSON (the lake format) into a scratch
+dir ONCE per (spark app, sf_dir) and cached — repeated invocations (bench
+loops, the driver's rows+hash double-run) only pay the streaming read, not
+a rewrite of the fixture. Each run then streams with an availableNow
+trigger to completion and returns the memory-sink table. Complete output
+mode: every window's final value is emitted exactly once.
 """
 
 from __future__ import annotations
@@ -21,6 +23,25 @@ from ..functions import dsum, sql_dsum
 from ..streaming.events import TS_FORMAT, events_file_stream
 from ..tables import load
 from . import register
+
+# (spark_app_id, sf_dir) -> NDJSON scratch dir. Keyed by app id so a fresh
+# SparkSession (new test run, new driver process) never trusts a stale
+# tempdir another process may have cleaned up.
+_LANDED: dict[tuple[str, str], str] = {}
+
+
+def _landed_events(spark: SparkSession, sf_dir: str) -> str:
+    """Land events.parquet as NDJSON once per app+sf_dir; reuse afterwards."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANDED:
+        (events,) = load(spark, sf_dir, "events")
+        scratch = tempfile.mkdtemp(prefix="vmhub_stream_")
+        events.repartition(4).write.mode("overwrite").option(
+            "timestampFormat", TS_FORMAT
+        ).json(scratch)
+        _LANDED[key] = scratch
+    return _LANDED[key]
+
 
 _STREAM_TUMBLE_ORACLE = f"""
 SELECT
@@ -39,11 +60,7 @@ def streaming_tumbling_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct aggregates are unsupported in streaming, so the payload is
     count + exact-quantized sum — both deterministic, hence oracle-able.
     """
-    (events,) = load(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="vmhub_stream_")
-    events.repartition(4).write.mode("overwrite").option(
-        "timestampFormat", TS_FORMAT
-    ).json(scratch)
+    scratch = _landed_events(spark, sf_dir)
 
     stream = (
         events_file_stream(spark, scratch)
@@ -101,11 +118,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events) are definitionally identical between the two formulations
     (session END differs — session_window pads the gap — so it's excluded).
     """
-    (events,) = load(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="vmhub_stream_")
-    events.repartition(4).write.mode("overwrite").option(
-        "timestampFormat", TS_FORMAT
-    ).json(scratch)
+    scratch = _landed_events(spark, sf_dir)
 
     stream = (
         events_file_stream(spark, scratch)
