@@ -18,7 +18,10 @@ from vmhub_data_pipeline_spark.operators import (
     simhash,
     simhash_neardup_pairs,
 )
-from vmhub_data_pipeline_spark.operators.dedup import token_set_df
+from vmhub_data_pipeline_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    token_set_df,
+)
 from vmhub_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     extract_media_features,
@@ -290,3 +293,116 @@ def test_multimodal_real_decode_is_stubbed(spark):
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         _decode_image(b"notanimage")
+
+
+def test_embedding_neardup_block_matches_naive_and_lsh_recall(spark):
+    """Block-grid exact all-pairs must equal the naive O(n^2) computation
+    exactly (same pairs, same doubles); the LSH path may miss pairs
+    (approximate recall) but every pair it reports must carry the exact
+    cosine and be a true positive."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+        # a jittered near-duplicate of every 4th vector
+        if i % 4 == 0:
+            w = [x + rng.gauss(0, 0.02) for x in v]
+            n2 = math.sqrt(sum(x * x for x in w))
+            rows.append((1000 + i, [x / n2 for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def naive(th):
+        out = {}
+        data = {i: v for i, v in rows}
+        ids = sorted(data)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = data[ids[ai]], data[ids[bi]]
+                dot = sum(x * y for x, y in zip(a, b))
+                na = math.sqrt(sum(x * x for x in a))
+                nb = math.sqrt(sum(x * x for x in b))
+                c = dot / (na * nb)
+                if c >= th:
+                    out[(ids[ai], ids[bi])] = c
+        return out
+
+    want = naive(0.9)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", 0.9, method="lsh", dim=16,
+            n_planes=4, n_tables=8,
+        ).collect()
+    }
+    # every LSH hit is a true positive with the exact cosine value
+    for k, v in lsh.items():
+        assert k in want
+        assert v == pytest.approx(want[k], abs=1e-12)
+    # jittered near-dups are ~cos>=0.99: hyperplane LSH at 4 planes x 8
+    # tables has >99.9% collision probability there — require high recall
+    recall = len(lsh) / len(want)
+    assert recall >= 0.8, f"LSH recall {recall} over {len(want)} true pairs"
+
+
+def test_embedding_neardup_plans_never_cartesian(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for kwargs in ({"method": "block"}, {"method": "lsh", "dim": 64}):
+        plan = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.4, **kwargs
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, kwargs
+
+
+def test_byte_stats_features_match_pure_python(spark):
+    """The extractor's entropy/mean/printable features are REAL content
+    stats: recompute them in plain Python and require exact equality."""
+    import math as m
+
+    from vmhub_data_pipeline_spark.operators.multimodal import byte_stats
+
+    payloads = [
+        b"",
+        b"\x00" * 100,                      # zero entropy
+        bytes(range(256)) * 4,              # max entropy = 8 bits/byte
+        b"hello world, plain ascii text.",  # high printable ratio
+        bytes([0x89]) + b"PNG" + b"\x00\xff" * 50,
+    ]
+    for p in payloads:
+        ent, mean_b, printable = byte_stats(p)
+        if not p:
+            assert (ent, mean_b, printable) == (0.0, 0.0, 0.0)
+            continue
+        counts = {}
+        for b in p:
+            counts[b] = counts.get(b, 0) + 1
+        want_ent = -sum(
+            (c / len(p)) * m.log2(c / len(p)) for c in counts.values()
+        )
+        assert ent == pytest.approx(want_ent, abs=1e-12)
+        assert mean_b == pytest.approx(sum(p) / len(p), abs=1e-12)
+        assert printable == pytest.approx(
+            sum(1 for b in p if 0x20 <= b < 0x7F) / len(p), abs=1e-12
+        )
+    assert byte_stats(bytes(range(256)) * 4)[0] == pytest.approx(8.0)
+
+    # and they flow through the Arrow batch path end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcabc"), "image/fake", 6)],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert row["entropy"] == pytest.approx(byte_stats(b"abcabc")[0])
+    assert row["printable_ratio"] == 1.0

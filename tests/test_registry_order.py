@@ -15,7 +15,13 @@ WINDOW = 50
 # Every capability tier must have at least one entry in the first-50 window.
 REQUIRED_IN_WINDOW = {
     # LLM-pipeline tiers (the round-1 gap)
-    "dedup": ["dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash"],
+    "dedup": [
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ],
     "vector": ["knn_cosine_topk", "vector_centroids", "vector_norms", "ann_ivf_topk", "ann_lsh_topk"],
     "text": ["text_quality", "text_fingerprint", "text_langid", "text_shingles", "text_stats"],
     "pipeline": [
@@ -28,10 +34,10 @@ REQUIRED_IN_WINDOW = {
     "stats": ["agg_variance_corr", "agg_percentiles", "agg_arg_minmax", "agg_collect_sorted"],
     "subquery": ["subquery_scalar", "subquery_exists", "subquery_correlated_scalar"],
     "streaming": ["streaming_tumbling_day", "streaming_session_windows"],
-    "multimodal": ["multimodal_features"],
+    "multimodal": ["multimodal_features", "multimodal_format_detect"],
     # regression guard: previously-verified classes
     "agg": ["q1_pricing_summary", "q6_forecast_revenue", "daily_revenue", "agg_rollup"],
-    "window": ["window_rank", "window_lag_lead", "window_topk_per_group"],
+    "window": ["window_rank", "window_topk_per_group"],
     "join": ["join_q3_shipping", "join_q5_region_revenue", "join_broadcast_dim", "join_semi", "join_asof_attribution"],
     "setop": ["set_intersect", "topk_orders", "set_union_all"],
     "events": ["events_sessionize", "events_json_extract", "events_watermark"],

@@ -6,6 +6,7 @@ named queries; they are equally importable as a library surface.
 """
 
 from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
     exact_dedup,
     jaccard_similarity_pairs,
     keep_latest,

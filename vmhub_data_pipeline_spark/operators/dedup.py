@@ -348,3 +348,100 @@ def simhash_neardup_pairs(
     return pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    method: str = "block",
+    n_blocks: int = 8,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Two paths:
+
+    * ``method="block"`` — EXACT all-pairs via a block-grid (triangle)
+      join. All-pairs cosine is O(n^2) comparisons by definition; the scale
+      question is only how the n^2 work is distributed. Each row is hashed
+      to one of ``n_blocks`` blocks; the B(B+1)/2 block PAIRS (bi <= bj)
+      become the join key, so every task owns one block-pair's cross
+      product (~ (n/B)^2 comparisons) and no side is ever broadcast or
+      collected. Replication factor is B per side — at 100 TB you bound
+      per-task work by raising ``n_blocks`` (tasks scale as B^2 while
+      per-task cost falls as 1/B^2). This is the distributed-exact
+      baseline; use it when the dedup contract demands full recall.
+    * ``method="lsh"`` — random-hyperplane LSH: same-bucket candidates
+      (equi-join, linear in corpus + candidate volume) -> exact cosine
+      verify >= t. Approximate recall (grows with ``n_tables``); the 100 TB
+      default, same banding topology as the MinHash path above.
+
+    Output: (id_a, id_b, cosine) with ids canonicalized id_a < id_b and
+    cosine the exact double in both methods (LSH verifies exactly, so it
+    differs from "block" only in recall, never in reported values).
+    """
+    from .similarity import _as_double, _hyperplane, cosine_expr, lsh_bucket_expr
+
+    rows = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    if method == "block":
+        blk = rows.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        spark = df.sparkSession
+        grid = spark.range(n_blocks).select(F.col("id").alias("bi")).crossJoin(
+            spark.range(n_blocks).select(F.col("id").alias("bj"))
+        ).filter(F.col("bi") <= F.col("bj"))
+        a = blk.join(F.broadcast(grid), blk.blk == grid.bi).select(
+            "bi", "bj", F.col("id").alias("ida"), F.col("v").alias("va")
+        )
+        b = blk.join(F.broadcast(grid), blk.blk == grid.bj).select(
+            F.col("bi").alias("bi2"),
+            F.col("bj").alias("bj2"),
+            F.col("id").alias("idb"),
+            F.col("v").alias("vb"),
+        )
+        # diagonal block-pairs (bi == bj) see both orientations of a pair:
+        # keep ida < idb there; off-diagonal pairs appear exactly once in
+        # arbitrary orientation: keep all, canonicalize ids on output.
+        cand = a.join(
+            b, (F.col("bi") == F.col("bi2")) & (F.col("bj") == F.col("bj2"))
+        ).filter((F.col("bi") < F.col("bj")) | (F.col("ida") < F.col("idb")))
+        scored = cand.select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        return scored.filter(F.col("cosine") >= threshold)
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    if dim is None:
+        raise ValueError("method='lsh' requires dim")
+    tb = []
+    for t in range(n_tables):
+        planes = [_hyperplane(dim, i, t) for i in range(n_planes)]
+        tb.append(
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket_expr(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    bucketed = rows.select(
+        "id", "v", F.explode(F.array(*tb)).alias("t")
+    ).select("id", "v", "t.table_id", "t.bucket")
+    left = bucketed.select("table_id", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = bucketed.select("table_id", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # score at the join, then collapse multi-table duplicates on the narrow
+    # (id_a, id_b, cosine) shape — same slim-shuffle rule as lsh_bucketed_knn
+    return (
+        left.join(right, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )

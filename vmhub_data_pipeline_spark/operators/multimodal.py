@@ -3,11 +3,21 @@ binary columns with typed metadata).
 
 The Spark-side contract is fully real: binary payload column + metadata
 struct, Arrow-batched mapInPandas feature extraction, deterministic
-partitioning. Only the actual media DECODE is stubbed — the image/audio
-libraries are not in this container — behind ``_decode_image``: it
-raises NotImplementedError unless PIL is importable, and the default
-pipeline uses ``deterministic_fake=True`` which derives plausible features
-from a content hash instead (clearly marked, reproducible, testable).
+partitioning. Three of the four feature families are REAL computations on
+the bytes themselves:
+
+* format detection — magic-byte sniffing as a pure JVM expression
+  (``sniff_format``), including RIFF container disambiguation;
+* byte statistics — Shannon entropy / mean byte / printable ratio via
+  numpy in the Arrow batch path (``byte_stats``);
+* content identity — sha256 over the payload.
+
+Only the pixel/sample DECODE (width/height from actual image parsing) is
+stubbed — the imaging libraries are not in this container — behind
+``_decode_image``: it raises NotImplementedError unless PIL is importable,
+and the default pipeline uses ``deterministic_fake=True`` which derives
+plausible dimensions from a content hash instead (clearly marked,
+reproducible, testable).
 
 At 100 TB the shape matters more than the decode: payloads stay opaque
 bytes end-to-end (never parsed by Catalyst), batches flow through Arrow
@@ -33,8 +43,29 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("format", T.StringType()),
         T.StructField("content_sha", T.StringType()),
+        # REAL byte-level features (numpy over the payload, no decode libs):
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("printable_ratio", T.DoubleType()),
     ]
 )
+
+
+def byte_stats(payload: bytes) -> tuple[float, float, float]:
+    """Shannon entropy (bits/byte), mean byte value, printable-ASCII ratio —
+    genuine content features computable without media libraries; used for
+    corpus QA (e.g. truncated/garbage media screens on compressed formats
+    whose entropy should be ~8)."""
+    import numpy as np
+
+    if not payload:
+        return 0.0, 0.0, 0.0
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / arr.size
+    entropy = float(-(p * np.log2(p)).sum())
+    printable = float(((arr >= 0x20) & (arr < 0x7F)).mean())
+    return entropy, float(arr.mean()), printable
 
 
 def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -47,6 +78,60 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
         payload.alias("payload"),
         F.lit("image/fake").alias("media_type"),
         F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+# Magic-byte prefixes (public file-format signatures). RIFF is a container:
+# bytes 9-12 pick the concrete format (WEBP image vs WAVE audio).
+MAGIC: dict[str, bytes] = {
+    "png": bytes([0x89]) + b"PNG",
+    "jpeg": bytes([0xFF, 0xD8, 0xFF, 0xE0]),
+    "gif": b"GIF8",
+    "pdf": b"%PDF",
+    "webp": b"RIFF\x00\x00\x00\x00WEBP",
+    "mp3": b"ID3\x03",
+}
+
+
+def attach_magic_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter with REAL format signatures: payload = magic-byte
+    prefix (chosen by doc_id mod 6) + the document's UTF-8 bytes. Unlike
+    ``attach_binary_payload``'s opaque bytes, these payloads carry genuine
+    sniffable structure, so format detection downstream is real byte
+    inspection, not metadata trust."""
+    fmts = list(MAGIC)
+    sel = F.pmod(F.col(id_col), F.lit(len(fmts)))
+    payload = None
+    for i, name in enumerate(fmts):
+        branch = F.concat(F.lit(bytearray(MAGIC[name])), F.encode(F.col(text_col), "UTF-8"))
+        payload = F.when(sel == i, branch) if payload is None else payload.when(sel == i, branch)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.length(F.col(text_col)).cast("long").alias("text_chars"),
+    )
+
+
+def sniff_format(payload) -> F.Column:
+    """Detect media format from magic bytes — pure JVM expression (hex of
+    the first 12 bytes + CASE), no Python, no decode library. Handles the
+    RIFF container correctly: 'RIFF' alone is ambiguous until bytes 9-12
+    distinguish WEBP from WAVE."""
+    head = F.upper(F.hex(F.substring(payload, 1, 12)))
+    riff_tag = F.substring(head, 17, 8)  # hex chars for bytes 9..12
+    return (
+        F.when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(head.startswith("47494638"), F.lit("gif"))
+        .when(head.startswith("25504446"), F.lit("pdf"))
+        .when(
+            head.startswith("52494646"),
+            F.when(riff_tag == "57454250", F.lit("webp"))
+            .when(riff_tag == "57415645", F.lit("wave"))
+            .otherwise(F.lit("riff-unknown")),
+        )
+        .when(head.startswith("494433"), F.lit("mp3"))
+        .otherwise(F.lit("unknown"))
     )
 
 
@@ -99,6 +184,7 @@ def extract_media_features(
                     w, h, fmt = _fake_features(data)
                 else:
                     w, h, fmt = _decode_image(data)
+                ent, mean_b, printable = byte_stats(data)
                 rows.append(
                     (
                         int(doc_id),
@@ -108,6 +194,9 @@ def extract_media_features(
                         h,
                         fmt,
                         hashlib.sha256(data).hexdigest(),
+                        ent,
+                        mean_b,
+                        printable,
                     )
                 )
             yield pd.DataFrame(
@@ -120,6 +209,9 @@ def extract_media_features(
                     "height",
                     "format",
                     "content_sha",
+                    "entropy",
+                    "mean_byte",
+                    "printable_ratio",
                 ],
             )
 

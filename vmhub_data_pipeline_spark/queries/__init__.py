@@ -73,6 +73,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "knn_cosine_topk",
     "vector_centroids",
     "vector_norms",
@@ -98,6 +99,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_approx_sketches",
     "case_bucketing",
     "multimodal_features",
+    "multimodal_format_detect",
     "streaming_tumbling_day",
     "streaming_session_windows",
     # -- regression guard: one+ representative of every previously-green class --
@@ -107,14 +109,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_rollup",
     "agg_count_distinct",
     "window_rank",
-    "window_lag_lead",
     "window_topk_per_group",
     "join_q3_shipping",
     "join_q5_region_revenue",
     "join_broadcast_dim",
     "join_semi",
     "join_asof_attribution",
-    "join_q14_promo_share",
     "set_intersect",
     "topk_orders",
     "events_sessionize",

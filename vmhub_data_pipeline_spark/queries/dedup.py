@@ -96,3 +96,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: signature is hash-defined, not SQL-portable."""
     (docs,) = load(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_EMB_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT
+    a.vec_id AS id_a,
+    b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cosine_r
+FROM scored
+WHERE cosine >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE, tags=("dedup", "vector"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT via the block-grid triangle
+    join (distributed all-pairs: block pairs are the join key, no broadcast
+    of either side). Threshold 0.4 is tuned to the fixture — its embeddings
+    are random-ish with max pairwise cosine ~0.5, so a production-style 0.9
+    matches nothing; the operator itself takes the threshold as a
+    parameter. Cosine rounded 4 dp in the OUTPUT only (thresholding uses
+    the raw double; both engines fold the dot product sequentially in
+    double, so the >= 0.4 cut agrees bit-for-bit)."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))

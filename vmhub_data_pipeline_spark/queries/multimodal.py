@@ -29,3 +29,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
     )
+
+
+_FORMAT_DETECT_ORACLE = r"""
+WITH p AS (
+  SELECT
+    doc_id,
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN '\x89PNG'::BLOB
+      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+      WHEN 2 THEN 'GIF8'::BLOB
+      WHEN 3 THEN '%PDF'::BLOB
+      WHEN 4 THEN 'RIFF\x00\x00\x00\x00WEBP'::BLOB
+      ELSE 'ID3\x03'::BLOB
+    END || encode(text) AS payload
+  FROM documents
+),
+h AS (
+  SELECT doc_id, payload, UPPER(SUBSTR(HEX(payload), 1, 24)) AS head
+  FROM p
+)
+SELECT
+  doc_id,
+  CASE
+    WHEN head LIKE '89504E47%' THEN 'png'
+    WHEN head LIKE 'FFD8FF%' THEN 'jpeg'
+    WHEN head LIKE '47494638%' THEN 'gif'
+    WHEN head LIKE '25504446%' THEN 'pdf'
+    WHEN head LIKE '52494646%' AND SUBSTR(head, 17, 8) = '57454250' THEN 'webp'
+    WHEN head LIKE '52494646%' AND SUBSTR(head, 17, 8) = '57415645' THEN 'wave'
+    WHEN head LIKE '52494646%' THEN 'riff-unknown'
+    WHEN head LIKE '494433%' THEN 'mp3'
+    ELSE 'unknown'
+  END AS detected,
+  CAST(OCTET_LENGTH(payload) AS BIGINT) AS n_bytes
+FROM h
+"""
+
+
+@register("multimodal_format_detect", oracle=_FORMAT_DETECT_ORACLE, tags=("multimodal",))
+def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL format detection: payloads get genuine magic-byte prefixes
+    (attach_magic_payload), and detection reads the BYTES — a JVM-side hex
+    sniff with RIFF container disambiguation — never the metadata. Unlike
+    multimodal_features (stubbed pixel decode, rows-only), this is fully
+    oracle-checked: DuckDB builds byte-identical payloads and sniffs them
+    with the same prefix logic."""
+    from ..operators.multimodal import attach_magic_payload, sniff_format
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_magic_payload(docs, "doc_id", "text")
+    return media.select(
+        "doc_id",
+        sniff_format(F.col("payload")).alias("detected"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
