@@ -594,3 +594,164 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice", 2).alias("sum_price"),
         )
     )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("join_q13_order_distribution", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def join_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: customer order-count distribution through a LEFT
+    join with a residual predicate ON the join (not a WHERE — customers
+    with only urgent orders must survive with count 0), then a second
+    aggregation over the counts. Two shuffles, both unavoidable (custkey,
+    then c_count); the second one is tiny (distinct counts)."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q17_ORACLE = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN bp ON p_partkey = l_partkey
+),
+st AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+  {sql_dsum('li.l_extendedprice', 2, 'revenue')}
+FROM li JOIN st ON li.l_partkey = st.l_partkey
+WHERE 2 * CAST(li.l_quantity AS BIGINT) * st.cnt < st.sum_q
+"""
+
+
+@register("join_q17_small_quantity", oracle=_Q17_ORACLE, tags=("join", "subquery"))
+def join_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: lines whose quantity is below half the part's own
+    average — the correlated-aggregate join shape. The brand filter reduces
+    part to a broadcastable key set FIRST, so the per-part average is only
+    computed over the brand's lineitems (semantically identical: the
+    correlated subquery is per-part). The threshold l_quantity < 0.5*avg is
+    evaluated as 2*q*cnt < sum over exact integers, so the cut cannot flip
+    on engine-specific float summation order."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    bp = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    lib = li.join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    st = lib.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        lib.join(F.broadcast(st), F.col("l_partkey") == F.col("s_partkey"))
+        .filter(2 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_name, o_orderkey, o_orderdate, {sql_dsum('o_totalprice', 2, 'totalprice')}, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_name, o_orderkey, o_orderdate, sum_qty
+"""
+
+
+@register("join_q18_large_orders", oracle=_Q18_ORACLE, tags=("join", "agg"))
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 300. The
+    HAVING prunes lineitem to a handful of orderkeys BEFORE touching
+    orders/customer, so the expensive table collapses first and AQE can
+    broadcast the survivor set into both dimension joins."""
+    li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "sum_qty")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("totalprice"))
+        .select("c_name", "o_orderkey", "o_orderdate", "totalprice", "sum_qty")
+    )
+
+
+_Q22_ORACLE = f"""
+WITH thresh AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT
+  c_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_custs,
+  {sql_dsum('c_acctbal', 2, 'total_acctbal')}
+FROM customer, thresh
+WHERE CAST(ROUND(c_acctbal * 100.0) AS BIGINT) * thresh.cnt > thresh.sum_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("join_q22_dormant_customers", oracle=_Q22_ORACLE, tags=("join", "subquery"))
+def join_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: above-average-balance customers who never placed
+    an urgent order — scalar subquery threshold + LEFT ANTI join, grouped
+    by nation. The global average rides in as a broadcast 1-row frame; the
+    comparison is cents*count > sum_cents over exact integers (no fp
+    boundary). The anti join shuffles on custkey only after the balance
+    filter has cut the customer side."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    cents = F.round(F.col("c_acctbal") * 100.0).cast("long")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(cents * F.col("cnt") > F.col("sum_cents"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
