@@ -157,3 +157,36 @@ def refresh_table(
         log.info("refresh %s: %s", table_path, obs.get)
     except Exception:
         pass  # metrics are best-effort; the write already succeeded
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a warehouse table hash-bucketed on the join key (S9's
+    clustering taken one step further, toward repeated-join workloads).
+
+    Bucketing pre-partitions the data BY FILE at write time: a join or
+    aggregation on the bucket columns between two tables bucketed the same
+    way needs NO shuffle at read time — each task reads bucket i of both
+    sides. At 100 TB this converts the dominant recurring cost (re-shuffling
+    a fact table on every join) into a one-time write-side cost; it is the
+    open-source equivalent of the reference warehouse's clustered tables
+    (reference src/utils/bigquery_helper.py:92 clustering_fields).
+    ``sort_cols`` additionally sorts within each bucket file, enabling
+    sort-merge joins without a Sort node.
+
+    ``path`` makes the table external (data at ``path``, metadata in the
+    session catalog) — required in tests where the warehouse dir is fixed.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
