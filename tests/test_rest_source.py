@@ -163,3 +163,47 @@ def test_distributed_fetch(spark):
     assert rec["source_system"] == "VMHUB"
     assert "ingestion_timestamp" in rec
     assert {r["date"] for r in rows} == {"2024-01-01", "2024-01-02"}
+
+
+def test_streaming_datasource_pages_exactly_once(spark, tmp_path):
+    """vmhub_stream: the page cursor is the stream offset. An availableNow
+    run must deliver every record exactly once across microbatches, with
+    max_pages_per_trigger bounding each batch (T5 pacing as source
+    throttling)."""
+    import json as _json
+    import time
+
+    from vmhub_data_pipeline_spark.sources.vmhub_datasource import (
+        VMHubStreamDataSource,
+    )
+
+    records = [{"id": i, "v": f"r{i}"} for i in range(37)]
+    spark.dataSource.register(VMHubStreamDataSource)
+    stream = (
+        spark.readStream.format("vmhub_stream")
+        .option("endpoint", "vendas")
+        .option("page_size", "5")
+        .option("max_pages_per_trigger", "2")
+        .option("records_json", _json.dumps(records))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("vmhub_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    # drain: 8 pages at 2 pages/trigger needs >=4 microbatches
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.table("vmhub_stream_t").count() >= 37:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    out = spark.table("vmhub_stream_t").collect()
+    got = sorted(_json.loads(r["record"])["id"] for r in out)
+    assert got == list(range(37))  # every record exactly once
+    pages = {r["page"] for r in out}
+    assert pages == set(range(8))  # 37 records / page_size 5 -> pages 0..7
