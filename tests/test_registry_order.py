@@ -33,14 +33,18 @@ REQUIRED_IN_WINDOW = {
     ],
     "stats": ["agg_variance_corr", "agg_percentiles", "agg_arg_minmax", "agg_collect_sorted"],
     "subquery": ["subquery_scalar", "subquery_exists", "subquery_correlated_scalar"],
-    "streaming": ["streaming_tumbling_day", "streaming_session_windows"],
+    "streaming": [
+        "streaming_tumbling_day",
+        "streaming_session_windows",
+        "streaming_dedup_replay",
+    ],
     "multimodal": ["multimodal_features", "multimodal_format_detect"],
     # regression guard: previously-verified classes
     "agg": ["q1_pricing_summary", "q6_forecast_revenue", "daily_revenue", "agg_rollup"],
     "window": ["window_rank", "window_topk_per_group"],
     "join": ["join_q3_shipping", "join_q5_region_revenue", "join_broadcast_dim", "join_semi", "join_asof_attribution"],
     "setop": ["set_intersect", "topk_orders", "set_union_all"],
-    "events": ["events_sessionize", "events_json_extract", "events_watermark"],
+    "events": ["events_sessionize", "events_watermark"],
 }
 
 

@@ -17,3 +17,10 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_knn, cosine_expr, lsh_bucketed_knn  # noqa: F401
 from .joins import asof_join, range_join_bucketed, salted_join  # noqa: F401
+from .multimodal import (  # noqa: F401
+    attach_binary_payload,
+    attach_magic_payload,
+    byte_stats,
+    extract_media_features,
+    sniff_format,
+)

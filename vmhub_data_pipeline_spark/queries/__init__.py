@@ -102,6 +102,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_format_detect",
     "streaming_tumbling_day",
     "streaming_session_windows",
+    "streaming_dedup_replay",
     # -- regression guard: one+ representative of every previously-green class --
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -118,7 +119,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "set_intersect",
     "topk_orders",
     "events_sessionize",
-    "events_json_extract",
     "events_watermark",
 )
 
