@@ -755,3 +755,218 @@ def join_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+_Q8_ORACLE = """
+WITH j AS (
+  SELECT
+    year(o_orderdate) AS o_year,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) AS rev_q,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT
+  CAST(o_year AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN rev_q ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev_q) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY o_year
+"""
+
+
+@register("join_q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg"))
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: national market share — an 8-way star join with the
+    nation dimension joined TWICE under different roles (customer's nation
+    gates the market region, supplier's nation labels the revenue).
+
+    Both nation legs and region are fixed-size -> broadcast; the part
+    filter collapses that side before its fact join. The share is a ratio
+    of two exact integer sums (one double division of identical operands on
+    both engines). Reference parity: the multi-endpoint joint dataset the
+    reference lands for exactly this kind of cross-entity share analysis
+    (reference src/main.py:324-341).
+    """
+    li, part, supp, orders, cust, nation, region = load(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    rev_q = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(
+            part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_q.alias("rev_q"),
+            "supp_nation",
+        )
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_12", F.col("rev_q")).otherwise(F.lit(0))
+    )
+    return j.groupBy("o_year").agg(
+        (target.cast("double") / F.sum("rev_q").cast("double")).alias("mkt_share")
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS total_q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_q AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_q = (SELECT MAX(total_q) FROM revenue)
+"""
+
+
+@register("join_q15_top_supplier", oracle=_Q15_ORACLE, tags=("join", "subquery"))
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) achieving the quarter's maximum
+    revenue — an aggregate reused against its own scalar max (the view +
+    scalar-subquery shape).
+
+    The revenue aggregate is computed once; its 1-row max rides back in as
+    a broadcast, and the surviving (usually single-row) top set is the
+    broadcast side of the supplier join, so the supplier table is never
+    shuffled. Exact integer comparison for the max-equality (no fp
+    boundary tie risk).
+    """
+    li, supp = load(spark, sf_dir, "lineitem", "supplier")
+    rev_q = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_q).alias("total_q"))
+    )
+    mx = revenue.agg(F.max("total_q").alias("mx"))
+    top = (
+        revenue.join(F.broadcast(mx), F.col("total_q") == F.col("mx"))
+        .select("supplier_no", "total_q")
+    )
+    return (
+        supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_q").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1
+    FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@register("join_q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("join", "semi", "anti"))
+def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (reshaped: the fixture lacks commit/receipt dates,
+    so "late" is l_shipdate > o_orderdate + 60 days): suppliers who were
+    the SOLE late supplier on a finished multi-supplier order.
+
+    The interesting shape is the same self-join pair as real Q21: an
+    EXISTS (left-semi on the order with a different-supplier residual) and
+    a NOT EXISTS (left-anti against the LATE subset with the same
+    residual). The late set is computed ONCE and reused for both the probe
+    side and the anti side; all three joins shuffle on the one natural key
+    l_orderkey, so AQE coalesces them into the same exchange layout.
+    """
+    li, orders, supp = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
