@@ -406,3 +406,29 @@ def test_byte_stats_features_match_pure_python(spark):
     row = extract_media_features(df).collect()[0]
     assert row["entropy"] == pytest.approx(byte_stats(b"abcabc")[0])
     assert row["printable_ratio"] == 1.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label CC: a 6-vertex chain (diameter 5 — forces multiple
+    propagation rounds), a separate triangle, and an isolated pair must
+    land in exactly three components labeled by their min vertex; vertices
+    absent from the pair list must not appear."""
+    from vmhub_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15 given as arbitrary-order edges
+        [(11, 10), (11, 12), (13, 12), (13, 14), (15, 14),
+         # triangle 20-21-22
+         (20, 21), (21, 22), (20, 22),
+         # pair 30-31
+         (31, 30)],
+        "src long, dst long",
+    )
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components(pairs, "src", "dst").collect()
+    }
+    want = {(v, 10) for v in range(10, 16)} | {(v, 20) for v in (20, 21, 22)} | {
+        (30, 30), (31, 30),
+    }
+    assert got == want

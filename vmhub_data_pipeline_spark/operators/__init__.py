@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_neardup_pairs,
 )
+from .graph import connected_components  # noqa: F401
 from .similarity import brute_force_knn, cosine_expr, lsh_bucketed_knn  # noqa: F401
 from .joins import asof_join, range_join_bucketed, salted_join  # noqa: F401
 from .multimodal import (  # noqa: F401

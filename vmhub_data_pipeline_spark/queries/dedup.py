@@ -130,3 +130,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+_CC_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT
+  src AS doc_id,
+  MIN(dst) AS cluster_id,
+  (src = MIN(dst)) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("dedup", "iterative"))
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairs: exact Jaccard>=0.9 pairs (same
+    inverted-index join as dedup_jaccard_pairs) fed through iterative
+    min-label connected components (operators/graph.py) — the step that
+    turns an edge list into "keep doc `cluster_id`, drop the rest".
+
+    This is a genuinely iterative DataFrame algorithm hash-matched against
+    a DuckDB RECURSIVE CTE transitive closure — the per-round min-label
+    fixpoint and the recursive reachability fixpoint must agree exactly.
+    Transitivity makes the clusters strictly coarser than the pair list:
+    a~b and b~c land in one cluster even when jaccard(a,c) < 0.9."""
+    from ..operators.graph import connected_components
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("v") == F.col("component")).alias("is_canonical"),
+    )
