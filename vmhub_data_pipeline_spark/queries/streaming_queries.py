@@ -182,3 +182,63 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     return _run_to_memory(spark, stream, "stream_dedup", output_mode="append")
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+  b.event_id AS buy_id,
+  v.event_id AS view_id,
+  b.user_id  AS user_id,
+  v.ts       AS view_ts,
+  b.ts       AS buy_ts,
+  b.value    AS buy_value
+FROM events b
+JOIN events v
+  ON b.user_id = v.user_id
+WHERE b.event_type = 'purchase'
+  AND v.event_type = 'view'
+  AND v.ts <= b.ts
+  AND b.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_interval_join", oracle=_STREAM_JOIN_ORACLE, tags=("streaming", "join"))
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: purchases attributed to a view by
+    the same user within the preceding hour — two streaming readers over
+    the same landed directory, watermarks on BOTH event-time columns, and
+    an inequality time-bound in the join condition. That combination is
+    what lets Spark bound the join state: each side buffers only rows
+    younger than (watermark + interval), so state is O(rate x 1h), not
+    O(stream). Inner stream-stream joins emit in append mode as soon as a
+    match is sealed; on a closed dataset the emitted set is exactly the
+    batch join, which is what the oracle checks."""
+    scratch = _landed_events(spark, sf_dir)
+    views = (
+        events_file_stream(spark, scratch)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    buys = (
+        events_file_stream(spark, scratch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "1 day")
+    )
+    joined = buys.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("buy_id", "view_id", "user_id", "view_ts", "buy_ts", "buy_value")
+    return _run_to_memory(spark, joined, "stream_ij", output_mode="append")
