@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from vmhub_data_pipeline_spark.pipeline import run_endpoints
 from vmhub_data_pipeline_spark.streaming.events import (
@@ -121,3 +122,99 @@ def test_stateful_user_profiles_match_batch(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState state-server protocol needs the protobuf "
+    "package (absent from this container); the applyInPandasWithState twin "
+    "carries executed coverage",
+)
+def test_transform_with_state_profiles_match_batch(spark, tmp_path):
+    """Spark 4 transformWithState runtime: same per-user profile contract,
+    state as a TTL'd ValueState instead of the manual timeout dance."""
+    import pyspark.sql.functions as F0
+
+    from vmhub_data_pipeline_spark.streaming.stateful import stream_user_profiles_tws
+
+    ev = table(spark, SF, "events").filter(F0.col("user_id") < 30)
+    path = str(tmp_path / "events_tws")
+    ev.repartition(2).write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
+
+    q = start_to_memory(
+        stream_user_profiles_tws(events_file_stream(spark, path)),
+        "t_profiles_tws",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_profiles_tws")
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in out.orderBy("n_events").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == want
+
+
+def test_transform_with_state_processor_logic_directly():
+    """The StatefulProcessor's per-batch math, exercised against a fake
+    ValueState (the streaming protocol itself is gated on protobuf above):
+    accumulation across calls, integer-cents exactness, last-seen max."""
+    import pandas as pd
+
+    from vmhub_data_pipeline_spark.streaming.stateful import UserProfileProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl = ttlDurationMs
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = UserProfileProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttl == UserProfileProcessor.TTL_MS
+
+    pdf1 = pd.DataFrame(
+        {"value": [1.25, 2.50], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    (out1,) = list(proc.handleInputRows((7,), iter([pdf1]), None))
+    assert out1["n_events"].iloc[0] == 2
+    assert out1["total_value"].iloc[0] == 3.75
+
+    pdf2 = pd.DataFrame({"value": [0.01], "ts": pd.to_datetime(["2024-01-03"])})
+    (out2,) = list(proc.handleInputRows((7,), iter([pdf2]), None))
+    assert out2["n_events"].iloc[0] == 3
+    assert out2["total_value"].iloc[0] == 3.76  # exact cents, no fp drift
+    assert out2["last_seen"].iloc[0] == pd.Timestamp("2024-01-03")

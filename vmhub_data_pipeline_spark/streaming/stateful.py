@@ -15,6 +15,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -79,4 +80,72 @@ def stream_user_profiles(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """The same per-user profile as `_update_user_profile`, on Spark 4's
+    `transformWithState` API (StatefulProcessor) — the successor to
+    applyInPandasWithState with FIRST-CLASS state primitives instead of a
+    single tuple: named value/list/map states, per-state TTL, and timers.
+
+    State here is one ValueState with a TTL — the runtime evicts idle-user
+    state by itself (the bounded-state property the old API needed the
+    manual hasTimedOut dance for). Declared lazily in init() against the
+    handle, so the same class instance is serialization-safe.
+
+    Runtime requirement: the transformWithState state-server protocol
+    speaks protobuf from the Python side — executing it needs the
+    ``protobuf`` package (absent from this container, so the equivalence
+    test skips; the applyInPandasWithState twin above carries the executed
+    coverage). The implementation itself is plain public API.
+    """
+
+    TTL_MS = 24 * 3600 * 1000
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._profile = handle.getValueState(
+            "profile",
+            "n_events long, total_value_cents long, last_seen_us long",
+            ttlDurationMs=self.TTL_MS,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents, last_us = (
+            tuple(self._profile.get()) if self._profile.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        self._profile.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_seen": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_profiles_tws(events: DataFrame) -> DataFrame:
+    """stream_user_profiles on the transformWithState runtime (update mode,
+    processing-time TTL eviction). Output contract is identical — tests pin
+    both implementations to the same batch aggregate."""
+    from ..functions.pickling import ship_module_by_value
+
+    ship_module_by_value(__name__)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
     )
