@@ -255,3 +255,91 @@ def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("nw") - 2, F.lit(0)).cast("long").alias("n_shingles"),
         F.size(F.array_distinct(shingles)).cast("long").alias("n_distinct_shingles"),
     )
+
+
+_QFILTER_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT
+    doc_id,
+    CAST(LEN(ws) AS BIGINT) AS n_words,
+    CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE) / CAST(LEN(ws) AS DOUBLE) AS distinct_ratio,
+    CAST(LEN(LIST_FILTER(ws, w -> w IN ({_SW_SQL}))) AS DOUBLE)
+      / CAST(LEN(ws) AS DOUBLE) AS stop_ratio,
+    CAST(LIST_SUM(LIST_TRANSFORM(ws, w -> LEN(w))) AS DOUBLE)
+      / CAST(LEN(ws) AS DOUBLE) AS mean_word_len
+  FROM s
+)
+SELECT
+  doc_id, n_words, distinct_ratio, stop_ratio, mean_word_len,
+  (n_words BETWEEN 20 AND 1000)
+    AND distinct_ratio >= 0.3
+    AND stop_ratio >= 0.01
+    AND mean_word_len BETWEEN 2.0 AND 12.0 AS keep,
+  CASE
+    WHEN NOT (n_words BETWEEN 20 AND 1000) THEN 'length'
+    WHEN NOT (distinct_ratio >= 0.3) THEN 'repetitive'
+    WHEN NOT (stop_ratio >= 0.01) THEN 'no_stopwords'
+    WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_length'
+    ELSE 'ok'
+  END AS reason
+FROM m
+"""
+
+
+@register("text_quality_filter", oracle=_QFILTER_ORACLE, tags=("text", "filter"))
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style document filter: length bounds, repetition
+    (distinct-token ratio), stopword presence, and mean-word-length rules
+    folded into a keep decision plus the FIRST failing rule as the drop
+    reason — the per-document verdict a corpus-cleaning pass materializes
+    alongside the data so drops are auditable.
+
+    Entirely narrow (per-row, zero shuffles, whole-stage codegen): at
+    100 TB this runs at scan speed, which is the point — rule filters are
+    the cheap first pass before any pairwise dedup. The word array is
+    staged in its own projection once and every signal derives from it
+    (the measured inline-lambda re-evaluation pitfall)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("ws")).withColumn(
+        "n_words", F.size("ws").cast("long")
+    )
+    m = staged.select(
+        "doc_id",
+        "n_words",
+        (F.size(F.array_distinct("ws")).cast("double") / F.col("n_words")).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(
+                F.filter("ws", lambda w: w.isin(*_STOPWORDS))
+            ).cast("double")
+            / F.col("n_words")
+        ).alias("stop_ratio"),
+        (
+            F.aggregate(
+                "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / F.col("n_words")
+        ).alias("mean_word_len"),
+    )
+    length_ok = F.col("n_words").between(20, 1000)
+    distinct_ok = F.col("distinct_ratio") >= 0.3
+    stop_ok = F.col("stop_ratio") >= 0.01
+    mwl_ok = F.col("mean_word_len").between(2.0, 12.0)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "distinct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        (length_ok & distinct_ok & stop_ok & mwl_ok).alias("keep"),
+        F.when(~length_ok, "length")
+        .when(~distinct_ok, "repetitive")
+        .when(~stop_ok, "no_stopwords")
+        .when(~mwl_ok, "word_length")
+        .otherwise("ok")
+        .alias("reason"),
+    )
