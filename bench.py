@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine_topk",
     "streaming_tumbling_day",
+    "streaming_interval_join",
+    "dedup_cluster_cc",
 ]
 
 

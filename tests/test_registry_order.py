@@ -37,11 +37,13 @@ REQUIRED_IN_WINDOW = {
         "streaming_tumbling_day",
         "streaming_session_windows",
         "streaming_dedup_replay",
+        "streaming_interval_join",
     ],
+    "dedup_cluster": ["dedup_cluster_cc"],
     "multimodal": ["multimodal_features", "multimodal_format_detect"],
     # regression guard: previously-verified classes
     "agg": ["q1_pricing_summary", "q6_forecast_revenue", "daily_revenue", "agg_rollup"],
-    "window": ["window_rank", "window_topk_per_group"],
+    "window": ["window_topk_per_group"],
     "join": ["join_q3_shipping", "join_q5_region_revenue", "join_broadcast_dim", "join_semi", "join_asof_attribution"],
     "setop": ["set_intersect", "topk_orders", "set_union_all"],
     "events": ["events_sessionize", "events_watermark"],

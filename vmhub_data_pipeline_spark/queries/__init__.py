@@ -103,13 +103,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_tumbling_day",
     "streaming_session_windows",
     "streaming_dedup_replay",
+    "streaming_interval_join",
+    "dedup_cluster_cc",
     # -- regression guard: one+ representative of every previously-green class --
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "daily_revenue",
     "agg_rollup",
-    "agg_count_distinct",
-    "window_rank",
     "window_topk_per_group",
     "join_q3_shipping",
     "join_q5_region_revenue",
