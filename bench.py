@@ -42,7 +42,12 @@ HEADLINE = [
     "knn_cosine_topk",
     "streaming_tumbling_day",
     "streaming_interval_join",
-    "dedup_cluster_cc",
+    # the scale-path clustering (LSH pairs -> CC). The exact variant
+    # dedup_cluster_cc stays in the catalog/correctness window but not the
+    # bench: the fixture's ~30-word vocabulary makes EVERY token hot, so
+    # exact inverted-index pair generation degenerates to all-pairs at
+    # sf0.1 (~23 s) — a fixture pathology, not the operator's scale story.
+    "dedup_cluster_lsh",
 ]
 
 

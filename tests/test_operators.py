@@ -432,3 +432,42 @@ def test_connected_components_chain_and_islands(spark):
         (30, 30), (31, 30),
     }
     assert got == want
+
+
+def test_lsh_clusters_refine_exact_clusters(spark):
+    """LSH-pair clusters must refine the exact token-Jaccard clusters on
+    this fixture. Within the shingle measure the property is structural
+    (banding only drops candidates; survivors are exact-verified, so LSH
+    edges ⊆ exact shingle edges); across the two measures it holds here
+    because 3-gram-shingle jaccard >= 0.9 implies token jaccard >= 0.9 on
+    this corpus — which this test pins empirically."""
+    import pyspark.sql.functions as F
+
+    from vmhub_data_pipeline_spark.operators.dedup import jaccard_similarity_pairs
+    from vmhub_data_pipeline_spark.operators.graph import connected_components
+    from vmhub_data_pipeline_spark.queries.dedup import dedup_cluster_lsh
+    from vmhub_data_pipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    # exact baseline with the SAME scope as the LSH path: no language
+    # grouping (the catalog's dedup_cluster_cc restricts pairs to same-lang,
+    # which MinHash deliberately does not)
+    (docs,) = load(spark, sf, "documents")
+    exact_pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_token_doc_freq=None
+    )
+    exact = {
+        r["v"]: r["component"]
+        for r in connected_components(exact_pairs, "doc_a", "doc_b").collect()
+    }
+    lsh = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_cluster_lsh(spark, sf).collect()
+    }
+    assert set(lsh) <= set(exact)  # LSH finds no vertex the exact pass missed
+    # refinement: two docs in the same LSH cluster share an exact cluster
+    from collections import defaultdict
+
+    by_lsh = defaultdict(set)
+    for doc, cid in lsh.items():
+        by_lsh[cid].add(exact[doc])
+    assert all(len(s) == 1 for s in by_lsh.values())

@@ -196,3 +196,27 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("v") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register("dedup_cluster_lsh", oracle=None, tags=("dedup", "lsh", "iterative"))
+def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale clustering path: MinHash-LSH candidate pairs
+    (exact-verified >= 0.9) -> connected components. Same output contract
+    as dedup_cluster_cc but the pair stage is the banded LSH join instead
+    of the exact inverted index — at corpus scale the exact index is
+    O(sum df^2) on hot tokens while LSH stays near-linear in documents.
+
+    Rows-only: LSH recall is probabilistic, so clusters can SPLIT relative
+    to the exact ones (never merge wrongly within the shingle measure —
+    every surviving edge is exact-verified). Refinement vs the exact
+    token-Jaccard clusters is pinned in tests/test_operators.py."""
+    from ..operators.graph import connected_components
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("v") == F.col("component")).alias("is_canonical"),
+    )
