@@ -131,3 +131,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_q8_star_broadcasts_all_dims_single_shuffle(spark, sf_dir):
+    """Q8's 8-way star: every dimension leg (part filter, both nation
+    roles, region, supplier) must ride broadcast joins, leaving exactly
+    ONE exchange — the final groupBy. A second exchange means a fact-table
+    shuffle crept into the star."""
+    df = Q["join_q8_market_share"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_quality_filter_is_zero_shuffle(spark, sf_dir):
+    """The Gopher/C4 rule filter is per-row: its plan must contain NO
+    exchange at all (scan-speed at 100 TB is the whole point)."""
+    df = Q["text_quality_filter"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df)
+
+
+def test_q15_reuses_revenue_agg_within_two_shuffles(spark, sf_dir):
+    """Q15 computes the revenue view, its scalar max, and the supplier
+    attach within two exchanges (the groupBy + one for the max); the top
+    set must come back as a broadcast, never a supplier-side shuffle."""
+    df = Q["join_q15_top_supplier"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df), plan
+    assert count_exchanges(df) <= 2, plan

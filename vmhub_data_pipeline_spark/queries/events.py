@@ -267,3 +267,51 @@ def events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_after_watermark"
         ),
     )
+
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT
+  f.cohort_week,
+  CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM first_seen f
+JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register("events_retention_cohort", oracle=_RETENTION_ORACLE, tags=("events", "agg"))
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in each later active week — the (cohort, offset) retention matrix.
+
+    Shape: per-user min (one shuffle on user_id) -> distinct (user, week)
+    activity (same key, AQE reuses the exchange) -> equi-join on user_id ->
+    count-distinct re-agg. Both week columns are date_trunc'd to Monday, so
+    the offset is an exact integer day-diff / 7 (no boundary-crossing
+    semantics to disagree on between engines)."""
+    (events,) = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

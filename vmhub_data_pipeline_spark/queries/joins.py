@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import dsum, sql_dsum
+from ..operators.joins import salted_join
 from ..tables import load
 from . import register
 
@@ -969,4 +970,45 @@ def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+_SALTED_ORACLE = f"""
+SELECT
+  n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_dsum('o_totalprice', 2, 'total_value')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, driver-checked for semantic transparency:
+    orders salted 8 ways against an 8x-replicated customer side, then the
+    usual nation rollup — the result must be EXACTLY the plain join's (the
+    oracle is the unsalted SQL), because salting only changes the shuffle
+    layout, never the pairs.
+
+    customer keys in orders are zipf-ish, so this is the shape you reach
+    for when one hot customer floods a single shuffle partition and even
+    AQE's split partitions overwhelm tasks. Cost model in
+    operators/joins.py:salted_join."""
+    orders, cust, nation = load(spark, sf_dir, "orders", "customer", "nation")
+    joined = salted_join(
+        orders.select("o_custkey", "o_totalprice"),
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        on="o_custkey",
+        salt=8,
+    )
+    return (
+        joined.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_value"),
+        )
     )
