@@ -162,3 +162,52 @@ def test_streaming_catalog_caches_fixture_landing(spark, monkeypatch):
     sq.streaming_session_windows(spark, SF).count()
     assert calls["n"] == 1
     assert first == again
+
+
+def test_stream_to_lake_foreachbatch_idempotent_replay(spark, tmp_path):
+    """foreachBatch -> refresh_table sink: streaming the fixture into the
+    warehouse equals the batch content, and REPLAYING the whole stream
+    (fresh checkpoint, same source — the at-least-once worst case) leaves
+    the table byte-identical instead of doubled."""
+    import pyspark.sql.functions as F0
+
+    from vmhub_data_pipeline_spark.streaming.events import (
+        TS_FORMAT,
+        events_file_stream,
+        start_to_lake,
+    )
+    from vmhub_data_pipeline_spark.tables import table
+
+    ev = table(spark, SF, "events").filter(F0.col("user_id") < 30)
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.mode("overwrite").option(
+        "timestampFormat", TS_FORMAT
+    ).json(src)
+    warehouse = str(tmp_path / "warehouse")
+
+    q = start_to_lake(
+        events_file_stream(spark, src),
+        warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        dedup_keys=["event_id"],
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(warehouse)
+    assert first.count() == ev.count()
+    # materialize before the replay overwrites the files under this plan
+    first_hash = first.select(F0.sum(F0.hash(*ev.columns)).alias("h")).first()["h"]
+
+    # full replay with a FRESH checkpoint: every micro-batch re-delivered
+    q2 = start_to_lake(
+        events_file_stream(spark, src),
+        warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        dedup_keys=["event_id"],
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(warehouse)
+    assert again.count() == ev.count()  # no duplication
+    assert (
+        again.select(F0.sum(F0.hash(*ev.columns)).alias("h")).first()["h"]
+        == first_hash
+    )

@@ -117,3 +117,49 @@ def start_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_to_lake(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    dedup_keys: list[str] | None = None,
+    order_col: str = "ts",
+    partition_cols: tuple[str, ...] = ("ds",),
+):
+    """Stream -> warehouse sink via foreachBatch + the batch refresh path
+    (the production pattern: one code path for batch backfill AND streaming
+    upkeep, per-partition idempotent).
+
+    Each micro-batch derives its `ds` partitions and runs the SAME
+    dynamic-partition-overwrite refresh the batch pipeline uses
+    (pipeline/lake.py:refresh_table): a replayed micro-batch (checkpoint
+    loss, at-least-once source) rewrites exactly the partitions it touches
+    with identical content instead of appending duplicates — Spark's
+    exactly-once sink contract rebuilt from an idempotent writer, which is
+    the reference's truncate-reload semantics done per-partition
+    (src/utils/bigquery_helper.py:120).
+
+    Watermark-less by design: day partitions are closed by the overwrite
+    being keyed on ds, not by event-time completion.
+    """
+    from ..pipeline.lake import refresh_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        staged = batch_df.withColumn("ds", F.to_date("ts").cast("string"))
+        refresh_table(
+            staged,
+            table_path,
+            dedup_keys=dedup_keys,
+            order_col=order_col,
+            partition_cols=partition_cols,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
