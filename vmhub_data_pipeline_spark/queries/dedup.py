@@ -220,3 +220,110 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("v") == F.col("component")).alias("is_canonical"),
     )
+
+
+_CURATION_ORACLE = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+quality AS (
+  SELECT
+    doc_id,
+    CAST(LEN(ws) AS BIGINT) AS n_words,
+    (LEN(ws) BETWEEN 20 AND 1000)
+      AND CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE) / CAST(LEN(ws) AS DOUBLE) >= 0.3
+      AND CAST(LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / CAST(LEN(ws) AS DOUBLE) >= 0.01 AS quality_ok
+  FROM s
+),
+toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS nc
+  FROM inv a JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(nc AS DOUBLE) / CAST(na + nb - nc AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT
+  q.doc_id,
+  q.quality_ok,
+  COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+  (cc.doc_id IS NULL OR cc.cluster_id = q.doc_id) AS is_canonical,
+  q.quality_ok AND (cc.doc_id IS NULL OR cc.cluster_id = q.doc_id) AS keep
+FROM quality q
+LEFT JOIN cc ON cc.doc_id = q.doc_id
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_ORACLE, tags=("dedup", "text", "pipeline"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation verdict, one row per
+    document: Gopher/C4 quality rules AND near-dup canonicality folded
+    into a final keep decision — the composition a real data pipeline
+    materializes before tokenization (quality gate -> pair generation ->
+    cluster -> keep canonical survivors).
+
+    Singletons (docs in no near-dup pair) are their own canonical cluster;
+    dup-cluster members survive only as the min-id canonical. Quality is
+    the same zero-shuffle rule set as text_quality_filter; clustering is
+    the same exact-pair + min-label CC as dedup_cluster_cc — this query is
+    their join, which the oracle replays end-to-end in one recursive-CTE
+    SQL statement."""
+    from ..operators.graph import connected_components
+
+    (docs,) = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("ws")).withColumn(
+        "n_words", F.size("ws").cast("long")
+    )
+    stopset = ("the", "a", "of", "and", "to", "in", "is")
+    quality = staged.select(
+        "doc_id",
+        (
+            F.col("n_words").between(20, 1000)
+            & (
+                F.size(F.array_distinct("ws")).cast("double") / F.col("n_words")
+                >= 0.3
+            )
+            & (
+                F.size(F.filter("ws", lambda w: w.isin(*stopset))).cast("double")
+                / F.col("n_words")
+                >= 0.01
+            )
+        ).alias("quality_ok"),
+    )
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("v").alias("cc_doc"), F.col("component").alias("cc_cluster")
+    )
+    return quality.join(cc, quality["doc_id"] == cc["cc_doc"], "left").select(
+        "doc_id",
+        "quality_ok",
+        F.coalesce("cc_cluster", "doc_id").alias("cluster_id"),
+        (F.col("cc_doc").isNull() | (F.col("cc_cluster") == F.col("doc_id"))).alias(
+            "is_canonical"
+        ),
+        (
+            F.col("quality_ok")
+            & (F.col("cc_doc").isNull() | (F.col("cc_cluster") == F.col("doc_id")))
+        ).alias("keep"),
+    )
