@@ -159,3 +159,38 @@ def test_q15_reuses_revenue_agg_within_two_shuffles(spark, sf_dir):
     plan = explain_str(df)
     assert has_broadcast_join(df), plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter injection (the non-broadcast cousin of DPP):
+    when a selective dimension side cannot broadcast, Spark should still
+    push a bloom `might_contain` probe into the fact scan's filter —
+    at 100 TB this is the difference between scanning lineitem in full
+    and skipping most of it. Fixture tables sit under the size thresholds,
+    so the test pins the CAPABILITY with thresholds scaled down; the
+    session defaults keep production sizing."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
