@@ -216,3 +216,45 @@ def extract_media_features(
             )
 
     return media.mapInPandas(work, FEATURE_SCHEMA)
+
+
+def sample_chunks(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    chunk_size: int = 64,
+    every_k: int = 2,
+) -> DataFrame:
+    """Deterministic chunk sampling over an opaque binary payload — the
+    frame-sampling shape for video/audio: take every ``every_k``-th
+    ``chunk_size``-byte window instead of decoding the container (the
+    decode itself stays behind the mapInPandas boundary, see
+    extract_media_features).
+
+    Pure JVM expressions end-to-end (sequence -> explode -> substring ->
+    fingerprint): zero Python tax, zero shuffle — at 100 TB of media this
+    runs at scan speed like the rule filters. Slicing happens in the HEX
+    domain (2 chars/byte), which is byte-exact and keeps the expression
+    portable to the DuckDB oracle (whose substr has no BLOB overload).
+    Output one row per sampled chunk: (id, chunk_idx, chunk_offset,
+    chunk_bytes, chunk_md5).
+    """
+    hx = F.upper(F.hex(F.col(payload_col)))
+    n_chunks = F.ceil(F.length(payload_col) / F.lit(chunk_size)).cast("long")
+    sampled = df.select(
+        F.col(id_col),
+        hx.alias("__hx"),
+        F.explode(
+            F.sequence(F.lit(0), n_chunks - 1, F.lit(every_k))
+        ).alias("chunk_idx"),
+    )
+    chunk_hex = F.substring(
+        F.col("__hx"), F.col("chunk_idx") * (2 * chunk_size) + 1, F.lit(2 * chunk_size)
+    )
+    return sampled.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("chunk_idx") * chunk_size).alias("chunk_offset"),
+        (F.length(chunk_hex) / 2).cast("long").alias("chunk_bytes"),
+        F.md5(chunk_hex).alias("chunk_md5"),
+    )

@@ -84,3 +84,50 @@ def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_format(F.col("payload")).alias("detected"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+_CHUNK_ORACLE = r"""
+WITH p AS (
+  SELECT
+    doc_id,
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN '\x89PNG'::BLOB
+      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+      WHEN 2 THEN 'GIF8'::BLOB
+      WHEN 3 THEN '%PDF'::BLOB
+      WHEN 4 THEN 'RIFF\x00\x00\x00\x00WEBP'::BLOB
+      ELSE 'ID3\x03'::BLOB
+    END || encode(text) AS payload
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, UPPER(HEX(payload)) AS h, OCTET_LENGTH(payload) AS nb FROM p
+),
+sampled AS (
+  SELECT doc_id, h, UNNEST(generate_series(
+    0, CAST(CEIL(nb / 64.0) AS BIGINT) - 1, 2
+  )) AS chunk_idx
+  FROM hx
+)
+SELECT
+  doc_id,
+  chunk_idx,
+  chunk_idx * 64 AS chunk_offset,
+  CAST(LENGTH(SUBSTR(h, chunk_idx * 128 + 1, 128)) / 2 AS BIGINT) AS chunk_bytes,
+  MD5(SUBSTR(h, chunk_idx * 128 + 1, 128)) AS chunk_md5
+FROM sampled
+"""
+
+
+@register("multimodal_chunk_sample", oracle=_CHUNK_ORACLE, tags=("multimodal",))
+def multimodal_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stand-in over REAL bytes: every 2nd 64-byte window of
+    each magic-prefixed payload, fingerprinted — pure JVM slicing, fully
+    oracle-checked (DuckDB builds byte-identical payloads and slices the
+    same windows). The shape a video pipeline uses to cheaply sample
+    key-frame candidates before the expensive decode."""
+    from ..operators.multimodal import attach_magic_payload, sample_chunks
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_magic_payload(docs, "doc_id", "text")
+    return sample_chunks(media, "doc_id", "payload", chunk_size=64, every_k=2)
