@@ -41,11 +41,20 @@ REQUIRED_IN_WINDOW = {
     ],
     "dedup_cluster": ["dedup_cluster_cc"],
     "multimodal": ["multimodal_features", "multimodal_format_detect"],
-    # regression guard: previously-verified classes
-    "agg": ["q1_pricing_summary", "q6_forecast_revenue", "daily_revenue", "agg_rollup"],
+    # dataset-assembly tier (new in r2)
+    "curation": [
+        "curation_hash_split",
+        "curation_stratified_sample",
+        "curation_pack_sequences",
+        "curation_global_shuffle",
+        "text_pii_redact",
+    ],
+    # regression guard: previously-verified classes (displaced members keep
+    # local-oracle coverage via tests/test_queries_oracle.py full-catalog run)
+    "agg": ["q1_pricing_summary", "daily_revenue"],
     "window": ["window_topk_per_group"],
-    "join": ["join_q3_shipping", "join_q5_region_revenue", "join_broadcast_dim", "join_semi", "join_asof_attribution"],
-    "setop": ["set_intersect", "topk_orders", "set_union_all"],
+    "join": ["join_q3_shipping", "join_broadcast_dim", "join_asof_attribution"],
+    "setop": ["topk_orders"],
     "events": ["events_sessionize", "events_watermark"],
 }
 

@@ -1,0 +1,100 @@
+"""Unit tests for dataset-assembly operators (operators/sampling.py).
+
+The catalog queries hash-match DuckDB oracles (tests/test_queries_oracle.py);
+these tests pin the *operator* properties the oracles can't see: stability
+under corpus growth, per-stratum caps + the WindowGroupLimit plan shape,
+bin-budget semantics, and the distributed zipWithIndex invariants (dense,
+boundary-independent, empty-partition-safe).
+"""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from vmhub_data_pipeline_spark.operators.sampling import (
+    assign_split,
+    pack_sequences,
+    stratified_sample,
+    zip_with_global_index,
+)
+
+
+def test_assign_split_stable_under_corpus_growth(spark):
+    """A row's split must be a pure function of (seed, id): growing the
+    corpus cannot move an existing row between splits."""
+    small = spark.range(0, 200).withColumnRenamed("id", "k")
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s_small = {r["k"]: r["split"] for r in assign_split(small, "k").collect()}
+    s_big = {r["k"]: r["split"] for r in assign_split(big, "k").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # rough 80/10/10 at n=2000 (binomial tolerance)
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert 0.74 < c["train"] / 2000 < 0.86
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+
+
+def test_assign_split_requires_catchall(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="catch-all"):
+        assign_split(df, "k", thresholds=(("a", "8888"), ("b", "ffff")))
+
+
+def test_stratified_sample_caps_and_plan(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    out = stratified_sample(df, ["g"], 7, "k")
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r["g"] for r in rows)
+    assert all(v == 7 for v in per.values()) and len(per) == 3
+    # ranks are 1..7 within each stratum
+    assert sorted(r["sample_rank"] for r in rows if r["g"] == 0) == list(range(1, 8))
+    # rank<=n must compile to per-partition top-k (map-side prune), not a
+    # full sort of each stratum
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_budget_semantics(spark):
+    rows = [("a", i, t) for i, t in enumerate([60, 60, 60, 60, 10])] + [
+        ("b", 0, 250),
+        ("b", 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "shard string, seq long, n_tokens long")
+    out = pack_sequences(df, "shard", "seq", "n_tokens", budget=100).collect()
+    got = {(r["shard"], r["seq"]): (r["tokens_before"], r["bin_id"]) for r in out}
+    # shard a: cum-excl 0,60,120,180,240 -> bins 0,0,1,1,2 (straddlers stay
+    # in the bin they start in)
+    assert [got[("a", i)][1] for i in range(5)] == [0, 0, 1, 1, 2]
+    # an oversized doc occupies its own bin span; next doc starts a new bin
+    assert got[("b", 0)] == (0, 0)
+    assert got[("b", 1)] == (250, 2)
+
+
+def test_zip_with_global_index_dense_and_ordered(spark):
+    df = spark.range(0, 997).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    out = zip_with_global_index(df, "h", "k", num_partitions=8).collect()
+    assert sorted(r["global_index"] for r in out) == list(range(997))
+    by_idx = sorted(out, key=lambda r: r["global_index"])
+    keys = [(r["h"], r["k"]) for r in by_idx]
+    assert keys == sorted(keys)
+
+
+def test_zip_with_global_index_more_partitions_than_rows(spark):
+    df = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("h")
+    )
+    out = zip_with_global_index(df, "h", "k", num_partitions=16).collect()
+    assert sorted((r["h"], r["global_index"]) for r in out) == [
+        ("0", 0),
+        ("1", 1),
+        ("2", 2),
+    ]

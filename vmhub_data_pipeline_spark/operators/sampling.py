@@ -1,0 +1,181 @@
+"""Dataset-assembly operators for training-data curation: deterministic
+splits, stratified sampling, sequence packing, and a distributed global
+shuffle index.
+
+These are the steps that turn a cleaned corpus into a training set. All
+randomness is *derived* (md5 over a seed + key), never drawn: every
+operator is a pure function of its inputs, so reruns, retries, and the
+DuckDB oracle all agree byte-for-byte — the property a 100 TB pipeline
+needs for resumability.
+
+Scale notes per operator:
+
+* ``assign_split`` — stateless projection (md5 + CASE); zero shuffle,
+  runs at scan speed.
+* ``stratified_sample`` — rank-within-stratum; Spark rewrites the
+  ``row_number() <= n`` filter into WindowGroupLimit, which prunes to n
+  rows per stratum *map-side* before the shuffle, so skewed strata cost
+  O(n) post-shuffle no matter how large the stratum.
+* ``pack_sequences`` — running token sum *per shard* (not global): each
+  shard packs independently in parallel, the standard sharded-packing
+  layout for pretraining data. One hash shuffle on the shard key.
+* ``zip_with_global_index`` — distributed total order -> dense 0-based
+  index without a single-partition window: range-repartition on the sort
+  key, count rows per partition (tiny driver-side list, like RDD
+  ``zipWithIndex``), then enumerate each partition with its prefix-sum
+  offset via Arrow ``mapInPandas``. Two jobs over the (persisted) narrow
+  projection, no global sort bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
+
+
+def derived_hash(seed: str, key_col: str) -> F.Column:
+    """Lowercase md5 hex of ``"{seed}:{key}"`` — the shared derived-randomness
+    primitive (identical in DuckDB: ``md5(concat('{seed}:', CAST(k AS VARCHAR)))``)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "split-v1",
+    thresholds: Sequence[tuple[str, str | None]] = (
+        ("train", "cccc"),
+        ("val", "e666"),
+        ("test", None),
+    ),
+) -> DataFrame:
+    """Deterministic hash split: bucket each row by the first 4 hex chars of
+    its derived hash (uniform over 65536 values) against lexical thresholds.
+
+    ``thresholds`` is ordered (name, upper_bound_hex); the last entry's bound
+    must be None (catch-all). The default is the classic 80/10/10:
+    0xcccc/0x10000 = 0.79999, 0xe666/0x10000 = 0.89999. Membership is a pure
+    function of (seed, id): adding data never reassigns existing rows —
+    the property that keeps eval sets uncontaminated across corpus versions.
+    Zero shuffle: a projection the optimizer keeps inside the scan stage.
+    """
+    bounds = list(thresholds)
+    if bounds[-1][1] is not None:
+        raise ValueError("last threshold must be the catch-all (bound=None)")
+    h = F.substring(derived_hash(seed, id_col), 1, 4)
+    expr = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside each
+    stratum by derived hash (a seeded uniform permutation) and keep the
+    first n. The ``row_number <= n`` shape compiles to WindowGroupLimit, so
+    each map task forwards at most n rows per stratum into the shuffle —
+    a stratum with a billion rows and a stratum with a hundred cost the
+    same downstream.
+    """
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(derived_hash(seed, id_col), F.col(id_col))
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Contiguous sequence packing: walk each shard in ``order_col`` order,
+    accumulate token counts, and open a new bin every ``budget`` tokens
+    (a document that straddles a boundary belongs to the bin it starts in).
+
+    Packing per *shard* — not globally — is deliberate: shards pack in
+    parallel with one hash shuffle, and bin identity is (shard, bin_id),
+    exactly how pretraining shards are laid out. A global pack would force
+    a single-partition running sum. Adds ``tokens_before`` (exclusive
+    running sum) and ``bin_id``.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("tokens_before", tokens_before).withColumn(
+        "bin_id", F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
+    )
+
+
+def zip_with_global_index(
+    df: DataFrame, order_col: str, tiebreak_col: str, num_partitions: int = 32
+) -> DataFrame:
+    """Dense 0-based index over the total order (order_col, tiebreak_col),
+    computed distributively.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses to ONE partition —
+    the canonical global-sort bottleneck. Instead (the RDD ``zipWithIndex``
+    strategy, DataFrame-native):
+
+    1. range-repartition + sort within partitions on the key — Spark's
+       scalable total sort;
+    2. one small job counts rows per partition (``num_partitions`` longs to
+       the driver — same legitimacy class as k-means centroid pulls);
+    3. prefix-sum those counts into per-partition offsets and enumerate each
+       partition in an Arrow ``mapInPandas`` (zero extra shuffle, order
+       preserved within the sorted, persisted partition).
+
+    Because the key is totally ordered and unique (tiebreak included), the
+    resulting index is independent of where the sampled range boundaries
+    happen to fall. Input should be projected narrow *before* calling — only
+    the key columns ride through Arrow. The intermediate is persisted
+    (MEMORY_AND_DISK) so the count job and the enumerate job share one scan.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
+        .sortWithinPartitions(order_col, tiebreak_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_fields = [f for f in ranged.schema.fields if f.name != "__pid"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", global_index long"
+    out_cols = [f.name for f in out_fields]
+
+    def enumerate_partition(batches: Iterator) -> Iterator:
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf[out_cols].copy()
+            out["global_index"] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(enumerate_partition, out_schema)

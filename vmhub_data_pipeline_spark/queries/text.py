@@ -343,3 +343,90 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("reason"),
     )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_PAT = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PHONE_PAT = r"\+?\d[\d-]{7,}\d"
+
+_PII_ORACLE = rf"""
+WITH aug AS (
+  SELECT
+    doc_id,
+    concat(
+      text,
+      ' Contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      ' at 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+      CAST((doc_id * 7) % 256 AS VARCHAR), '.'
+    ) AS t
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(LEN(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+  CAST(LEN(regexp_extract_all(t, '{_IP_PAT}')) AS BIGINT) AS n_ips,
+  CAST(LEN(regexp_extract_all(t, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+        '{_IP_PAT}', '[IP]', 'g'),
+      '{_PHONE_PAT}', '[PHONE]', 'g')
+  ) AS redacted_md5
+FROM aug
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "curation"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before a corpus ships: count and replace emails, IPv4 addresses, and
+    phone numbers with typed placeholders.
+
+    The fixture text carries no PII, so each doc is first augmented with a
+    deterministic contact block derived from doc_id (both engines build the
+    identical string); the oracle then hash-matches the fully-redacted text,
+    proving the regex semantics — patterns are kept inside the Java-regex /
+    RE2 common subset — and the replacement order (email -> IP -> phone)
+    byte-for-byte. Pure JVM regexp projection: zero shuffle, scan speed at
+    100 TB.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_PAT, "[EMAIL]"),
+            _IP_PAT,
+            "[IP]",
+        ),
+        _PHONE_PAT,
+        "[PHONE]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_IP_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
