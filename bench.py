@@ -48,6 +48,10 @@ HEADLINE = [
     # exact inverted-index pair generation degenerates to all-pairs at
     # sf0.1 (~23 s) — a fixture pathology, not the operator's scale story.
     "dedup_cluster_lsh",
+    # dataset-assembly tier: scan-speed PII scrub + the distributed
+    # zipWithIndex global shuffle (range repartition + enumerate)
+    "text_pii_redact",
+    "curation_global_shuffle",
 ]
 
 

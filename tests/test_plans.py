@@ -194,3 +194,29 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_pii_redact_is_zero_shuffle(spark, sf_dir):
+    """PII scrubbing is a pure regexp projection: no exchange anywhere —
+    the redaction pass must run at scan speed over 100 TB."""
+    df = Q["text_pii_redact"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df)
+
+
+def test_hash_split_assignment_is_zero_shuffle(spark, sf_dir):
+    """Split *assignment* (before the audit agg) must stay inside the scan
+    stage: md5 + CASE projection, no exchange."""
+    from vmhub_data_pipeline_spark.operators.sampling import assign_split
+    from vmhub_data_pipeline_spark.tables import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    df = assign_split(docs, "doc_id", seed="split-v1")
+    assert count_exchanges(df) == 0, explain_str(df)
+
+
+def test_domain_mix_doc_side_joins_are_broadcast(spark, sf_dir):
+    """The per-source threshold table (|sources| rows) must reach the
+    per-document filter via broadcast — hash-shuffling the corpus to join
+    a 20-row table would be the classic scale mistake."""
+    plan = explain_str(Q["curation_domain_mix"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

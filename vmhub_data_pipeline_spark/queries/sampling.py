@@ -158,3 +158,94 @@ def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     indexed = zip_with_global_index(keyed, "sort_key", "doc_id", num_partitions=16)
     return indexed.select("doc_id", "global_index")
+
+
+_MIX_ORACLE = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_total,
+    CAST((CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS INTEGER) AS weight
+  FROM c
+),
+k AS (SELECT *, n_total * (12 // weight) AS kk FROM w),
+m AS (SELECT n_total AS c_m, weight AS w_m FROM k ORDER BY kk, source LIMIT 1),
+t AS (
+  SELECT k.source, k.weight, k.n_total,
+    CAST((65536 * k.weight * m.c_m) // (m.w_m * k.n_total) AS BIGINT) AS thresh
+  FROM k, m
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN t ON d.source = t.source
+  WHERE t.thresh >= 65536
+     OR substr(md5(concat('mix-v1:', CAST(d.doc_id AS VARCHAR))), 1, 4)
+        < lpad(lower(to_hex(t.thresh)), 4, '0')
+  GROUP BY d.source
+)
+SELECT
+  t.source, t.weight, t.n_total, t.thresh,
+  COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM t LEFT JOIN kept ON t.source = kept.source
+"""
+
+
+@register("curation_domain_mix", oracle=_MIX_ORACLE, tags=("curation",))
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: hit target per-source mixture weights by
+    deriving a deterministic per-source acceptance threshold from the
+    corpus's own counts — the mixture-control step of pretraining-data
+    assembly.
+
+    The scarcest source relative to its weight (argmin n/w, exact integer
+    key n*(LCM/w)) is kept whole; every other source is hash-downsampled to
+    weight-proportional size. Thresholds use ONLY integer arithmetic
+    (t = 65536*w*c_min div (w_min*c), compared against the first 4 md5 hex
+    chars lexically), so Spark and DuckDB agree bit-for-bit — no float
+    boundary can flip a keep decision. The whole computation is driver-free:
+    counts (|sources| rows) flow through broadcast joins into the per-doc
+    filter, which runs at scan speed; weights here derive from the source id
+    (suffix%4+1) as a stand-in for a configured mixture table.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    w = counts.withColumn(
+        "weight",
+        ((F.substring("source", 4, 10).cast("int") % 4) + 1).cast("int"),
+    ).withColumn("kk", F.expr("n_total * (12 div weight)"))
+    m = (
+        w.orderBy("kk", "source")
+        .limit(1)
+        .select(F.col("n_total").alias("c_m"), F.col("weight").alias("w_m"))
+    )
+    thresholds = w.crossJoin(F.broadcast(m)).select(
+        "source",
+        "weight",
+        "n_total",
+        F.expr("CAST((65536 * weight * c_m) div (w_m * n_total) AS BIGINT)").alias(
+            "thresh"
+        ),
+    )
+    h4 = F.substring(
+        F.md5(F.concat(F.lit("mix-v1:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    kept = (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(
+            (F.col("thresh") >= 65536)
+            | (h4 < F.lpad(F.lower(F.hex("thresh")), 4, "0"))
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        thresholds.join(kept, "source", "left")
+        .select(
+            "source",
+            "weight",
+            "n_total",
+            "thresh",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
