@@ -91,3 +91,63 @@ def test_exact_dsum_matches_decimal_sum(spark, cents):
     got = df.agg(dsum("x", 2).alias("s")).first()["s"]
     want = float(sum(Decimal(c) for c in cents) / 100)
     assert got == want
+
+
+# ---- dataset-assembly properties (operators/sampling.py) ----
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # shard
+        st.integers(min_value=1, max_value=300),  # token count
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_pack_rows, budget=st.integers(min_value=50, max_value=200))
+def test_pack_sequences_properties(spark, rows, budget):
+    """Invariants: bins within a shard are contiguous from 0; a bin's
+    tokens_before values all fall in [bin*budget, (bin+1)*budget); every
+    doc's bin equals floor(exclusive-cumsum / budget)."""
+    from vmhub_data_pipeline_spark.operators.sampling import pack_sequences
+
+    data = [(s, i, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "shard int, seq long, n_tokens long")
+    out = pack_sequences(df, "shard", "seq", "n_tokens", budget=budget).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["seq"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        bins = []
+        for r in shard_rows:
+            assert r["tokens_before"] == cum
+            assert r["bin_id"] == cum // budget
+            cum += r["n_tokens"]
+            bins.append(r["bin_id"])
+        # bins start at 0 and never decrease (contiguity up to oversized docs)
+        assert bins[0] == 0
+        assert all(a <= b for a, b in zip(bins, bins[1:]))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_stratified_sample_is_deterministic_subset(spark, ids, n):
+    from vmhub_data_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, i % 3) for i in ids], "k long, g int")
+    a = {(r["k"], r["sample_rank"]) for r in stratified_sample(df, ["g"], n, "k").collect()}
+    b = {(r["k"], r["sample_rank"]) for r in stratified_sample(df, ["g"], n, "k").collect()}
+    assert a == b  # deterministic
+    kept = {k for k, _ in a}
+    assert kept <= set(ids)  # subset
+    from collections import Counter
+
+    per = Counter(k % 3 for k in kept)
+    for g in set(i % 3 for i in ids):
+        assert per[g] == min(n, sum(1 for i in ids if i % 3 == g))  # exactly-min(n,|stratum|)

@@ -48,10 +48,11 @@ REQUIRED_IN_WINDOW = {
         "curation_pack_sequences",
         "curation_global_shuffle",
         "text_pii_redact",
+        "pipeline_training_manifest",
     ],
     # regression guard: previously-verified classes (displaced members keep
     # local-oracle coverage via tests/test_queries_oracle.py full-catalog run)
-    "agg": ["q1_pricing_summary", "daily_revenue"],
+    "agg": ["q1_pricing_summary"],
     "window": ["window_topk_per_group"],
     "join": ["join_q3_shipping", "join_broadcast_dim", "join_asof_attribution"],
     "setop": ["topk_orders"],

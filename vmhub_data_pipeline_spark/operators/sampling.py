@@ -98,7 +98,7 @@ def stratified_sample(
 
 def pack_sequences(
     df: DataFrame,
-    shard_col: str,
+    shard_col: str | Sequence[str],
     order_col: str,
     token_col: str,
     budget: int,
@@ -113,8 +113,9 @@ def pack_sequences(
     a single-partition running sum. Adds ``tokens_before`` (exclusive
     running sum) and ``bin_id``.
     """
+    shards = [shard_col] if isinstance(shard_col, str) else list(shard_col)
     w = (
-        Window.partitionBy(shard_col)
+        Window.partitionBy(*shards)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )

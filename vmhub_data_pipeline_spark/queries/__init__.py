@@ -111,11 +111,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_pack_sequences",
     "curation_global_shuffle",
     "text_pii_redact",
+    "pipeline_training_manifest",
     # -- regression guard: one+ representative of every previously-green class
     #    (displaced entries stay covered by the local oracle mirror in
     #    tests/test_queries_oracle.py, which runs the FULL catalog) --
     "q1_pricing_summary",
-    "daily_revenue",
     "window_topk_per_group",
     "join_q3_shipping",
     "join_broadcast_dim",

@@ -222,7 +222,10 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURATION_ORACLE = """
+# Shared CTE prefix: quality rules + exact near-dup pairs + recursive-CTE
+# connected components. pipeline_corpus_curation appends the per-doc verdict
+# select; pipeline_training_manifest additionally folds in split + packing.
+_CURATION_CTES = """
 WITH RECURSIVE s AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -261,6 +264,9 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ),
 cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+"""
+
+_CURATION_FINAL = """
 SELECT
   q.doc_id,
   q.quality_ok,
@@ -270,6 +276,8 @@ SELECT
 FROM quality q
 LEFT JOIN cc ON cc.doc_id = q.doc_id
 """
+
+_CURATION_ORACLE = _CURATION_CTES + _CURATION_FINAL
 
 
 @register("pipeline_corpus_curation", oracle=_CURATION_ORACLE, tags=("dedup", "text", "pipeline"))
@@ -326,4 +334,80 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_ok")
             & (F.col("cc_doc").isNull() | (F.col("cc_cluster") == F.col("doc_id")))
         ).alias("keep"),
+    )
+
+
+_MANIFEST_ORACLE = _CURATION_CTES + """,
+curated AS (
+""" + _CURATION_FINAL + """
+),
+kept AS (
+  SELECT
+    d.doc_id, d.source,
+    CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+    CASE
+      WHEN substr(md5(concat('split-v1:', CAST(d.doc_id AS VARCHAR))), 1, 4) < 'cccc' THEN 'train'
+      WHEN substr(md5(concat('split-v1:', CAST(d.doc_id AS VARCHAR))), 1, 4) < 'e666' THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents d
+  JOIN curated c ON d.doc_id = c.doc_id AND c.keep
+),
+packed AS (
+  SELECT
+    split, source, doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY split, source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS tokens_before
+  FROM kept
+)
+SELECT
+  split,
+  source,
+  CAST(FLOOR(tokens_before / 2048.0) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY split, source, bin_id
+"""
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle=_MANIFEST_ORACLE,
+    tags=("curation", "dedup", "pipeline"),
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus->training-set manifest in ONE declarative plan:
+    quality gate -> exact near-dup pairs -> connected components -> keep
+    canonical survivors -> deterministic 80/10/10 split -> 2048-token
+    sequence packing per (split, source) shard. Output is the shard
+    manifest a trainer consumes: docs + tokens per (split, source, bin).
+
+    Every stage is individually oracle-verified elsewhere
+    (pipeline_corpus_curation, curation_hash_split,
+    curation_pack_sequences); this query proves the COMPOSITION —
+    including the recursive-CTE clustering feeding the split/pack stages —
+    hash-matches a single SQL statement end-to-end. Catalyst fuses the
+    quality projection and split assignment into scan-stage projections;
+    the only shuffles are the pair join, the CC iterations, the keep join,
+    and one window per (split, source) shard."""
+    from ..operators.sampling import assign_split, pack_sequences
+
+    kept_ids = pipeline_corpus_curation(spark, sf_dir).filter("keep").select("doc_id")
+    (docs,) = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    kept = tokens.join(kept_ids, "doc_id")
+    with_split = assign_split(kept, "doc_id", seed="split-v1")
+    packed = pack_sequences(
+        with_split, ["split", "source"], "doc_id", "n_tokens", budget=2048
+    )
+    return packed.groupBy("split", "source", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
