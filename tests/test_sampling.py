@@ -98,3 +98,18 @@ def test_zip_with_global_index_more_partitions_than_rows(spark):
         ("1", 1),
         ("2", 2),
     ]
+
+
+def test_pagerank_integer_chain_hand_computed(spark):
+    """a-b-c chain, 2 rounds, hand-computed integer arithmetic: the center
+    accumulates mass, ends are symmetric, every digit exact."""
+    from vmhub_data_pipeline_spark.operators.graph import pagerank_integer
+
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "x string, y string")
+    got = {
+        r["v"]: r["score"]
+        for r in pagerank_integer(pairs, "x", "y", iterations=2).collect()
+    }
+    # round 1: a=c=150000+85*500000//100=575000; b=150000+85*2000000//100=1850000
+    # round 2: a=c=150000+85*(1850000//2)//100=936250; b=150000+85*1150000//100=1127500
+    assert got == {"a": 936250, "b": 1127500, "c": 936250}

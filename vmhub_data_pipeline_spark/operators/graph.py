@@ -81,3 +81,71 @@ def connected_components(
             break
         labels = proposed.drop("_changed")
     return labels
+
+
+def pagerank_integer(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 4,
+    init_score: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph, computed
+    ENTIRELY in integer arithmetic so the result is bit-identical across
+    engines (the repo's exact-quantization convention, functions/exact.py,
+    applied to an iterative numeric algorithm):
+
+        contrib(u)  = score(u) div outdeg(u)
+        score'(v)   = teleport + (damping_pct * SUM_in contrib) div 100
+        teleport    = ((100 - damping_pct) * init_score) div 100  (per node)
+
+    All quantities are BIGINT and non-negative, so Spark's ``div``
+    (truncating) and SQL's ``//`` (flooring) agree exactly — no float
+    summation-order divergence can flip a digit, which is what lets the
+    DuckDB oracle hash-match a 4-round distributed fixpoint.
+
+    Per round: one join on the vertex key + one sum-groupBy on the
+    destination — the same 2-shuffle layout as connected_components, with
+    ``localCheckpoint(eager=True)`` cutting lineage so round N doesn't
+    re-execute rounds 1..N-1. Returns (v, score) for vertices that appear
+    in ``pairs`` (isolated vertices have no edges and keep the analytic
+    value teleport + 0 — callers union them back if needed).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    verts = edges.select(F.col("a").alias("v")).distinct()
+    outdeg = edges.groupBy("a").agg(F.count("*").cast("long").alias("outdeg"))
+    teleport = ((100 - damping_pct) * init_score) // 100
+
+    ranks = verts.withColumn(
+        "score", F.lit(init_score).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["a"] == ranks["v"])
+            .join(outdeg, "a")
+            .select(
+                F.col("b"),
+                F.expr("score div outdeg").alias("contrib"),
+            )
+        )
+        inbound = contrib.groupBy("b").agg(F.sum("contrib").alias("m"))
+        ranks = (
+            verts.join(inbound, verts["v"] == inbound["b"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -411,3 +411,67 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def _pagerank_oracle(iters: int = 4) -> str:
+    """Unrolled-iteration PageRank oracle: plain chained CTEs (aggregates
+    are illegal inside a RECURSIVE term), one per round, over the same
+    exact-Jaccard edge list as the clustering oracles. Generated by loop so
+    the round arithmetic can't drift from the operator's."""
+    sql = """
+WITH toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS nc
+  FROM inv a JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(nc AS DOUBLE) / CAST(na + nb - nc AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+outdeg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY a),
+r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS score FROM verts)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT vv.v, CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS score
+  FROM verts vv LEFT JOIN (
+    SELECT e.b AS v, SUM(r.score // o.d) AS m
+    FROM edges e JOIN r{i - 1} r ON e.a = r.v JOIN outdeg o ON e.a = o.a
+    GROUP BY e.b
+  ) s ON vv.v = s.v
+)"""
+    return sql + f"\nSELECT v AS doc_id, score FROM r{iters}"
+
+
+@register(
+    "graph_pagerank_dups",
+    oracle=_pagerank_oracle(4),
+    tags=("dedup", "graph", "iterative"),
+)
+def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality within the near-dup graph: 4 rounds of
+    integer-exact PageRank (operators/graph.py:pagerank_integer) over the
+    exact Jaccard>=0.9 pair list — the alternative canonical-survivor
+    policy to min-id (keep the most-connected representative of each dup
+    cluster). Second iterative DataFrame algorithm hash-matched against
+    SQL: the oracle unrolls the same integer round arithmetic, so a single
+    off-by-one in any round's div/floor would break the hash."""
+    (docs,) = load(spark, sf_dir, "documents")
+    from ..operators.graph import pagerank_integer
+
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    ranks = pagerank_integer(pairs, "doc_a", "doc_b", iterations=4)
+    return ranks.select(F.col("v").alias("doc_id"), "score")

@@ -430,3 +430,68 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+_LINE_DEDUP_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ser AS (
+  SELECT doc_id, w,
+    UNNEST(generate_series(0, CAST(CEIL(LEN(w) / 10.0) AS BIGINT) - 1)) AS line_no
+  FROM ws
+),
+lines AS (
+  SELECT doc_id, line_no,
+    md5(array_to_string(w[(line_no * 10 + 1):(line_no * 10 + 10)], ' ')) AS lh
+  FROM ser
+),
+rn AS (
+  SELECT doc_id, line_no,
+    ROW_NUMBER() OVER (PARTITION BY lh ORDER BY doc_id, line_no) AS r
+  FROM lines
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept
+FROM rn
+GROUP BY doc_id
+"""
+
+
+@register("text_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("text", "dedup", "curation"))
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (the C4/RefinedWeb step that strips
+    boilerplate repeated across pages): keep only the first occurrence of
+    each line, first = min (doc_id, line_no). The fixture has no newlines,
+    so "lines" are deterministic 10-word windows — the chunker is the
+    fixture stand-in; the dedup itself is the production shape.
+
+    Scale shape: lines are md5-hashed in the scan-stage projection, so the
+    one dedup shuffle carries 32-hex digests, never line text; first-
+    occurrence is a row_number window on the digest (same WindowGroupLimit
+    family as keep-latest), then one groupBy back to doc grain. The w array
+    is materialized in its own projection before the slice loop (measured
+    Spark 4 pitfall: inline arrays re-evaluate per lambda call)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(10)).cast("int")
+    chunked = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("w", i * 10 + 1, 10), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    hashed = chunked.select(
+        "doc_id", F.col("line_no").cast("long").alias("line_no"), F.md5("line").alias("lh")
+    )
+    w = Window.partitionBy("lh").orderBy("doc_id", "line_no")
+    rn = hashed.withColumn("r", F.row_number().over(w))
+    return rn.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+    )
