@@ -80,6 +80,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "events_sessionize": 1,    # window + groupBy share one shuffle on user_id
         "window_running_sum": 1,
         "events_dedup_latest": 1,
+        "text_line_dedup": 2,            # digest window + doc-grain groupBy
+        "curation_pack_sequences": 1,    # shard window; final agg reuses its layout
+        "curation_stratified_sample": 1, # WindowGroupLimit + one stratum shuffle
+        "curation_hash_split": 1,        # split is scan-stage; audit agg shuffles once
+        "curation_upsample_epochs": 0,   # generate-and-explode projection
     }
     for name, budget in budgets.items():
         n = count_exchanges(Q[name].fn(spark, sf_dir))

@@ -44,8 +44,14 @@ def has_window_group_limit(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (pre-AQE). Broadcast exchanges are not
-    counted — they move dim-sized data, not fact-sized."""
-    plan = explain_str(df)
+    counted — they move dim-sized data, not fact-sized.
+
+    Counted in "simple" mode, where each exchange prints inline as
+    ``Exchange hashpartitioning(...)``; formatted mode labels nodes
+    ``Exchange (5)`` with the partitioning on a separate Arguments line,
+    which this regex would miss entirely (and did, until a query with a
+    KNOWN shuffle count measured 0 — keep this in simple mode)."""
+    plan = explain_str(df, "simple")
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
 
 

@@ -866,11 +866,16 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — an aggregate reused against its own scalar max (the view +
     scalar-subquery shape).
 
-    The revenue aggregate is computed once; its 1-row max rides back in as
-    a broadcast, and the surviving (usually single-row) top set is the
-    broadcast side of the supplier join, so the supplier table is never
-    shuffled. Exact integer comparison for the max-equality (no fp
-    boundary tie risk).
+    The revenue aggregate is computed ONCE: the scalar max comes from a
+    global window over the already-aggregated per-supplier rows, not a
+    separate agg branch — a second branch re-instantiates the subtree with
+    fresh exprIds, which defeats exchange reuse and scans lineitem twice
+    (measured on the executed plan: two ShuffleQueryStages over the fact
+    table). The deliberate single-partition window moves only |suppliers|
+    aggregated rows, not fact data. The surviving (usually single-row) top
+    set is the broadcast side of the supplier join, so the supplier table
+    is never shuffled. Exact integer comparison for the max-equality (no
+    fp boundary tie risk).
     """
     li, supp = load(spark, sf_dir, "lineitem", "supplier")
     rev_q = F.round(
@@ -884,9 +889,9 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(rev_q).alias("total_q"))
     )
-    mx = revenue.agg(F.max("total_q").alias("mx"))
     top = (
-        revenue.join(F.broadcast(mx), F.col("total_q") == F.col("mx"))
+        revenue.withColumn("mx", F.max("total_q").over(Window.partitionBy()))
+        .filter(F.col("total_q") == F.col("mx"))
         .select("supplier_no", "total_q")
     )
     return (

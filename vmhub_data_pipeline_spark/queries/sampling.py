@@ -249,3 +249,147 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+_UPSAMPLE_ORACLE = """
+SELECT
+  doc_id,
+  source,
+  UNNEST(generate_series(1, (CAST(substr(source, 4) AS INTEGER) % 4) + 1)) AS epoch
+FROM documents
+"""
+
+
+@register("curation_upsample_epochs", oracle=_UPSAMPLE_ORACLE, tags=("curation",))
+def curation_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition knob of mixture construction — the complement of
+    curation_domain_mix's downsampling: high-weight sources are repeated
+    for multiple epochs (doc x epoch rows), the standard way to boost
+    scarce high-quality domains without dropping anything. Pure
+    projection + generate-and-explode: zero shuffle, scan speed; epoch
+    count derives from the source id exactly like domain_mix's weights."""
+    (docs,) = load(spark, sf_dir, "documents")
+    repeats = (F.substring("source", 4, 10).cast("int") % 4) + 1
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), repeats)).alias("epoch"),
+    )
+
+
+_SPLIT_CASE = """
+    CASE
+      WHEN substr(md5(concat('split-v1:', CAST(doc_id AS VARCHAR))), 1, 4) < 'cccc' THEN 'train'
+      WHEN substr(md5(concat('split-v1:', CAST(doc_id AS VARCHAR))), 1, 4) < 'e666' THEN 'val'
+      ELSE 'test'
+    END
+"""
+
+_DECON_EXACT_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, md5(lower(text)) AS fp, {_SPLIT_CASE} AS split
+  FROM documents
+),
+train_fp AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_train_copies FROM s WHERE split = 'train' GROUP BY fp
+)
+SELECT
+  e.doc_id, e.split,
+  COALESCE(t.n_train_copies, CAST(0 AS BIGINT)) AS n_train_copies,
+  (t.fp IS NOT NULL) AS is_contaminated
+FROM s e LEFT JOIN train_fp t ON e.fp = t.fp
+WHERE e.split <> 'train'
+"""
+
+
+@register("curation_decontaminate_exact", oracle=_DECON_EXACT_ORACLE, tags=("curation", "dedup"))
+def curation_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination audit, exact tier: for every val/test
+    document, does its text fingerprint appear verbatim in the train split?
+    One row per eval doc with the train-copy count — the report a pipeline
+    materializes before shipping an eval set. One shuffle on the 128-bit
+    fingerprint; the split is the same zero-shuffle derived-hash
+    assignment as curation_hash_split, so membership (and hence this
+    audit) is stable as the corpus grows."""
+    (docs,) = load(spark, sf_dir, "documents")
+    s = assign_split(docs, "doc_id", seed="split-v1").select(
+        "doc_id", "split", F.md5(F.lower(F.col("text"))).alias("fp")
+    )
+    train_fp = (
+        s.filter(F.col("split") == "train")
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_train_copies"))
+    )
+    ev = s.filter(F.col("split") != "train")
+    return ev.join(train_fp, "fp", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("n_train_copies", F.lit(0).cast("long")).alias("n_train_copies"),
+        F.col("n_train_copies").isNotNull().alias("is_contaminated"),
+    )
+
+
+_DECON_NGRAM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, {_SPLIT_CASE} AS split
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, split,
+    UNNEST(list_distinct(list_transform(
+      generate_series(0, LEN(w) - 13),
+      i -> md5(array_to_string(w[(i + 1):(i + 13)], ' '))
+    ))) AS gh
+  FROM base
+  WHERE LEN(w) >= 13
+)
+SELECT
+  e.doc_id AS eval_doc,
+  e.split  AS eval_split,
+  t.doc_id AS train_doc,
+  CAST(COUNT(*) AS BIGINT) AS n_shared_13grams
+FROM grams e
+JOIN grams t ON e.gh = t.gh AND t.split = 'train' AND e.split <> 'train'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("curation_decontaminate_ngram", oracle=_DECON_NGRAM_ORACLE, tags=("curation", "dedup"))
+def curation_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination, n-gram tier (the GPT-3-style 13-gram
+    overlap test): (eval doc, train doc) pairs sharing at least one
+    13-token window, with the shared-window count. Windows are md5-hashed
+    in the scan-stage projection and deduped per doc with array_distinct
+    BEFORE exploding, so the join shuffle carries (doc_id, digest) only —
+    never window text — and a random-vocabulary corpus can't generate hot
+    keys (a shared 13-gram implies genuine shared content, unlike single
+    tokens). Docs shorter than 13 tokens have no windows by definition
+    (guarded: Spark's sequence() would otherwise run BACKWARD on a
+    negative stop, not return empty like SQL generate_series)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = assign_split(docs, "doc_id", seed="split-v1").select(
+        "doc_id", "split", F.split(F.col("text"), " ").alias("w")
+    )
+    grams_arr = F.when(
+        F.size("w") >= 13,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 13),
+                lambda i: F.md5(F.array_join(F.slice("w", i + 1, 13), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = ws.select(
+        "doc_id", "split", F.explode(grams_arr).alias("gh")
+    )
+    ev = grams.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split"), "gh"
+    )
+    tr = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "gh"
+    )
+    return (
+        ev.join(tr, "gh")
+        .groupBy("eval_doc", "eval_split", "train_doc")
+        .agg(F.count("*").cast("long").alias("n_shared_13grams"))
+    )
