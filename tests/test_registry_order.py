@@ -49,14 +49,16 @@ REQUIRED_IN_WINDOW = {
         "curation_global_shuffle",
         "text_pii_redact",
         "pipeline_training_manifest",
+        "text_line_dedup",
+        "curation_decontaminate_ngram",
     ],
     # regression guard: previously-verified classes (displaced members keep
     # local-oracle coverage via tests/test_queries_oracle.py full-catalog run)
     "agg": ["q1_pricing_summary"],
     "window": ["window_topk_per_group"],
-    "join": ["join_q3_shipping", "join_broadcast_dim", "join_asof_attribution"],
+    "join": ["join_q3_shipping", "join_asof_attribution"],
     "setop": ["topk_orders"],
-    "events": ["events_sessionize", "events_watermark"],
+    "events": ["events_sessionize"],
 }
 
 

@@ -113,3 +113,12 @@ def test_pagerank_integer_chain_hand_computed(spark):
     # round 1: a=c=150000+85*500000//100=575000; b=150000+85*2000000//100=1850000
     # round 2: a=c=150000+85*(1850000//2)//100=936250; b=150000+85*1150000//100=1127500
     assert got == {"a": 936250, "b": 1127500, "c": 936250}
+
+
+def test_assign_split_null_id_lands_in_catchall(spark):
+    """md5(concat(seed, NULL)) is NULL, every threshold comparison is NULL,
+    so a NULL id falls through to the catch-all split — pinned so the
+    semantic is deliberate, not accidental."""
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    got = {r["k"]: r["split"] for r in assign_split(df, "k").collect()}
+    assert got[None] == "test"

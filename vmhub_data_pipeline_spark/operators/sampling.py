@@ -113,6 +113,8 @@ def pack_sequences(
     a single-partition running sum. Adds ``tokens_before`` (exclusive
     running sum) and ``bin_id``.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     shards = [shard_col] if isinstance(shard_col, str) else list(shard_col)
     w = (
         Window.partitionBy(*shards)

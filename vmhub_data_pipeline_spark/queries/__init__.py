@@ -112,17 +112,17 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_global_shuffle",
     "text_pii_redact",
     "pipeline_training_manifest",
+    "text_line_dedup",
+    "curation_decontaminate_ngram",
     # -- regression guard: one+ representative of every previously-green class
     #    (displaced entries stay covered by the local oracle mirror in
     #    tests/test_queries_oracle.py, which runs the FULL catalog) --
     "q1_pricing_summary",
     "window_topk_per_group",
     "join_q3_shipping",
-    "join_broadcast_dim",
     "join_asof_attribution",
     "topk_orders",
     "events_sessionize",
-    "events_watermark",
 )
 
 

@@ -393,3 +393,44 @@ def curation_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("eval_doc", "eval_split", "train_doc")
         .agg(F.count("*").cast("long").alias("n_shared_13grams"))
     )
+
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, n_occurrences,
+    CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) AS token_id
+  FROM freq
+)
+SELECT token_id, token, n_occurrences FROM ranked WHERE token_id < 32
+"""
+
+
+@register("curation_build_vocab", oracle=_VOCAB_ORACLE, tags=("curation", "text"))
+def curation_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocab construction: corpus token frequencies with
+    dense contiguous ids assigned by (count desc, token asc) — the
+    deterministic tie-break every reproducible tokenizer build needs.
+
+    Scale shape: the only corpus-sized work is explode + count groupBy
+    (map-side partial aggregation shrinks it to |vocab| before the
+    shuffle). The rank-and-truncate runs over the tiny aggregated vocab,
+    where Spark plans the rank<=k as WindowGroupLimit; id density comes
+    from row_number, not any collect."""
+    (docs,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    ranked = freq.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+    return ranked.filter(F.col("token_id") < 32).select(
+        "token_id", "token", "n_occurrences"
+    )
