@@ -225,3 +225,13 @@ def test_domain_mix_doc_side_joins_are_broadcast(spark, sf_dir):
     a 20-row table would be the classic scale mistake."""
     plan = explain_str(Q["curation_domain_mix"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_rank_filter_plans_as_global_topk(spark, sf_dir):
+    """The vocab truncation must filter on the BARE row_number attribute so
+    limit pushdown fires: for the unpartitioned window that plans as
+    TakeOrderedAndProject (distributed top-k merge). Deriving token_id
+    first and filtering on it defeats the rule (measured: full
+    single-partition sort of the vocab)."""
+    plan = explain_str(Q["curation_build_vocab"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject(limit=32" in plan, plan

@@ -122,3 +122,21 @@ def test_assign_split_null_id_lands_in_catchall(spark):
     df = spark.createDataFrame([(1,), (None,)], "k long")
     got = {r["k"]: r["split"] for r in assign_split(df, "k").collect()}
     assert got[None] == "test"
+
+
+def test_assign_split_rejects_bad_bounds(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="lowercase hex"):
+        assign_split(df, "k", thresholds=(("a", "CCCC"), ("b", None)))
+    with pytest.raises(ValueError, match="ascend"):
+        assign_split(df, "k", thresholds=(("a", "e666"), ("b", "cccc"), ("c", None)))
+
+
+def test_sample_chunks_empty_payload_yields_no_rows(spark):
+    from vmhub_data_pipeline_spark.operators.multimodal import sample_chunks
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 100), (2, b"")], "id long, payload binary"
+    )
+    rows = sample_chunks(df, "id", "payload", chunk_size=64, every_k=2).collect()
+    assert {r["id"] for r in rows} == {1}  # empty payload: zero chunks, no crash

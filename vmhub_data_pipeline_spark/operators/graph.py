@@ -118,8 +118,14 @@ def pagerank_integer(
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    verts = edges.select(F.col("a").alias("v")).distinct()
-    outdeg = edges.groupBy("a").agg(F.count("*").cast("long").alias("outdeg"))
+    # loop-invariant: checkpoint once, or every round's eager action would
+    # re-run the distinct and the degree aggregation from scratch
+    verts = edges.select(F.col("a").alias("v")).distinct().localCheckpoint(eager=True)
+    outdeg = (
+        edges.groupBy("a")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     teleport = ((100 - damping_pct) * init_score) // 100
 
     ranks = verts.withColumn(

@@ -237,16 +237,20 @@ def sample_chunks(
     domain (2 chars/byte), which is byte-exact and keeps the expression
     portable to the DuckDB oracle (whose substr has no BLOB overload).
     Output one row per sampled chunk: (id, chunk_idx, chunk_offset,
-    chunk_bytes, chunk_md5).
+    chunk_bytes, chunk_md5). A zero-length payload yields zero chunks
+    (guarded: Spark's sequence(0, -1, k) raises on the inverted bound
+    where SQL generate_series returns empty; explode of the empty array
+    drops the row, matching the oracle).
     """
     hx = F.upper(F.hex(F.col(payload_col)))
     n_chunks = F.ceil(F.length(payload_col) / F.lit(chunk_size)).cast("long")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1, F.lit(every_k).cast("long"))
+    ).otherwise(F.array().cast("array<bigint>"))
     sampled = df.select(
         F.col(id_col),
         hx.alias("__hx"),
-        F.explode(
-            F.sequence(F.lit(0), n_chunks - 1, F.lit(every_k))
-        ).alias("chunk_idx"),
+        F.explode(idx).alias("chunk_idx"),
     )
     chunk_hex = F.substring(
         F.col("__hx"), F.col("chunk_idx") * (2 * chunk_size) + 1, F.lit(2 * chunk_size)

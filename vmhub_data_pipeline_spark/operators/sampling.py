@@ -33,7 +33,6 @@ from typing import Iterator, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.storagelevel import StorageLevel
 
 
 def derived_hash(seed: str, key_col: str) -> F.Column:
@@ -65,6 +64,14 @@ def assign_split(
     bounds = list(thresholds)
     if bounds[-1][1] is not None:
         raise ValueError("last threshold must be the catch-all (bound=None)")
+    hexes = [b for _, b in bounds[:-1]]
+    # md5 output is lowercase hex; an uppercase or misordered bound would
+    # silently misassign rows (ASCII 'A'-'F' < 'a'-'f'), not error
+    for h in hexes:
+        if len(h) != 4 or any(c not in "0123456789abcdef" for c in h):
+            raise ValueError(f"threshold bound {h!r} must be 4 lowercase hex chars")
+    if hexes != sorted(hexes):
+        raise ValueError(f"threshold bounds must ascend, got {hexes}")
     h = F.substring(derived_hash(seed, id_col), 1, 4)
     expr = F.lit(bounds[-1][0])
     for name, bound in reversed(bounds[:-1]):
@@ -102,6 +109,7 @@ def pack_sequences(
     order_col: str,
     token_col: str,
     budget: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: walk each shard in ``order_col`` order,
     accumulate token counts, and open a new bin every ``budget`` tokens
@@ -112,13 +120,18 @@ def pack_sequences(
     exactly how pretraining shards are laid out. A global pack would force
     a single-partition running sum. Adds ``tokens_before`` (exclusive
     running sum) and ``bin_id``.
+
+    ``order_col`` must be unique per shard (or pass ``tiebreak_col``):
+    a ROWS running sum over tied keys depends on physical row order, which
+    would break the determinism contract between reruns and the oracle.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     shards = [shard_col] if isinstance(shard_col, str) else list(shard_col)
+    order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w = (
         Window.partitionBy(*shards)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tokens_before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
@@ -148,14 +161,19 @@ def zip_with_global_index(
     Because the key is totally ordered and unique (tiebreak included), the
     resulting index is independent of where the sampled range boundaries
     happen to fall. Input should be projected narrow *before* calling — only
-    the key columns ride through Arrow. The intermediate is persisted
-    (MEMORY_AND_DISK) so the count job and the enumerate job share one scan.
+    the key columns ride through Arrow. The intermediate is materialized via
+    ``localCheckpoint(eager=True)`` so the count job and the enumerate job
+    share one scan AND pid assignment cannot drift between them (a plain
+    persist could silently recompute with re-sampled range boundaries on
+    eviction — wrong offsets; a checkpoint read either succeeds or fails).
+    Checkpoint blocks are released by the ContextCleaner when the returned
+    frame is dropped, unlike an explicit persist which would leak per call.
     """
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
         .sortWithinPartitions(order_col, tiebreak_col)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
     offsets: dict[int, int] = {}

@@ -419,9 +419,13 @@ def curation_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only corpus-sized work is explode + count groupBy
     (map-side partial aggregation shrinks it to |vocab| before the
-    shuffle). The rank-and-truncate runs over the tiny aggregated vocab,
-    where Spark plans the rank<=k as WindowGroupLimit; id density comes
-    from row_number, not any collect."""
+    shuffle). The rank-and-truncate runs over the tiny aggregated vocab;
+    the filter is on the BARE row_number attribute vs a literal — the only
+    shape the limit-pushdown rules match, and for this unpartitioned
+    window Spark plans it as TakeOrderedAndProject(limit=32), the
+    distributed global top-k (filtering on the derived token_id = rn - 1
+    instead defeats the rule and fully sorts the vocab in one partition;
+    measured). token_id is derived after the prune; no collect anywhere."""
     (docs,) = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -430,7 +434,7 @@ def curation_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_occurrences"))
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    ranked = freq.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
-    return ranked.filter(F.col("token_id") < 32).select(
-        "token_id", "token", "n_occurrences"
+    ranked = freq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 32)
+    return ranked.select(
+        (F.col("rn") - 1).cast("long").alias("token_id"), "token", "n_occurrences"
     )
