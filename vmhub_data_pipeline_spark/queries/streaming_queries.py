@@ -263,3 +263,39 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("buy_id", "view_id", "user_id", "view_ts", "buy_ts", "buy_value")
     return _run_to_memory(spark, joined, "stream_ij", output_mode="append")
+
+
+def _landed_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Land documents.parquet as NDJSON once per app+sf_dir (same caching
+    contract as _landed_events)."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}#docs")
+    if key not in _LANDED:
+        (docs,) = load(spark, sf_dir, "documents")
+        scratch = tempfile.mkdtemp(prefix="vmhub_stream_docs_")
+        docs.repartition(4).write.mode("overwrite").json(scratch)
+        _LANDED[key] = scratch
+    return _LANDED[key]
+
+
+from .text import _PII_ORACLE as _BATCH_PII_ORACLE  # noqa: E402  (registered before this module in _load_all)
+
+
+@register("streaming_pii_redact", oracle=_BATCH_PII_ORACLE, tags=("streaming", "curation"))
+def streaming_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub as an ACTUAL streaming execution — curation applied at
+    ingest time rather than as a batch pass: file source over the landed
+    documents -> the EXACT SAME pii_redact_projection the batch query uses
+    -> append memory sink (stateless: no watermark, every input row emits
+    exactly once, so the batch oracle applies VERBATIM and this is the
+    fifth real streaming run with a full hash-match check)."""
+    from .text import pii_redact_projection
+
+    scratch = _landed_docs(spark, sf_dir)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = spark.readStream.schema(schema).json(scratch)
+    redacted = pii_redact_projection(stream)
+    return _run_to_memory(
+        spark, redacted, "stream_pii", output_mode="append", state_partitions=8
+    )

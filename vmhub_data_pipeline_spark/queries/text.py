@@ -378,21 +378,12 @@ FROM aug
 """
 
 
-@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "curation"))
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the redaction pass every training-data pipeline runs
-    before a corpus ships: count and replace emails, IPv4 addresses, and
-    phone numbers with typed placeholders.
-
-    The fixture text carries no PII, so each doc is first augmented with a
-    deterministic contact block derived from doc_id (both engines build the
-    identical string); the oracle then hash-matches the fully-redacted text,
-    proving the regex semantics — patterns are kept inside the Java-regex /
-    RE2 common subset — and the replacement order (email -> IP -> phone)
-    byte-for-byte. Pure JVM regexp projection: zero shuffle, scan speed at
-    100 TB.
-    """
-    (docs,) = load(spark, sf_dir, "documents")
+def pii_redact_projection(docs: DataFrame) -> DataFrame:
+    """The PII-scrub projection shared verbatim by the batch query and the
+    streaming run (streaming_pii_redact): augment with the deterministic
+    contact block, count each pattern, hash the fully-redacted text. Pure
+    stateless JVM expressions, so the SAME code path serves both engines'
+    execution modes — the declarative-plan promise made concrete."""
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -430,6 +421,25 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "curation"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before a corpus ships: count and replace emails, IPv4 addresses, and
+    phone numbers with typed placeholders.
+
+    The fixture text carries no PII, so each doc is first augmented with a
+    deterministic contact block derived from doc_id (both engines build the
+    identical string); the oracle then hash-matches the fully-redacted text,
+    proving the regex semantics — patterns are kept inside the Java-regex /
+    RE2 common subset — and the replacement order (email -> IP -> phone)
+    byte-for-byte. Pure JVM regexp projection: zero shuffle, scan speed at
+    100 TB. Shared with the real streaming execution (streaming_pii_redact)
+    via pii_redact_projection.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    return pii_redact_projection(docs)
 
 
 _LINE_DEDUP_ORACLE = """
