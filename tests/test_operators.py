@@ -471,3 +471,35 @@ def test_lsh_clusters_refine_exact_clusters(spark):
     for doc, cid in lsh.items():
         by_lsh[cid].add(exact[doc])
     assert all(len(s) == 1 for s in by_lsh.values())
+
+
+def test_knn_zero_norm_vector_never_ranks(spark):
+    """A zero-norm corpus vector must fall out of every top-k: 0/0 cosine
+    would be NaN, which Spark sorts ABOVE every real double under desc —
+    cosine_expr returns NULL instead (sorts last)."""
+    from vmhub_data_pipeline_spark.operators.similarity import brute_force_knn
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (99, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = brute_force_knn(corpus, queries, "vec_id", "embedding", k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_media_features_null_payload_flagged_not_fatal(spark):
+    """A NULL payload is a corpus-QA case, not a crash: the feature row
+    comes back with empty-bytes stats instead of failing the job."""
+    from vmhub_data_pipeline_spark.operators.multimodal import extract_media_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG1234"), "image/png", 8), (2, None, "image/png", None)],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    rows = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+    assert rows[2]["n_bytes"] == 0
+    assert rows[2]["entropy"] == 0.0
+    assert rows[1]["n_bytes"] == 8

@@ -218,3 +218,21 @@ def test_transform_with_state_processor_logic_directly():
     assert out2["n_events"].iloc[0] == 3
     assert out2["total_value"].iloc[0] == 3.76  # exact cents, no fp drift
     assert out2["last_seen"].iloc[0] == pd.Timestamp("2024-01-03")
+
+
+def test_stateful_null_value_does_not_kill_the_stream():
+    """EVENTS_SCHEMA allows null value; NaN -> astype('int64') raises, which
+    would fail the task identically on every retry (stream permanently
+    dead). The update function must treat null value as 0 cents."""
+    import numpy as np
+    import pandas as pd
+
+    from vmhub_data_pipeline_spark.streaming.stateful import _update_user_profile
+
+    state = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {"value": [1.25, np.nan], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    out = list(_update_user_profile((7,), iter([pdf]), state))
+    assert len(out) == 1
+    assert state.get == (2, 125, int(pd.Timestamp("2024-01-02").value) // 1000)

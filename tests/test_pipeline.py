@@ -159,10 +159,13 @@ def test_compaction_recovers_from_stale_old_dir(spark, tmp_path):
     for i in range(4):
         write_lake(_records(spark, n=20, ts=f"2024-01-0{i+1}T00:00:00Z"), layout)
     before = read_lake(spark, layout).orderBy("id", "ingestion_timestamp").collect()
-    part = Path(layout.root) / "cnpj=12345678000190" / "endpoint=vendas" / "ds=2024-01-01"
-    stale = Path(f"{part}__old")
+    parent = Path(layout.root) / "cnpj=12345678000190" / "endpoint=vendas"
+    stale = parent / ".ds=2024-01-01__old"
     stale.mkdir()
     (stale / "part-junk.json").write_text('{"id": 999999}\n')
+    # dot-prefixed staging debris is invisible to lake reads even BEFORE the
+    # next compaction clears it (Spark file listing skips '.'/'_' names)
+    assert read_lake(spark, layout).filter("id = 999999").count() == 0
     assert compact_partition(
         spark, layout, "12345678000190", "vendas", "2024-01-01",
         target_file_bytes=10_000_000,

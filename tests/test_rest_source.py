@@ -207,3 +207,35 @@ def test_streaming_datasource_pages_exactly_once(spark, tmp_path):
     assert got == list(range(37))  # every record exactly once
     pages = {r["page"] for r in out}
     assert pages == set(range(8))  # 37 records / page_size 5 -> pages 0..7
+
+
+def test_distributed_fetch_stripes_pages_and_threads_dates(spark):
+    """tasks_per_date=2 must (a) deliver every record exactly once via page
+    striping (slot s fetches pages s, s+2, ...), and (b) hand each task's
+    date to a date-aware transport factory so each slice fetches ITS day's
+    range rather than re-fetching a factory-frozen one."""
+    cfg = EndpointConfig("vendas", page_size=10, requires_date_range=True)
+
+    class DateAwareFactory:
+        def __call__(self, date_str=None):
+            # embed the date into each record so the assertion can see
+            # which slice fetched it
+            recs = [dict(r, fetched_for=date_str) for r in RECORDS]
+            api = MockVMHubAPI({"vendas": recs})
+            return api.get
+
+    df = fetch_endpoint_distributed(
+        spark, cfg, DateAwareFactory(),
+        dates=["2024-01-01", "2024-01-02"], tasks_per_date=2,
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * len(RECORDS)  # exactly once per (date, record)
+    by_date = {}
+    for r in rows:
+        rec = json.loads(r["record"])
+        assert rec["fetched_for"] == r["date"]  # date threaded to transport
+        by_date.setdefault(r["date"], set()).add(rec["id"])
+    assert all(ids == {r["id"] for r in RECORDS} for ids in by_date.values())
+    # striping is real: both slots contributed pages (slot 0 -> 0,2; slot 1 -> 1)
+    pages = {r["page"] for r in rows}
+    assert pages == {0, 1, 2}

@@ -211,3 +211,39 @@ def test_stream_to_lake_foreachbatch_idempotent_replay(spark, tmp_path):
         again.select(F0.sum(F0.hash(*ev.columns)).alias("h")).first()["h"]
         == first_hash
     )
+
+
+def test_stream_to_lake_multibatch_same_day_no_loss(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) whose files BOTH contain
+    rows for the same days: the sink must keep both batches' rows. A
+    ds-keyed overwrite would have batch 1 wipe batch 0's share of every
+    overlapping day — the cross-batch data-loss case the (ds, __sb)
+    partition key exists for."""
+    import pyspark.sql.functions as F0
+
+    from vmhub_data_pipeline_spark.streaming.events import (
+        TS_FORMAT,
+        events_file_stream,
+        start_to_lake,
+    )
+    from vmhub_data_pipeline_spark.tables import table
+
+    ev = table(spark, SF, "events").filter(F0.col("user_id") < 30)
+    src = str(tmp_path / "src")
+    # round-robin repartition: every day's rows straddle both files
+    ev.repartition(2).write.mode("overwrite").option(
+        "timestampFormat", TS_FORMAT
+    ).json(src)
+    warehouse = str(tmp_path / "warehouse")
+
+    q = start_to_lake(
+        events_file_stream(spark, src, max_files_per_trigger=1),
+        warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_keys=["event_id"],
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(warehouse)
+    assert got.count() == ev.count()
+    # and the batches really were separate (two __sb partitions landed)
+    assert got.select("__sb").distinct().count() >= 2

@@ -179,7 +179,11 @@ def extract_media_features(
             for doc_id, payload, media_type, n_bytes in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"], pdf["n_bytes"]
             ):
-                data = bytes(payload)
+                # NULL payloads are a normal corpus-QA case (that's what
+                # entropy screens exist for) — emit a flaggable empty-bytes
+                # row instead of killing the job with bytes(None)
+                data = b"" if payload is None else bytes(payload)
+                n_bytes = 0 if pd.isna(n_bytes) else n_bytes
                 if deterministic_fake:
                     w, h, fmt = _fake_features(data)
                 else:

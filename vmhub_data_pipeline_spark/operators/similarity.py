@@ -40,7 +40,13 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """NULL (not NaN) when either vector has zero norm: 0/0 would yield
+    NaN, and Spark orders NaN GREATER than every double — a single
+    zero-norm junk row (padding, failed embedding) would otherwise rank as
+    the #1 neighbor for every query under desc(cosine). NULLs sort LAST
+    under desc, so degenerate vectors fall out of every top-k instead."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom)
 
 
 def brute_force_knn(

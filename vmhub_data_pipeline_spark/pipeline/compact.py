@@ -56,15 +56,19 @@ def compact_partition(
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if n_out >= n_files:
         return 0  # already at/below target granularity
-    part_path = f"{layout.root}/cnpj={cnpj}/endpoint={endpoint}/ds={ds}"
+    parent = f"{layout.root}/cnpj={cnpj}/endpoint={endpoint}"
+    part_path = f"{parent}/ds={ds}"
     df = spark.read.json(part_path)
     # stage through a temp subtree then swap — Spark can't overwrite a path
-    # it is currently reading
-    tmp_path = f"{part_path}__compacting"
+    # it is currently reading. Staging dirs are DOT-prefixed: Spark's file
+    # listing skips names starting with '.' or '_', so a concurrent lake
+    # read (or one after a crash mid-swap) never discovers the staging
+    # trees as bogus `ds=...__compacting` partitions with duplicate rows.
+    tmp_path = f"{parent}/.ds={ds}__compacting"
     df.coalesce(n_out).write.mode("overwrite").json(tmp_path)
     import shutil
 
-    old_path = f"{part_path}__old"
+    old_path = f"{parent}/.ds={ds}__old"
     shutil.rmtree(old_path, ignore_errors=True)  # leftover from a prior crash
     shutil.move(part_path, old_path)  # rename aside: old data still intact
     shutil.move(tmp_path, part_path)  # new data in place

@@ -146,13 +146,17 @@ def refresh_table(
             "approx_partitions_touched"
         ),
     )
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, NOT the session conf: refresh_table runs from
+    # concurrent endpoint threads sharing one SparkSession
+    # (pipeline/orchestrate.py) — a set/restore of the global conf races
+    # (thread B's restore lands before thread A's write executes, and a
+    # static-mode overwrite deletes every partition in the table)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(table_path)
+    )
     try:
         log.info("refresh %s: %s", table_path, obs.get)
     except Exception:

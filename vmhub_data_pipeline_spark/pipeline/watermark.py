@@ -27,25 +27,35 @@ def lake_watermark(
 ) -> date | None:
     """Max landed ds for (cnpj, endpoint), or None if nothing landed.
 
-    Reads partition values from the file index (``input_file_name`` is not
-    needed — ds is a partition column, so this scans zero data rows: the
-    aggregate folds over the partition-value metadata only). Invalid ds
-    values parse to NULL and are skipped (reference's warn-and-skip,
-    src/utils/gcs_helper.py:213-218).
+    TRUE metadata-only cost: lists the partition DIRECTORIES and parses
+    their ds= values — O(partitions) filesystem entries, zero data rows.
+    (A schema-less spark.read.json here would run full-corpus schema
+    inference plus a row scan just to fold partition values the directory
+    names already carry — the lake is NDJSON, which cannot column-prune.)
+    Hidden ('.'/'_'-prefixed) names are skipped, matching Spark's own
+    listing; invalid ds values are skipped (reference's warn-and-skip,
+    src/utils/gcs_helper.py:213-218). Local-filesystem paths, like the
+    rest of the lake layer; an object-store lake would route the same
+    listing through the Hadoop FileSystem API.
     """
+    import os
+
+    endpoint_dir = f"{layout.root}/cnpj={cnpj}/endpoint={endpoint}"
     try:
-        df = (
-            spark.read.option("basePath", layout.root)
-            .json(f"{layout.root}/cnpj={cnpj}/endpoint={endpoint}")
-        )
-    except Exception:
+        names = os.listdir(endpoint_dir)
+    except (FileNotFoundError, NotADirectoryError):
         return None
-    if "ds" not in df.columns:
-        return None
-    row = df.select(
-        F.max(F.expr("try_to_date(cast(ds as string), 'yyyy-MM-dd')")).alias("wm")
-    ).first()
-    return row["wm"] if row else None
+    best: date | None = None
+    for name in names:
+        if not name.startswith("ds=") or name.startswith((".", "_")):
+            continue
+        try:
+            d = date.fromisoformat(name[3:])
+        except ValueError:
+            continue  # warn-and-skip semantics: malformed ds dirs ignored
+        if best is None or d > best:
+            best = d
+    return best
 
 
 def daily_ranges(start: date, end: date) -> list[tuple[date, date]]:

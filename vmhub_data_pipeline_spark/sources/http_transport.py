@@ -59,9 +59,11 @@ class HttpTransport:
 
     def __call__(self, endpoint: str, page: int, page_size: int) -> list[dict]:
         params: dict[str, object] = {
-            # URL-quote the tenant id (P8; reference quote(cnpj) :120) —
-            # requests would also encode it, but quoting here preserves the
-            # reference's exact wire format for ids containing '/'
+            # URL-quote the tenant id (P8; reference quote(cnpj) :120).
+            # requests encodes params again, so an id containing '/' goes on
+            # the wire DOUBLE-encoded (%252F) — deliberately bug-compatible:
+            # the reference passes quote(cnpj) into requests params too
+            # (vmhub_client.py:120-125), and the server expects that form.
             "CNPJ": quote(self.cnpj, safe=""),
             "pagina": page,
             "quantidade": page_size,
@@ -121,12 +123,21 @@ class http_transport_factory:
     date_start: datetime | None = None
     date_end: datetime | None = None
 
-    def __call__(self) -> HttpTransport:
+    def __call__(self, date_str: str | None = None) -> HttpTransport:
+        """fetch_endpoint_distributed passes the task's date slice so each
+        worker fetches ITS day's range (reference daily loop,
+        src/main.py:243); without it every slice would re-fetch the
+        factory-frozen range. Closed day bounds per SURVEY §7 decision 1."""
+        date_start, date_end = self.date_start, self.date_end
+        if date_str is not None:
+            d = datetime.strptime(date_str, "%Y-%m-%d")
+            date_start = d
+            date_end = d.replace(hour=23, minute=59, second=59)
         return HttpTransport(
             base_url=self.base_url,
             api_key=self.api_key,
             cnpj=self.cnpj,
             timeout=self.timeout,
-            date_start=self.date_start,
-            date_end=self.date_end,
+            date_start=date_start,
+            date_end=date_end,
         )

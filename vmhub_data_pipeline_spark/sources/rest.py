@@ -148,13 +148,16 @@ class RestIngestor:
         concurrent workers hitting the same 429 storm desynchronize)."""
         backoff = self.cfg.backoff_initial
         last: Exception | None = None
-        for _ in range(self.cfg.max_retries + 1):
+        attempts = self.cfg.max_retries + 1
+        for attempt in range(attempts):
             try:
                 return self.transport(self.cfg.name, page, page_size)
             except (FatalHTTPError, NoMoreDataError):
                 raise
             except Exception as e:  # retryable
                 last = e
+                if attempt == attempts - 1:
+                    break  # no retry left — don't burn a dead sleep
                 jitter = self.rng() * self.cfg.jitter_frac * backoff
                 self.sleep(min(backoff + jitter, self.cfg.backoff_max))
                 backoff = max(backoff, 0.1) * self.cfg.backoff_multiplier
@@ -177,11 +180,19 @@ class RestIngestor:
             out.extend(rows)
         return out
 
-    def fetch_all(self, max_pages: int = 10_000) -> Iterator[list[dict]]:
+    def fetch_all(
+        self, max_pages: int = 10_000, start_page: int = 0, stride: int = 1
+    ) -> Iterator[list[dict]]:
         """Sequential page loop with EOF on empty page (src/main.py:57-72)
-        and client-side inter-page pacing (src/main.py:86)."""
-        for page in range(max_pages):
-            if page and self.cfg.page_delay:
+        and client-side inter-page pacing (src/main.py:86).
+
+        ``start_page``/``stride`` stripe the page space across concurrent
+        workers (worker s of N fetches pages s, s+N, s+2N, ...): each
+        worker's loop still terminates on its first empty/NoMoreData page,
+        which is correct for the empty-page-EOF protocol because every page
+        past the true end is empty. Pacing applies per worker."""
+        for page in range(start_page, max_pages * stride, stride):
+            if page != start_page and self.cfg.page_delay:
                 self.sleep(self.cfg.page_delay)
             try:
                 rows = self._fetch_with_backoff(page, self.cfg.page_size)
@@ -216,10 +227,18 @@ def fetch_endpoint_distributed(
     parse ``record`` with an explicit schema (schema.spec.compile_schema +
     from_json) — same split as the reference's land-then-load.
 
-    ``transport_factory`` must be picklable and is invoked ONCE PER WORKER
-    (executor-side); for a live API it would build an HTTP session there —
-    credentials resolve driver-side and travel as task data, never as
-    executor state (reference's credential flow, src/main.py:301-310).
+    ``transport_factory`` must be picklable and is invoked executor-side,
+    once per (date, slot) task; for a live API it builds an HTTP session
+    there — credentials resolve driver-side and travel as task data, never
+    as executor state (reference's credential flow, src/main.py:301-310).
+    Factories that accept an optional date argument (http_transport_factory
+    does) are called with the task's date so each slice fetches ITS day's
+    range; zero-arg factories keep working for date-agnostic endpoints.
+
+    ``tasks_per_date`` stripes the page space: slot s of N fetches pages
+    s, s+N, s+2N, ... (see fetch_all), so one hot date parallelizes across
+    N tasks instead of one sequential loop — valid under the
+    empty-page-EOF protocol since every page past the true end is empty.
     """
     import pandas as pd
 
@@ -231,9 +250,12 @@ def fetch_endpoint_distributed(
 
     ship_module_by_value(__name__)
 
-    spec_rows = [(d,) for d in (dates or ["__nodate__"])]
-    specs = spark.createDataFrame(spec_rows, "date string").repartition(
-        max(1, len(spec_rows) * tasks_per_date)
+    n_slots = max(1, tasks_per_date)
+    spec_rows = [
+        (d, s) for d in (dates or ["__nodate__"]) for s in range(n_slots)
+    ]
+    specs = spark.createDataFrame(spec_rows, "date string, slot int").repartition(
+        len(spec_rows)
     )
 
     import dataclasses
@@ -244,8 +266,17 @@ def fetch_endpoint_distributed(
         from datetime import datetime, timezone
 
         worker_cfg = EndpointConfig(**cfg_dict)
-        transport = transport_factory()
-        ing = RestIngestor(worker_cfg, transport)
+
+        def make_ingestor(date_str: str) -> RestIngestor:
+            # date-aware factories get the task's date (each slice fetches
+            # its own day's range); zero-arg factories stay supported
+            try:
+                transport = transport_factory(
+                    None if date_str == "__nodate__" else date_str
+                )
+            except TypeError:
+                transport = transport_factory()
+            return RestIngestor(worker_cfg, transport)
 
         def batch_instant() -> str:
             # one ISO instant per batch (reference src/main.py:35); inlined
@@ -253,10 +284,13 @@ def fetch_endpoint_distributed(
             return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
         for pdf in batches:
-            for d in pdf["date"]:
+            for d, slot in zip(pdf["date"], pdf["slot"]):
+                ing = make_ingestor(d)
                 rows_out: list[tuple[str, int, str]] = []
                 ts = batch_instant()
-                for page_no, page_rows in enumerate(ing.fetch_all()):
+                pages = ing.fetch_all(start_page=int(slot), stride=n_slots)
+                for stripe_no, page_rows in enumerate(pages):
+                    page_no = int(slot) + stripe_no * n_slots
                     for rec in page_rows:
                         rec = dict(rec)
                         rec["ingestion_timestamp"] = ts

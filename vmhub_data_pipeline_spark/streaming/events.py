@@ -133,28 +133,37 @@ def start_to_lake(
 
     Each micro-batch derives its `ds` partitions and runs the SAME
     dynamic-partition-overwrite refresh the batch pipeline uses
-    (pipeline/lake.py:refresh_table): a replayed micro-batch (checkpoint
-    loss, at-least-once source) rewrites exactly the partitions it touches
-    with identical content instead of appending duplicates — Spark's
-    exactly-once sink contract rebuilt from an idempotent writer, which is
-    the reference's truncate-reload semantics done per-partition
-    (src/utils/bigquery_helper.py:120).
+    (pipeline/lake.py:refresh_table) — but partitioned on
+    (*partition_cols, __sb=batch_id), NOT on ds alone. The batch id is
+    load-bearing: two micro-batches of one stream can land rows for the
+    SAME day, and a ds-keyed overwrite would have batch N wipe batch
+    N-1's rows for that day (cross-batch data loss). Keyed on (ds, __sb),
+    a REPLAYED micro-batch (checkpoint loss, at-least-once source —
+    foreachBatch re-delivers the same batch_id) overwrites exactly its own
+    partitions with identical content, while distinct batches never touch
+    each other — Spark's exactly-once sink contract rebuilt from an
+    idempotent writer (the reference's truncate-reload,
+    src/utils/bigquery_helper.py:120, done per-partition). Readers treat
+    __sb as an opaque layout column (prune it or dedup across it).
 
     Watermark-less by design: day partitions are closed by the overwrite
-    being keyed on ds, not by event-time completion.
+    being keyed on (ds, batch), not by event-time completion.
     """
     from ..pipeline.lake import refresh_table
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        staged = batch_df.withColumn("ds", F.to_date("ts").cast("string"))
+        staged = (
+            batch_df.withColumn("ds", F.to_date("ts").cast("string"))
+            .withColumn("__sb", F.lit(int(batch_id)))
+        )
         refresh_table(
             staged,
             table_path,
             dedup_keys=dedup_keys,
             order_col=order_col,
-            partition_cols=partition_cols,
+            partition_cols=(*partition_cols, "__sb"),
         )
 
     return (

@@ -51,8 +51,11 @@ def _update_user_profile(key, pdfs: Iterable, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         # integer-cents accumulation: state survives arbitrarily many
-        # micro-batches without fp drift
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # micro-batches without fp drift. fillna BEFORE the int cast — the
+        # schema allows null values, and astype('int64') on NaN raises,
+        # which would kill the stream permanently (same failed task on
+        # every retry)
+        cents += int((pdf["value"].fillna(0.0) * 100).round().astype("int64").sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
     state.update((n, cents, last_us))
@@ -119,7 +122,9 @@ class UserProfileProcessor(StatefulProcessor):
         )
         for pdf in rows:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # fillna before the int cast: NaN -> astype('int64') raises and
+            # would permanently fail the stream (see _update_user_profile)
+            cents += int((pdf["value"].fillna(0.0) * 100).round().astype("int64").sum())
             if len(pdf):
                 last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
         self._profile.update((n, cents, last_us))
