@@ -42,11 +42,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; valid: {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is parquet TIMESTAMP(NANOS), read as ns-since-epoch long via
-        # spark.sql.legacy.parquet.nanosAsLong. Integer `div` floors to µs,
-        # matching DuckDB's ns->µs truncation exactly.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts is parquet TIMESTAMP(NANOS), read as ns-since-epoch long via
+            # spark.sql.legacy.parquet.nanosAsLong. Integer `div` floors to µs,
+            # matching DuckDB's ns->µs truncation exactly.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ. Session tz is pinned to UTC, so the
+            # cast is a pure reinterpretation (same wall clock, same micros);
+            # downstream µs arithmetic (unix_micros) needs the LTZ type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
