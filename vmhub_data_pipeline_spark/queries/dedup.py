@@ -171,6 +171,103 @@ GROUP BY src
 """
 
 
+# SemDeDup-style semantic dedup. Cluster scoping via DETERMINISTIC
+# random-hyperplane buckets (md5-derived planes, operators/similarity.py
+# _hyperplane) rather than k-means: identical semantics — prune near-identical
+# embeddings within a cluster — but the bucket id is a pure function of the
+# vector, so the DuckDB oracle reproduces the whole query bit-for-bit (the
+# plane constants are inlined into the SQL below). 4 planes -> 16 buckets at
+# fixture scale; at corpus scale planes grow with log(n/target_bucket_size).
+_SEM_N_PLANES = 4
+_SEM_DIM = 64
+_SEM_THRESHOLD = 0.4  # fixture-tuned, same rationale as dedup_embedding_cosine
+
+
+def _sem_planes() -> list[list[float]]:
+    from ..operators.similarity import _hyperplane
+
+    return [_hyperplane(_SEM_DIM, i) for i in range(_SEM_N_PLANES)]
+
+
+def _sem_bucket_sql() -> str:
+    terms = []
+    for i, p in enumerate(_sem_planes()):
+        lits = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SEM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {{bucket}} AS bucket FROM e
+),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM b lo JOIN b hi
+    ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+  WHERE list_dot_product(lo.v, hi.v)
+        / (sqrt(list_dot_product(lo.v, lo.v)) * sqrt(list_dot_product(hi.v, hi.v)))
+        >= {_SEM_THRESHOLD}
+)
+SELECT
+  b.vec_id,
+  CAST(b.bucket AS BIGINT) AS bucket,
+  (d.vec_id IS NULL) AS keep
+FROM b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+""".replace("{bucket}", "__BUCKET__")
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEM_ORACLE.replace("__BUCKET__", _sem_bucket_sql()),
+    tags=("dedup", "vector"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup shape: bucket the corpus
+    into clusters, then within each cluster drop every vector that has a
+    lower-id neighbor above the cosine threshold — one representative
+    survives per near-duplicate group, and cross-cluster pairs are never
+    compared (that sub-quadratic scoping is the whole point at scale).
+
+    Scale shape: bucket assignment is a scan-stage projection (4 fixed
+    hyperplane dot products, JVM built-ins); the only join is the
+    within-bucket self-join — work is sum over buckets of |bucket|^2, not
+    n^2, and plane count tunes bucket size against recall. The drop set
+    collapses to DISTINCT ids (two longs on the wire), then an id-only
+    left anti join marks survivors. Hash-verified against a DuckDB oracle
+    carrying the identical plane constants."""
+    from ..operators.similarity import _as_double, cosine_expr, lsh_bucket_expr
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket_expr(_as_double(F.col("embedding")), _sem_planes())
+        .cast("long")
+        .alias("bucket"),
+    )
+    lo = b.select(
+        F.col("bucket").alias("bkt"), F.col("vec_id").alias("lo_id"), F.col("v").alias("lo_v")
+    )
+    dropped = (
+        lo.join(
+            b.select("bucket", F.col("vec_id").alias("hi_id"), F.col("v").alias("hi_v")),
+            (F.col("bkt") == F.col("bucket")) & (F.col("lo_id") < F.col("hi_id")),
+        )
+        .filter(cosine_expr(F.col("lo_v"), F.col("hi_v")) >= _SEM_THRESHOLD)
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    return b.join(dropped.withColumn("dropped", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "bucket", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")
+    )
+
+
 @register("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("dedup", "iterative"))
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairs: exact Jaccard>=0.9 pairs (same

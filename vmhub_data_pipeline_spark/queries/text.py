@@ -505,3 +505,69 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
     )
+
+
+# fastText-style hashed linear model: w(token) = first 32 md5 bits of
+# ('clf-v1:' + token) recentred to a signed 32-bit integer. A real deployment
+# swaps the hash-derived weights for trained ones (same hashing-trick lookup,
+# e.g. a CCNet/DSIR-style quality model exported as a weight table); the
+# plumbing — per-token weight lookup folded JVM-side with exact integer
+# arithmetic — is identical, and hash weights keep the query a pure function
+# both engines reproduce bit-for-bit.
+_CLF_SCALE = 2147483648  # 2^31: recentre offset and score denominator
+
+_CLF_ORACLE = f"""
+WITH t AS (
+  SELECT
+    doc_id,
+    list_transform(
+      string_split(lower(text), ' '),
+      w -> CAST(concat('0x', substr(md5(concat('clf-v1:', w)), 1, 8)) AS BIGINT)
+           - {_CLF_SCALE}
+    ) AS ws
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(LEN(ws) AS BIGINT) AS n_tokens,
+  CAST(list_aggregate(ws, 'sum') AS BIGINT) AS score_num,
+  ROUND(CAST(list_aggregate(ws, 'sum') AS DOUBLE)
+        / (CAST(LEN(ws) AS DOUBLE) * {_CLF_SCALE}.0), 6) AS clf_score,
+  (list_aggregate(ws, 'sum') >= 0) AS clf_keep
+FROM t
+"""
+
+
+@register("text_classifier_score", oracle=_CLF_ORACLE, tags=("text", "curation"))
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier scoring (the fastText/DSIR filter
+    shape): per-token weight via the hashing trick, folded to a per-document
+    score, thresholded to a keep/drop label.
+
+    Scale shape: the weight lookup is md5 -> 32-bit int inside a transform()
+    lambda and the fold is aggregate() over the token array — all JVM
+    built-ins in one scan-stage projection, zero shuffle, no UDF, no model
+    broadcast. The score accumulates in exact int64 (sum of signed-int32
+    weights can't overflow below ~2^32 tokens/doc), so the keep/drop cut and
+    the hash-compare are order-independent; only the final ratio touches
+    floating point, after the exact division operands are fixed."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    weights = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit("clf-v1:"), t)), 1, 8), 16, 10
+        ).cast("long")
+        - F.lit(_CLF_SCALE).cast("long"),
+    )
+    score_num = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_tokens = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score_num.alias("score_num"),
+        F.round(
+            score_num.cast("double") / (n_tokens.cast("double") * F.lit(float(_CLF_SCALE))), 6
+        ).alias("clf_score"),
+        (score_num >= 0).alias("clf_keep"),
+    )
