@@ -52,6 +52,11 @@ HEADLINE = [
     # zipWithIndex global shuffle (range repartition + enumerate)
     "text_pii_redact",
     "curation_global_shuffle",
+    # model-based filtering tier: hashed-linear classifier (scan-speed),
+    # per-language perplexity terciles, bucket-scoped semantic dedup
+    "text_classifier_score",
+    "text_perplexity_filter",
+    "dedup_semantic",
 ]
 
 

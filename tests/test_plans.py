@@ -56,10 +56,23 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
 
 def test_no_cartesian_in_pair_generation(spark, sf_dir):
     """Near-dup pair generation must never degrade to CartesianProduct —
-    the inverted-index/LSH equi-joins are the whole point."""
-    for name in ("dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash"):
+    the inverted-index/LSH/bucket equi-joins are the whole point."""
+    for name in ("dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash", "dedup_semantic"):
         plan = explain_str(Q[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_classifier_score_is_scan_stage(spark, sf_dir):
+    """The hashed-linear classifier is a pure projection: any exchange means
+    the weight fold fell out of the scan stage."""
+    assert count_exchanges(Q["text_classifier_score"].fn(spark, sf_dir)) == 0
+
+
+def test_perplexity_profile_joins_are_broadcast(spark, sf_dir):
+    """Perplexity scoring joins the (vocab x langs) LM profile into the
+    per-(doc,word) fact side — broadcast at any corpus size, like langid."""
+    plan = explain_str(Q["text_perplexity_filter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
 
 
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):

@@ -223,6 +223,110 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style perplexity filtering: score every document under a unigram LM
+# of ITS OWN language (trained on the corpus itself here; production swaps in
+# counts from a trusted reference corpus — same join topology), then bucket
+# per-language into head/middle/tail terciles. Cross-entropy accumulates in
+# integer micro-nats (same quantization as langid) so bucket boundaries are
+# bit-deterministic across engines.
+_PPL_ORACLE = """
+WITH wd AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, lang, word, COUNT(*) AS wcnt FROM wd GROUP BY doc_id, lang, word
+),
+profile AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM wd GROUP BY lang, word
+),
+lang_tot AS (
+  SELECT lang, COUNT(*) AS tot FROM wd GROUP BY lang
+),
+vocab AS (
+  SELECT COUNT(DISTINCT word) AS v FROM wd
+),
+xent AS (
+  SELECT
+    wc.doc_id,
+    wc.lang,
+    CAST(SUM(wc.wcnt) AS BIGINT) AS n_tokens,
+    -SUM(wc.wcnt * CAST(ROUND(LN(
+      CAST(profile.cnt + 1 AS DOUBLE) / CAST(lang_tot.tot + vocab.v AS DOUBLE)
+    ) * 1000000.0) AS BIGINT)) AS xent_q
+  FROM wc
+  JOIN profile ON profile.lang = wc.lang AND profile.word = wc.word
+  JOIN lang_tot ON lang_tot.lang = wc.lang
+  CROSS JOIN vocab
+  GROUP BY wc.doc_id, wc.lang
+)
+SELECT
+  doc_id,
+  lang,
+  n_tokens,
+  xent_q,
+  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY xent_q * 1.0 / n_tokens, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM xent
+"""
+
+
+@register("text_perplexity_filter", oracle=_PPL_ORACLE, tags=("text", "curation"))
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality bucketing (the CCNet filter shape): unigram
+    LM per language, per-document cross-entropy, head/middle/tail terciles
+    within each language — 'head' is the lowest-perplexity (most fluent)
+    third a pretraining pipeline keeps or upweights.
+
+    Scale shape: fact side collapses to per-(doc,word) counts before any
+    join; the LM profile (vocab x langs) broadcasts at any corpus size; the
+    inner join (every scored word was observed in training here) means no
+    smoothing-only rows materialize. Two fact shuffles total — (doc,word)
+    grain then doc grain — plus one per-language tercile window. The mean
+    cross-entropy used for ordering divides two exact integers, so tercile
+    cuts can't drift with summation order; doc_id breaks exact ties."""
+    (docs,) = load(spark, sf_dir, "documents")
+    wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    wc = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
+    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = wd.agg(F.countDistinct("word").alias("v"))
+
+    qlogp = F.round(
+        F.log(
+            (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("v")).cast("double")
+        )
+        * 1_000_000.0
+    ).cast("long")
+    xent = (
+        wc.join(
+            F.broadcast(
+                profile.select(F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt")
+            ),
+            on=[F.col("lang") == F.col("p_lang"), F.col("word") == F.col("p_word")],
+        )
+        .join(F.broadcast(lang_tot.select(F.col("lang").alias("t_lang"), "tot")),
+              on=[F.col("lang") == F.col("t_lang")])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", "wcnt", (F.col("wcnt") * qlogp).alias("term_q"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("wcnt").cast("long").alias("n_tokens"),
+            (-F.sum("term_q")).alias("xent_q"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("xent_q") * 1.0 / F.col("n_tokens"), F.asc("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return xent.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "xent_q",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail").alias("ppl_bucket"),
+    )
+
+
 _SHINGLE_ORACLE = """
 SELECT
   doc_id,
