@@ -438,3 +438,95 @@ def curation_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         (F.col("rn") - 1).cast("long").alias("token_id"), "token", "n_occurrences"
     )
+
+
+# Tokenizer APPLICATION: encode every document with the 16-entry top-frequency
+# vocab (small enough that the fixture produces real OOV). The per-doc
+# checksum is position-weighted — sum over in-vocab tokens of pos*(id+1) with
+# 1-based positions — so it pins the full ordered id sequence, not just the
+# bag of counts, while staying exact-integer (order-independent summation).
+_TOKENIZE_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents
+),
+freq AS (
+  SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
+),
+vocab AS (
+  SELECT token,
+    CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) - 1 AS BIGINT) AS token_id
+  FROM freq
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) <= 16
+),
+d0 AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents
+),
+d1 AS (
+  SELECT doc_id, l, UNNEST(RANGE(1, LEN(l) + 1)) AS pos FROM d0
+),
+dtok AS (
+  SELECT doc_id, pos, l[pos] AS token FROM d1
+)
+SELECT
+  dtok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  ROUND(CAST(SUM(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate,
+  CAST(SUM(CASE WHEN vocab.token_id IS NULL THEN 0
+            ELSE dtok.pos * (vocab.token_id + 1) END) AS BIGINT) AS ids_checksum
+FROM dtok LEFT JOIN vocab ON vocab.token = dtok.token
+GROUP BY dtok.doc_id
+"""
+
+
+@register("curation_tokenize_apply", oracle=_TOKENIZE_ORACLE, tags=("curation", "text"))
+def curation_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained vocab to the corpus (the encode step after
+    curation_build_vocab): per-document token count, OOV count/rate against
+    a top-16 vocab, and a position-weighted id checksum that pins the exact
+    ordered token-id sequence a real encoder would emit.
+
+    Scale shape: the vocab is derived by the same explode->count groupBy as
+    the build query (map-side combine shrinks it to |vocab| pre-shuffle) and
+    joins the positional token stream as a broadcast — the corpus-sized side
+    moves through one explode projection and one doc-grain groupBy, never a
+    shuffle keyed on token. OOV handling is a LEFT join + null check, the
+    same topology as a real id-lookup encode."""
+    (docs,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks_arr = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0))
+    freq = (
+        docs.select(F.explode(toks_arr).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("token"))
+    vocab = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .select("token", (F.col("rn") - 1).cast("long").alias("token_id"))
+    )
+    dtok = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    is_oov = F.col("token_id").isNull()
+    return (
+        dtok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(is_oov, 1).otherwise(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.when(is_oov, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+            F.sum(
+                F.when(is_oov, 0).otherwise(F.col("pos") * (F.col("token_id") + 1))
+            )
+            .cast("long")
+            .alias("ids_checksum"),
+        )
+    )

@@ -223,6 +223,124 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition signals. "Lines" are the same deterministic 10-word
+# windows as text_line_dedup (the fixture has no newlines); bigrams are
+# adjacent word pairs. Both fractions are ratios of exact integers.
+_REP_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunked AS (
+  SELECT doc_id, w,
+    UNNEST(generate_series(0, CAST(CEIL(LEN(w) / 10.0) AS BIGINT) - 1)) AS line_no
+  FROM ws
+),
+lines AS (
+  SELECT doc_id, array_to_string(w[(line_no * 10 + 1):(line_no * 10 + 10)], ' ') AS line
+  FROM chunked
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, LENGTH(line) AS n_chars
+  FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT
+    doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+    SUM(CASE WHEN cnt >= 2 THEN cnt * n_chars ELSE 0 END) AS dup_chars,
+    SUM(cnt * n_chars) AS tot_chars
+  FROM lc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(
+      RANGE(1, LEN(w)),
+      i -> CONCAT(w[i], ' ', w[i + 1])
+    )) AS bigram
+  FROM ws
+),
+bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+),
+bigram_stats AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS tot_cnt FROM bc GROUP BY doc_id
+)
+SELECT
+  l.doc_id,
+  l.n_lines,
+  ROUND(CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE), 6) AS dup_line_char_frac,
+  ROUND(CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE), 6) AS top_bigram_frac,
+  (CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE) < 0.3)
+    AND (CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE) < 0.18) AS repetition_ok
+FROM line_stats l JOIN bigram_stats b ON b.doc_id = l.doc_id
+"""
+
+
+@register("text_repetition_signals", oracle=_REP_ORACLE, tags=("text", "filter"))
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters: fraction of characters in duplicated
+    lines + fraction of tokens in the single most-frequent bigram, with the
+    paper's 0.30/0.18 keep thresholds folded into a verdict column.
+
+    Scale shape: both signals aggregate at exploded (doc, line) / (doc,
+    bigram) grain — groupBy shuffles sized by corpus volume, never an
+    in-array O(len^2) self-count, so per-doc cost stays linear in doc
+    length (a 1 MB scraped page can't quadratically stall its task). The
+    two signal branches shuffle independently and meet in a final doc-grain
+    join; fractions are exact-integer ratios rounded only on output."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(10)).cast("int")
+    lines = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("w", i * 10 + 1, 10), " "),
+            )
+        ).alias("line"),
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = (
+        lc.select(
+            "doc_id",
+            "cnt",
+            (F.col("cnt") * F.length("line")).alias("chars"),
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0).alias("dup"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.sum("dup").alias("dup_chars"),
+            F.sum("chars").alias("tot_chars"),
+        )
+    )
+    # one-word docs yield an empty bigram array (explode emits no rows),
+    # mirroring the oracle's empty RANGE(1, 1) — both engines then drop the
+    # doc at the final inner join rather than diverging on a NULL concat.
+    bigram_arr = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = ws.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    bc = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    bigram_stats = bc.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("tot_cnt")
+    )
+    dup_frac = F.col("dup_chars").cast("double") / F.col("tot_chars").cast("double")
+    top_frac = F.col("top_cnt").cast("double") / F.col("tot_cnt").cast("double")
+    return line_stats.join(bigram_stats, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        F.round(dup_frac, 6).alias("dup_line_char_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac < 0.3) & (top_frac < 0.18)).alias("repetition_ok"),
+    )
+
+
 # CCNet-style perplexity filtering: score every document under a unigram LM
 # of ITS OWN language (trained on the corpus itself here; production swaps in
 # counts from a trusted reference corpus — same join topology), then bucket
