@@ -25,6 +25,43 @@ def test_oracle_parity(spark, sf_dir, name, q):
     assert "(0 rows)" not in detail, f"{name}: oracle query returned no rows — vacuous check"
 
 
+def test_mirror_is_type_aware(spark, sf_dir):
+    """A value-identical but HUGEINT-typed oracle must FAIL the mirror.
+
+    Regression for the round-2 ``text_langid`` driver failure: DuckDB's
+    ``SUM(BIGINT)`` returns HUGEINT, the driver's type-sensitive hash
+    diverges from Spark's LongType, but ``fetchall()`` coerces to Python int
+    so a value-only mirror passed. The mirror now checks result types.
+    """
+    import pyspark.sql.functions as F
+
+    def spark_sum(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        return df.agg(F.sum(F.length("text")).cast("long").alias("total_chars"))
+
+    uncast = "SELECT SUM(LENGTH(text)) AS total_chars FROM documents"
+    ok, detail = compare(spark, spark_sum, uncast, sf_dir)
+    assert not ok and "int128" in detail, f"uncast SUM must fail the mirror: {detail}"
+
+    cast = "SELECT CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars FROM documents"
+    ok, detail = compare(spark, spark_sum, cast, sf_dir)
+    assert ok, f"cast SUM must pass: {detail}"
+
+
+def test_mirror_flags_class_mismatch(spark, sf_dir):
+    """An int-vs-float class drift between engines must fail even when the
+    values would normalize equal (e.g. 1 vs 1.0)."""
+    import pyspark.sql.functions as F
+
+    def spark_int(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    as_double = "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents"
+    ok, detail = compare(spark, spark_int, as_double, sf_dir)
+    assert not ok and "class" in detail, f"class drift must fail the mirror: {detail}"
+
+
 if NO_ORACLE:
 
     @pytest.mark.parametrize("name,q", NO_ORACLE, ids=[n for n, _ in NO_ORACLE])

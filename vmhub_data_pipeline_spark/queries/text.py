@@ -146,10 +146,10 @@ scored AS (
   SELECT
     wc.doc_id,
     lang_tot.lang AS cand_lang,
-    SUM(wc.wcnt * CAST(ROUND(LN(
+    CAST(SUM(wc.wcnt * CAST(ROUND(LN(
       (CAST(COALESCE(profile.cnt, 0) + 1 AS DOUBLE))
       / (CAST(lang_tot.tot + vocab.v AS DOUBLE))
-    ) * 1000000.0) AS BIGINT)) AS score_q
+    ) * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
   FROM wc
   CROSS JOIN lang_tot
   CROSS JOIN vocab
@@ -368,9 +368,9 @@ xent AS (
     wc.doc_id,
     wc.lang,
     CAST(SUM(wc.wcnt) AS BIGINT) AS n_tokens,
-    -SUM(wc.wcnt * CAST(ROUND(LN(
+    CAST(-SUM(wc.wcnt * CAST(ROUND(LN(
       CAST(profile.cnt + 1 AS DOUBLE) / CAST(lang_tot.tot + vocab.v AS DOUBLE)
-    ) * 1000000.0) AS BIGINT)) AS xent_q
+    ) * 1000000.0) AS BIGINT)) AS BIGINT) AS xent_q
   FROM wc
   JOIN profile ON profile.lang = wc.lang AND profile.word = wc.word
   JOIN lang_tot ON lang_tot.lang = wc.lang

@@ -1,9 +1,18 @@
 """Local differential harness mirroring the driver's correctness gate.
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
-parquet fixture dir, then compares row count, column names, and values
-order-insensitively. Used by tests/ so every registered query is verified
-locally before the driver ever sees it.
+parquet fixture dir, then compares row count, column names, column TYPE
+CLASSES, and values order-insensitively. Used by tests/ so every registered
+query is verified locally before the driver ever sees it.
+
+The type-class check exists because the driver's value hash is type-sensitive
+while DuckDB's ``fetchall()`` coerces everything to Python scalars: a DuckDB
+``SUM(BIGINT)`` silently returns HUGEINT (int128) whose *values* equal Spark's
+LongType output, so a value-only mirror passes while the driver fails (this is
+exactly how the round-2 ``text_langid`` failure slipped through). HUGEINT /
+UHUGEINT oracle columns are therefore forbidden outright, and every other
+column must land in the same coarse type class (int / float / string / bool /
+date / timestamp / decimal) on both engines.
 """
 
 from __future__ import annotations
@@ -16,20 +25,94 @@ from pyspark.sql import SparkSession
 
 from .tables import TABLE_NAMES
 
+_FORBIDDEN_DUCK = ("HUGEINT", "UHUGEINT")
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t in _FORBIDDEN_DUCK:
+        return "int128"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return "other"  # arrays/structs/etc — value comparison still applies
+
+
+def _spark_type_class(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t == "string":
+        return "string"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return "other"
+
+
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[str], list[tuple]]:
+    """Execute oracle SQL on DuckDB views over the fixture dir.
+
+    Returns (column_names, column_type_strings, rows).
+    """
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        rel = con.sql(sql)
+        cols = list(rel.columns)
+        types = [str(t) for t in rel.types]
+        rows = rel.fetchall()
+        return cols, types, rows
     finally:
         con.close()
+
+
+def oracle_type_violations(
+    o_cols: list[str], o_types: list[str],
+    s_cols: list[str], s_types: list[str],
+) -> list[str]:
+    """Type-class mismatches between a DuckDB result and a Spark result.
+
+    Returns human-readable violation strings; empty list == type-clean.
+    """
+    out = []
+    s_class = {c: _spark_type_class(t) for c, t in zip(s_cols, s_types)}
+    for c, t in zip(o_cols, o_types):
+        oc = _duck_type_class(t)
+        if oc == "int128":
+            out.append(
+                f"column {c!r}: oracle type {t} (int128) is forbidden — "
+                f"wrap the aggregate in CAST(... AS BIGINT)"
+            )
+            continue
+        sc = s_class.get(c)
+        if sc is None:
+            continue  # column-name mismatch reported separately
+        if oc != "other" and sc != "other" and oc != sc:
+            out.append(f"column {c!r}: oracle class {oc} ({t}) != spark class {sc}")
+    return out
 
 
 def _norm_cell(v: Any) -> Any:
@@ -56,14 +139,18 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 def compare(
     spark: SparkSession, fn, oracle: str, sf_dir: str
 ) -> tuple[bool, str]:
-    """Return (ok, detail). Mirrors the driver: count + columns + values."""
+    """Return (ok, detail). Mirrors the driver: count + columns + types + values."""
     sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
+    s_types = [t for _, t in sdf.dtypes]
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(oracle, sf_dir)
+    o_cols, o_types, o_rows = run_oracle(oracle, sf_dir)
 
     if sorted(s_cols) != sorted(o_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    violations = oracle_type_violations(o_cols, o_types, s_cols, s_types)
+    if violations:
+        return False, "type mismatch: " + "; ".join(violations)
     if len(s_rows) != len(o_rows):
         return False, f"row-count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     sn = _norm_rows(s_cols, s_rows)
