@@ -59,6 +59,18 @@ HEADLINE = [
     "dedup_semantic",
 ]
 
+# Queries whose single-run timing proved noisy round-over-round (knn moved
+# +6.5% in r2 on an unchanged plan): run N times, record the median.
+REPEATS = {"knn_cosine_topk": 3}
+
+# Iterative-graph tier tracked at sf0.01: the exact-pair stage both entries
+# share is fixture-pathological at sf0.1 (~30-word vocabulary makes every
+# token hot — see the dedup_cluster_lsh note above), but the per-round CC /
+# PageRank shuffle cost is exactly what needs round-over-round visibility.
+# Reported under "secondary"/"secondary_sf"; excluded from the headline
+# total so "value" stays comparable with BENCH_r01/r02.
+SECONDARY = ["dedup_cluster_cc", "graph_pagerank_dups"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,16 +91,27 @@ def main() -> None:
 
     _landed_events(spark, sf_dir)
 
+    def run_once(name: str, d: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = qs[name](spark, d).count()
+        return time.perf_counter() - t0, n
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        runs = [run_once(name, sf_dir) for _ in range(REPEATS.get(name, 1))]
+        dt = sorted(t for t, _ in runs)[len(runs) // 2]  # median
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s ({runs[0][1]} rows, {len(runs)} run(s))", file=sys.stderr)
+
+    sec_dir = os.environ.get("SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01")
+    sec_sf = float(sec_dir.rstrip("/").rsplit("sf", 1)[-1])
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        dt, n = run_once(name, sec_dir)
+        secondary[name] = round(dt, 3)
+        print(f"# [secondary sf{sec_sf}] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -98,6 +121,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "secondary": secondary,
+                "secondary_sf": sec_sf,
             }
         )
     )

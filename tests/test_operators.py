@@ -503,3 +503,48 @@ def test_media_features_null_payload_flagged_not_fatal(spark):
     assert rows[2]["n_bytes"] == 0
     assert rows[2]["entropy"] == 0.0
     assert rows[1]["n_bytes"] == 8
+
+
+def test_decode_header_bmp_byte_exact():
+    """A BMP built with struct.pack (the public layout: 'BM', int32-LE width
+    @18 / height @22) decodes byte-exactly — including the negative-height
+    (top-down) convention reported as magnitude."""
+    import struct
+
+    from vmhub_data_pipeline_spark.operators.multimodal import decode_header
+
+    hdr = b"BM" + struct.pack("<IHHII", 126, 0, 0, 26, 40) + struct.pack("<ii", 640, 480)
+    assert decode_header(hdr + b"\x00" * 100) == (640, 480, "bmp")
+    topdown = b"BM" + struct.pack("<IHHII", 126, 0, 0, 26, 40) + struct.pack("<ii", 17, -9)
+    assert decode_header(topdown) == (17, 9, "bmp")
+
+
+def test_decode_header_png_gif_ppm():
+    import struct
+
+    from vmhub_data_pipeline_spark.operators.multimodal import decode_header
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 800, 600)
+    assert decode_header(png + b"\x08\x06\x00\x00\x00") == (800, 600, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert decode_header(gif + b"\x00") == (320, 200, "gif")
+    ppm = b"P6\n# a comment\n 1024   768\n255\n" + b"\xff" * 12
+    assert decode_header(ppm) == (1024, 768, "ppm")
+    assert decode_header(b"\xff\xd8\xff\xe0 jpeg has no fixed dims offset") is None
+
+
+def test_extract_media_features_real_decode_on_bmp(spark):
+    """deterministic_fake=False exercises the REAL decode branch in the
+    Arrow batch path: dimensions must equal what the JVM-side builder
+    encoded, proving the byte round-trip."""
+    from vmhub_data_pipeline_spark.operators.multimodal import (
+        attach_bmp_payload,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "x" * 301)], "doc_id long, text string")
+    media = attach_bmp_payload(df, "doc_id", "text")
+    got = {r["doc_id"]: r for r in extract_media_features(media, deterministic_fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (5, 29, "bmp")
+    assert (got[2]["width"], got[2]["height"]) == (301 % 300 + 1, (301 * 7) % 300 + 1)
+    assert got[2]["n_bytes"] == 26 + 301

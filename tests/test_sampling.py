@@ -140,3 +140,36 @@ def test_sample_chunks_empty_payload_yields_no_rows(spark):
     )
     rows = sample_chunks(df, "id", "payload", chunk_size=64, every_k=2).collect()
     assert {r["id"] for r in rows} == {1}  # empty payload: zero chunks, no crash
+
+
+def test_decontaminate_ngram_hot_gram_cap(spark):
+    """A boilerplate 13-gram shared by every doc must NOT generate e*t pair
+    rows once the train-side doc-frequency cap kicks in — only pairs sharing
+    a sub-cap (genuine-content) gram survive, with the hot gram excluded
+    from their shared counts."""
+    from vmhub_data_pipeline_spark.queries.sampling import decontaminate_ngram_pairs
+
+    boiler = " ".join(f"b{j}" for j in range(13))
+    docs = [(i, f"{boiler} " + " ".join(f"u{i}x{j}" for j in range(13))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    splits = {r["doc_id"]: r["split"] for r in assign_split(df, "doc_id").collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    eval_ids = [i for i, s in splits.items() if s != "train"]
+    assert len(train_ids) > 6 and len(eval_ids) > 2  # 80/10/10 over 60 ids
+
+    # graft one genuine shared 13-gram onto exactly one (train, eval) pair
+    special = " ".join(f"s{j}" for j in range(13))
+    docs = [
+        (i, f"{t} {special}") if i in (train_ids[0], eval_ids[0]) else (i, t)
+        for i, t in docs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = decontaminate_ngram_pairs(df, max_gram_train_df=None).collect()
+    assert len(uncapped) == len(train_ids) * len(eval_ids)  # quadratic blow-up
+
+    capped = decontaminate_ngram_pairs(df, max_gram_train_df=5).collect()
+    assert len(capped) == 1
+    (row,) = capped
+    assert (row["train_doc"], row["eval_doc"]) == (train_ids[0], eval_ids[0])
+    assert row["n_shared_13grams"] == 1  # the special gram only; boilerplate ignored

@@ -12,12 +12,14 @@ the bytes themselves:
   numpy in the Arrow batch path (``byte_stats``);
 * content identity — sha256 over the payload.
 
-Only the pixel/sample DECODE (width/height from actual image parsing) is
-stubbed — the imaging libraries are not in this container — behind
-``_decode_image``: it raises NotImplementedError unless PIL is importable,
-and the default pipeline uses ``deterministic_fake=True`` which derives
-plausible dimensions from a content hash instead (clearly marked,
-reproducible, testable).
+The pixel/sample DECODE is real for header-parseable formats — BMP, PPM
+(P3/P6), PNG (IHDR), and GIF dimensions are extracted by ``decode_header``,
+pure byte math on the payload with no imaging library. Only
+compressed-pixel formats whose dimensions are not header-determined from
+fixed offsets (JPEG scan-segment walking, WEBP VP8 bitstream) still fall
+back to PIL behind ``_decode_image``; absent PIL that path raises
+NotImplementedError, and ``deterministic_fake=True`` substitutes
+hash-derived dimensions (clearly marked, reproducible, testable).
 
 At 100 TB the shape matters more than the decode: payloads stay opaque
 bytes end-to-end (never parsed by Catalyst), batches flow through Arrow
@@ -112,6 +114,44 @@ def attach_magic_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def _int32_le_hex(v) -> F.Column:
+    """int column -> 8 hex chars of its little-endian int32 encoding (pure
+    JVM string ops, portable to the DuckDB oracle)."""
+    be = F.lpad(F.hex(v), 8, "0")
+    return F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2), F.substring(be, 3, 2), F.substring(be, 1, 2)
+    )
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter producing REAL decodable BMPs: a 26-byte BITMAPINFO
+    header ('BM', sizes/offsets, int32-LE width @18 and height @22 — the
+    public BMP layout) with dimensions derived from the text, followed by
+    the text bytes as pixel-data stand-in. ``decode_header`` (and any real
+    BMP reader) recovers width/height from these payloads by parsing the
+    BYTES — nothing rides along as metadata. Construction is JVM
+    expressions end-to-end (hex building + unhex), zero Python."""
+    nb = F.octet_length(F.col(text_col))
+    width = (nb % 300 + 1).cast("int")
+    height = ((nb * 7) % 300 + 1).cast("int")
+    header_hex = F.concat(
+        F.lit("424D"),          # 'BM'
+        F.lit("00000000"),      # file size (unused by parsers that trust payload length)
+        F.lit("00000000"),      # reserved
+        F.lit("1A000000"),      # pixel-data offset = 26
+        F.lit("28000000"),      # BITMAPINFOHEADER size = 40
+        _int32_le_hex(width),
+        _int32_le_hex(height),
+    )
+    payload = F.concat(F.unhex(header_hex), F.encode(F.col(text_col), "UTF-8"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
 def sniff_format(payload) -> F.Column:
     """Detect media format from magic bytes — pure JVM expression (hex of
     the first 12 bytes + CASE), no Python, no decode library. Handles the
@@ -131,21 +171,64 @@ def sniff_format(payload) -> F.Column:
             .otherwise(F.lit("riff-unknown")),
         )
         .when(head.startswith("494433"), F.lit("mp3"))
+        .when(head.startswith("424D"), F.lit("bmp"))
+        .when(head.startswith("5036") | head.startswith("5033"), F.lit("ppm"))
         .otherwise(F.lit("unknown"))
     )
 
 
+def decode_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL dimension decode for header-parseable image formats — pure byte
+    math, no imaging library. Returns (width, height, format) or None when
+    the format isn't one whose dimensions live at fixed/parseable header
+    offsets. Public layouts:
+
+    * BMP  — 'BM', int32-LE width @18, int32-LE height @22 (negative height
+      = top-down row order; dimensions reported as magnitudes);
+    * PNG  — 8-byte signature, IHDR chunk: uint32-BE width @16, height @20;
+    * GIF  — 'GIF87a'/'GIF89a', uint16-LE logical-screen width @6, height @8;
+    * PPM  — 'P3'/'P6', ASCII 'width height maxval' with whitespace and
+      '#' comments between tokens.
+    """
+    import re
+    import struct
+
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return abs(w), abs(h), "bmp"
+    if len(payload) >= 24 and payload[:4] == b"\x89PNG":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h, "png"
+    if len(payload) >= 10 and payload[:4] in (b"GIF8",):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h, "gif"
+    if payload[:2] in (b"P3", b"P6"):
+        # tokens after magic, skipping '#...' comments to end-of-line
+        body = re.sub(rb"#[^\n]*", b"", payload[2:2048])
+        toks = body.split()
+        if len(toks) >= 2:
+            try:
+                return int(toks[0]), int(toks[1]), "ppm"
+            except ValueError:
+                return None
+    return None
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, str]:
-    """REAL decode path — requires an imaging library absent from this
-    container. Plumbing is exercised via the deterministic fake."""
+    """REAL decode path: header math first (BMP/PNG/GIF/PPM — in-container,
+    no dependencies); compressed-pixel formats (JPEG/WEBP) fall back to PIL,
+    absent from this container."""
+    parsed = decode_header(payload)
+    if parsed is not None:
+        return parsed
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "media decode requires PIL/pillow, not available in this environment; "
-            "use deterministic_fake=True"
+            "non-header-parseable media decode requires PIL/pillow, not available "
+            "in this environment; use deterministic_fake=True"
         ) from e
     img = Image.open(io.BytesIO(payload))
     return img.width, img.height, img.format or "unknown"

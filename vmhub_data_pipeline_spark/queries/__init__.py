@@ -68,61 +68,65 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- LLM-data-pipeline tiers (previously outside the window) --
+    # -- round-2 failure + round-3 oracle/impl changes (must re-verify) --
+    "text_langid",                  # r2's only FAIL (HUGEINT cast, fixed)
+    "text_perplexity_filter",       # same latent cast bug, fixed pre-emptively
+    "dedup_semantic",               # oracle zero-norm guard added
+    "text_repetition_signals",      # inner->left join contract change
+    "curation_decontaminate_ngram", # hot-gram cap added to both engines
+    # -- never driver-checked (registered after r2's window composed) --
+    "text_classifier_score",
+    "graph_pagerank_dups",
+    "pipeline_corpus_curation",
+    "curation_domain_mix",
+    "curation_decontaminate_exact",
+    "curation_build_vocab",
+    "curation_tokenize_apply",
+    "curation_upsample_epochs",
+    "multimodal_chunk_sample",
+    "text_quality_filter",
+    "events_retention_cohort",
+    "join_salted_skew",
+    "streaming_pii_redact",
+    "dedup_cluster_lsh",
+    "join_q8_market_share",
+    "join_q13_order_distribution",
+    "join_q15_top_supplier",
+    "join_q17_small_quantity",
+    "join_q18_large_orders",
+    "join_q21_waiting_supplier",
+    "join_q22_dormant_customers",
+    # -- new in round 3 --
+    "multimodal_decode_dims",       # REAL header decode, oracle-checked
+    # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
+    #    post-drift driver row is the only proof the load-time
+    #    normalization (commit a3bc82f) holds at sf0.01 --
+    "events_dedup_latest",
+    "events_funnel",
+    "events_json_extract",
+    "events_pivot",
+    "events_watermark",
+    "events_sliding_2h",
+    "events_tumbling_day",
+    # -- regression guard: one+ r2-green representative per capability class
+    #    (displaced entries hold r1/r2 driver greens and stay covered by the
+    #    local oracle mirror, which runs the FULL catalog) --
     "dedup_exact",
     "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "knn_cosine_topk",
     "vector_centroids",
-    "vector_norms",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "text_quality",
-    "text_fingerprint",
-    "text_langid",
-    "text_shingles",
-    "pipeline_lake_paths",
-    "pipeline_date_functions",
-    "pipeline_bad_date_tolerance",
-    "pipeline_string_functions",
-    "pipeline_date_series",
-    "agg_variance_corr",
     "agg_percentiles",
-    "agg_arg_minmax",
-    "agg_collect_sorted",
-    "subquery_scalar",
-    "subquery_exists",
     "subquery_correlated_scalar",
-    "set_union_all",
-    "agg_approx_sketches",
-    "case_bucketing",
-    "multimodal_features",
-    "multimodal_format_detect",
-    "streaming_tumbling_day",
-    "streaming_session_windows",
     "streaming_dedup_replay",
-    "streaming_interval_join",
+    "streaming_session_windows",
     "dedup_cluster_cc",
-    # -- dataset-assembly tier (new in r2): split/sample/pack/shuffle/PII --
     "curation_hash_split",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
     "curation_global_shuffle",
-    "text_pii_redact",
     "pipeline_training_manifest",
     "text_line_dedup",
-    "curation_decontaminate_ngram",
-    # -- regression guard: one+ representative of every previously-green class
-    #    (displaced entries stay covered by the local oracle mirror in
-    #    tests/test_queries_oracle.py, which runs the FULL catalog) --
-    "q1_pricing_summary",
-    "window_topk_per_group",
-    "join_q3_shipping",
-    "join_asof_attribution",
     "topk_orders",
-    "events_sessionize",
 )
 
 

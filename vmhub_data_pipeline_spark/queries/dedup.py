@@ -210,7 +210,12 @@ dropped AS (
   SELECT DISTINCT hi.vec_id
   FROM b lo JOIN b hi
     ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
-  WHERE list_dot_product(lo.v, hi.v)
+  -- zero-norm guard mirrors Spark's cosine_expr (NULL -> pair kept apart):
+  -- unguarded, DuckDB yields NaN here and NaN >= t is TRUE under DuckDB's
+  -- NaN-is-greatest ordering, silently dropping the vector.
+  WHERE list_dot_product(lo.v, lo.v) > 0
+    AND list_dot_product(hi.v, hi.v) > 0
+    AND list_dot_product(lo.v, hi.v)
         / (sqrt(list_dot_product(lo.v, lo.v)) * sqrt(list_dot_product(hi.v, hi.v)))
         >= {_SEM_THRESHOLD}
 )

@@ -86,6 +86,35 @@ def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODE_DIMS_ORACLE = """
+SELECT
+  doc_id,
+  CAST(OCTET_LENGTH(ENCODE(text)) % 300 + 1 AS INTEGER) AS width,
+  CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 300 + 1 AS INTEGER) AS height,
+  'bmp' AS format,
+  CAST(26 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@register("multimodal_decode_dims", oracle=_DECODE_DIMS_ORACLE, tags=("multimodal",))
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-header decode, end-to-end and oracle-checked: payloads are
+    genuine BMP files built byte-by-byte JVM-side (attach_bmp_payload), and
+    the extractor runs with deterministic_fake=False, so width/height come
+    from ``decode_header`` PARSING the int32-LE header fields out of the
+    payload bytes in the Arrow batch path — the same code path a real
+    image-corpus pipeline uses, minus only the compressed-format branch.
+    The oracle recomputes the dimensions from the construction rule; a hash
+    match proves the byte round-trip (build -> parse) is exact."""
+    from ..operators.multimodal import attach_bmp_payload
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_bmp_payload(docs, "doc_id", "text")
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select("doc_id", "width", "height", "format", "n_bytes")
+
+
 _CHUNK_ORACLE = r"""
 WITH p AS (
   SELECT

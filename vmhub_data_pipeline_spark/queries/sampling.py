@@ -329,6 +329,13 @@ def curation_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-gram guard: a boilerplate 13-gram (license header, nav bar) present in
+# t train docs and e eval docs emits t*e join rows — quadratic on real web
+# corpora. GPT-3's decontamination appendix handles this by IGNORING n-grams
+# that occur too often in training; we mirror that with a train-side
+# doc-frequency cap, identical in Spark and oracle so parity is exact.
+_DECON_MAX_GRAM_TRAIN_DF = 1_000
+
 _DECON_NGRAM_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS w, {_SPLIT_CASE} AS split
@@ -342,6 +349,13 @@ grams AS (
     ))) AS gh
   FROM base
   WHERE LEN(w) >= 13
+),
+tr AS (
+  SELECT doc_id, gh FROM grams WHERE split = 'train'
+),
+tr_kept AS (
+  SELECT doc_id, gh FROM tr
+  QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {_DECON_MAX_GRAM_TRAIN_DF}
 )
 SELECT
   e.doc_id AS eval_doc,
@@ -349,9 +363,59 @@ SELECT
   t.doc_id AS train_doc,
   CAST(COUNT(*) AS BIGINT) AS n_shared_13grams
 FROM grams e
-JOIN grams t ON e.gh = t.gh AND t.split = 'train' AND e.split <> 'train'
+JOIN tr_kept t ON e.gh = t.gh AND e.split <> 'train'
 GROUP BY 1, 2, 3
 """
+
+
+def decontaminate_ngram_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_gram_train_df: int | None = _DECON_MAX_GRAM_TRAIN_DF,
+) -> DataFrame:
+    """(eval doc, train doc) pairs sharing >=1 n-token window, with counts.
+
+    ``max_gram_train_df`` excludes n-grams appearing in more than that many
+    TRAIN documents from matching entirely (GPT-3-style hot-gram ignore):
+    without it, one boilerplate gram in t train x e eval docs materializes
+    t*e join rows. Capped grams are dropped from the shared count on both
+    engines identically, so the oracle stays exact. Pass ``None`` for the
+    uncapped audit on corpora known to be boilerplate-free.
+    """
+    ws = assign_split(docs, id_col, seed="split-v1").select(
+        F.col(id_col).alias("doc_id"), "split", F.split(F.col(text_col), " ").alias("w")
+    )
+    grams_arr = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.md5(F.array_join(F.slice("w", i + 1, n), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = ws.select("doc_id", "split", F.explode(grams_arr).alias("gh"))
+    ev = grams.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split"), "gh"
+    )
+    tr = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "gh"
+    )
+    if max_gram_train_df is not None:
+        # per-gram train doc-frequency (grams are per-doc distinct already);
+        # keep-set stays on the (gram) grain — two longs on the wire, and the
+        # hot tail it drops is exactly the part that would go quadratic.
+        gram_df = tr.groupBy("gh").agg(F.count(F.lit(1)).alias("df_"))
+        tr = tr.join(
+            gram_df.filter(F.col("df_") <= max_gram_train_df).select("gh"), "gh"
+        )
+    return (
+        ev.join(tr, "gh")
+        .groupBy("eval_doc", "eval_split", "train_doc")
+        .agg(F.count("*").cast("long").alias("n_shared_13grams"))
+    )
 
 
 @register("curation_decontaminate_ngram", oracle=_DECON_NGRAM_ORACLE, tags=("curation", "dedup"))
@@ -361,38 +425,14 @@ def curation_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-token window, with the shared-window count. Windows are md5-hashed
     in the scan-stage projection and deduped per doc with array_distinct
     BEFORE exploding, so the join shuffle carries (doc_id, digest) only —
-    never window text — and a random-vocabulary corpus can't generate hot
-    keys (a shared 13-gram implies genuine shared content, unlike single
-    tokens). Docs shorter than 13 tokens have no windows by definition
-    (guarded: Spark's sequence() would otherwise run BACKWARD on a
-    negative stop, not return empty like SQL generate_series)."""
+    never window text. Grams present in more than _DECON_MAX_GRAM_TRAIN_DF
+    train docs are ignored (hot-boilerplate guard, see
+    decontaminate_ngram_pairs) — identically in the oracle, so the count
+    contract is exact. Docs shorter than 13 tokens have no windows by
+    definition (guarded: Spark's sequence() would otherwise run BACKWARD on
+    a negative stop, not return empty like SQL generate_series)."""
     (docs,) = load(spark, sf_dir, "documents")
-    ws = assign_split(docs, "doc_id", seed="split-v1").select(
-        "doc_id", "split", F.split(F.col("text"), " ").alias("w")
-    )
-    grams_arr = F.when(
-        F.size("w") >= 13,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 13),
-                lambda i: F.md5(F.array_join(F.slice("w", i + 1, 13), " ")),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = ws.select(
-        "doc_id", "split", F.explode(grams_arr).alias("gh")
-    )
-    ev = grams.filter(F.col("split") != "train").select(
-        F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split"), "gh"
-    )
-    tr = grams.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "gh"
-    )
-    return (
-        ev.join(tr, "gh")
-        .groupBy("eval_doc", "eval_split", "train_doc")
-        .agg(F.count("*").cast("long").alias("n_shared_13grams"))
-    )
+    return decontaminate_ngram_pairs(docs)
 
 
 _VOCAB_ORACLE = """

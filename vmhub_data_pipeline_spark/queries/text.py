@@ -173,8 +173,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct words per doc BEFORE the language expansion — the quantized
     log-prob just multiplies by the count, integer-exact) -> profile agg
     (shuffle on (lang,word)) -> wc x langs broadcast-joined against the
-    profile (profile cardinality = vocab x langs, tiny — broadcast at any
-    corpus size) -> integer log-prob sum per (doc, lang) (shuffle on
+    profile (profile cardinality = vocab x langs — tiny for a fixed
+    reference profile; the self-trained variant grows with corpus vocab, so
+    at scale cap the vocab or fall back to a shuffle join, see
+    text_perplexity_filter) -> integer log-prob sum per (doc, lang) (shuffle on
     doc_id) -> argmax window. The expensive fact-side data moves through
     exactly two shuffles regardless of corpus size, at distinct-word (not
     token) volume.
@@ -269,10 +271,12 @@ SELECT
   l.doc_id,
   l.n_lines,
   ROUND(CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE), 6) AS dup_line_char_frac,
-  ROUND(CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE), 6) AS top_bigram_frac,
+  ROUND(COALESCE(CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE), 0.0), 6)
+    AS top_bigram_frac,
   (CAST(l.dup_chars AS DOUBLE) / CAST(l.tot_chars AS DOUBLE) < 0.3)
-    AND (CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE) < 0.18) AS repetition_ok
-FROM line_stats l JOIN bigram_stats b ON b.doc_id = l.doc_id
+    AND (COALESCE(CAST(b.top_cnt AS DOUBLE) / CAST(b.tot_cnt AS DOUBLE), 0.0) < 0.18)
+    AS repetition_ok
+FROM line_stats l LEFT JOIN bigram_stats b ON b.doc_id = l.doc_id
 """
 
 
@@ -316,8 +320,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one-word docs yield an empty bigram array (explode emits no rows),
-    # mirroring the oracle's empty RANGE(1, 1) — both engines then drop the
-    # doc at the final inner join rather than diverging on a NULL concat.
+    # mirroring the oracle's empty RANGE(1, 1); the final LEFT join then
+    # keeps the doc with top_bigram_frac defaulted to 0.0 (a bigram-free doc
+    # trivially passes the bigram filter) — one row per document, always.
     bigram_arr = F.when(
         F.size("w") >= 2,
         F.transform(
@@ -331,8 +336,10 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("tot_cnt")
     )
     dup_frac = F.col("dup_chars").cast("double") / F.col("tot_chars").cast("double")
-    top_frac = F.col("top_cnt").cast("double") / F.col("tot_cnt").cast("double")
-    return line_stats.join(bigram_stats, "doc_id").select(
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("tot_cnt").cast("double"), F.lit(0.0)
+    )
+    return line_stats.join(bigram_stats, "doc_id", "left").select(
         "doc_id",
         "n_lines",
         F.round(dup_frac, 6).alias("dup_line_char_frac"),
@@ -396,7 +403,13 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     third a pretraining pipeline keeps or upweights.
 
     Scale shape: fact side collapses to per-(doc,word) counts before any
-    join; the LM profile (vocab x langs) broadcasts at any corpus size; the
+    join. The LM profile broadcasts safely when trained on a FIXED reference
+    corpus (the production CCNet setup — bounded vocab). The self-trained
+    variant here grows with corpus vocabulary, so above a profile-size
+    threshold (~100M rows) cap the vocab (min-count / top-k per language,
+    rare words fall back to the smoothing term) or drop F.broadcast and let
+    the (lang,word) equi-join shuffle — same topology, no driver pressure.
+    The
     inner join (every scored word was observed in training here) means no
     smoothing-only rows materialize. Two fact shuffles total — (doc,word)
     grain then doc grain — plus one per-language tercile window. The mean
