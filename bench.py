@@ -57,6 +57,10 @@ HEADLINE = [
     "text_classifier_score",
     "text_perplexity_filter",
     "dedup_semantic",
+    # round 3: storage quantization (scan-speed zip_with) + the line-dedup
+    # rebuild (one text-carrying shuffle + doc-grain reassembly)
+    "vector_quantize_int8",
+    "text_line_dedup_rebuild",
 ]
 
 # Queries whose single-run timing proved noisy round-over-round (knn moved
@@ -69,7 +73,7 @@ REPEATS = {"knn_cosine_topk": 3}
 # PageRank shuffle cost is exactly what needs round-over-round visibility.
 # Reported under "secondary"/"secondary_sf"; excluded from the headline
 # total so "value" stays comparable with BENCH_r01/r02.
-SECONDARY = ["dedup_cluster_cc", "graph_pagerank_dups"]
+SECONDARY = ["dedup_cluster_cc", "graph_pagerank_dups", "curation_bpe_merges"]
 
 
 def main() -> None:

@@ -248,3 +248,27 @@ def test_vocab_rank_filter_plans_as_global_topk(spark, sf_dir):
     single-partition sort of the vocab)."""
     plan = explain_str(Q["curation_build_vocab"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject(limit=32" in plan, plan
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition by user_id; Catalyst must reuse a single
+    exchange — a second shuffle would double the 100 TB event move."""
+    df = Q["events_scd2_history"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_quantize_fact_side_never_shuffles(spark, sf_dir):
+    """int8 quantization: the corpus joins the per-dim scales via broadcast
+    only; the two exchanges in the plan are the dims-sized scale aggregation
+    (post partial-max) and its single-row collapse — never the fact table."""
+    df = Q["vector_quantize_int8"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_line_rebuild_shuffle_budget(spark, sf_dir):
+    """Reconstruction floor: exactly one text-carrying window shuffle plus
+    the doc-grain groupBy — any third exchange is a regression."""
+    df = Q["text_line_dedup_rebuild"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 2

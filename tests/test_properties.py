@@ -151,3 +151,84 @@ def test_stratified_sample_is_deterministic_subset(spark, ids, n):
     per = Counter(k % 3 for k in kept)
     for g in set(i % 3 for i in ids):
         assert per[g] == min(n, sum(1 for i in ids if i % 3 == g))  # exactly-min(n,|stratum|)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_int8_quantization_error_bound(spark, vecs):
+    """Symmetric nearest-rounding int8 quantization: reconstruction error is
+    at most half a quantization step, scale_d / 254, per dimension."""
+    from vmhub_data_pipeline_spark.queries.vector import vector_quantize_int8
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame([(i, v, 0) for i, v in enumerate(vecs)], schema)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = vector_quantize_int8(spark, d).collect()
+    per_dim_max = [max(abs(v[j]) for v in vecs) for j in range(4)]
+    bound = max(m / 254.0 for m in per_dim_max) + 1e-9
+    for r in out:
+        assert all(abs(c) <= 127 for c in r["codes"])  # range by construction
+        assert r["max_abs_err"] <= round(bound + 5e-7, 6)
+
+
+def test_scd2_ranges_partition_the_timeline(spark, sf_dir):
+    """Per user: versions are dense from 1, ranges chain exactly
+    (valid_to == next valid_from), exactly one open current row, and
+    consecutive statuses always differ (runs were collapsed)."""
+    from vmhub_data_pipeline_spark.queries.events import events_scd2_history
+
+    rows = events_scd2_history(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    """Chunking invariants at fixture scale: chunk token-counts per doc sum
+    to len + (n_chunks-1)*overlap (every token covered, overlap exactly 16
+    between neighbors), and only the final chunk may be short."""
+    from vmhub_data_pipeline_spark.queries.sampling import curation_chunk_windows
+
+    (docs,) = spark.read.parquet(f"{sf_dir}/documents.parquet"),
+    lens = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    from collections import defaultdict
+
+    chunks = defaultdict(list)
+    for r in curation_chunk_windows(spark, sf_dir).collect():
+        chunks[r["doc_id"]].append(r)
+    assert set(chunks) == set(lens)
+    for doc, cs in chunks.items():
+        cs.sort(key=lambda r: r["chunk_no"])
+        n = lens[doc]
+        covered = max(r["start_token"] + r["n_tokens"] - 1 for r in cs)
+        assert covered == n  # last token reached, no phantom tail
+        for c in cs[:-1]:
+            assert c["n_tokens"] == 64  # only the tail chunk may be short

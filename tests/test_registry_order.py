@@ -18,15 +18,13 @@ WINDOW = 50
 # then one r2-green guard per class.
 REQUIRED_IN_WINDOW = {
     "dedup": [
-        "dedup_exact",
-        "dedup_jaccard_pairs",
         "dedup_embedding_cosine",
         "dedup_semantic",
     ],
-    "vector": ["knn_cosine_topk", "vector_centroids"],
+    "vector": ["knn_cosine_topk", "vector_quantize_int8", "knn_int8_rerank"],
     "text": [
         "text_langid",
-        "text_quality",
+        "text_tfidf_topterms",
         "text_classifier_score",
         "text_perplexity_filter",
         "text_quality_filter",
@@ -43,15 +41,15 @@ REQUIRED_IN_WINDOW = {
     "dedup_cluster": ["dedup_cluster_cc", "dedup_cluster_lsh", "graph_pagerank_dups"],
     "multimodal": ["multimodal_decode_dims", "multimodal_chunk_sample"],
     "curation": [
-        "curation_hash_split",
-        "curation_global_shuffle",
+        "curation_chunk_windows",
+        "curation_bpe_merges",
         "curation_domain_mix",
         "curation_decontaminate_exact",
         "curation_decontaminate_ngram",
         "curation_build_vocab",
         "curation_tokenize_apply",
         "curation_upsample_epochs",
-        "text_line_dedup",
+        "text_line_dedup_rebuild",
     ],
     # regression guard: previously-verified classes (displaced members keep
     # local-oracle coverage via tests/test_queries_oracle.py full-catalog run)
@@ -63,7 +61,7 @@ REQUIRED_IN_WINDOW = {
         "join_salted_skew",
     ],
     "setop": ["topk_orders"],
-    "events": ["events_funnel", "events_pivot", "events_watermark"],
+    "events": ["events_funnel", "events_pivot", "events_watermark", "events_scd2_history"],
 }
 
 

@@ -173,3 +173,26 @@ def test_decontaminate_ngram_hot_gram_cap(spark):
     (row,) = capped
     assert (row["train_doc"], row["eval_doc"]) == (train_ids[0], eval_ids[0])
     assert row["n_shared_13grams"] == 1  # the special gram only; boilerplate ignored
+
+
+def test_bpe_merges_classic_example_hand_computed(spark):
+    """The textbook BPE corpus (low x3, lower x2, newest x1): merge order and
+    weighted pair counts are hand-derivable, including the count-5 tie
+    between (l,o) and (o,w) broken lexicographically and the count-2 tie
+    between (e,r) and (low,e) where 'e' < 'low'."""
+    from vmhub_data_pipeline_spark.queries.sampling import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_freq"])
+        for r in bpe_learn_merges(df, rounds=4).orderBy("merge_rank").collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+        (4, "low", "er", "lower", 2),
+    ]

@@ -98,6 +98,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_q22_dormant_customers",
     # -- new in round 3 --
     "multimodal_decode_dims",       # REAL header decode, oracle-checked
+    "curation_bpe_merges",          # iterative BPE learning vs unrolled CTEs
+    "vector_quantize_int8",         # per-dim symmetric quantization
+    "events_scd2_history",          # type-2 dimension build (gaps-and-islands)
+    "text_line_dedup_rebuild",      # boilerplate strip with doc reconstruction
+    "knn_int8_rerank",              # quantized shortlist + exact re-rank
+    "text_tfidf_topterms",          # integer-quantized IDF top-terms
+    "curation_chunk_windows",       # overlapping retrieval chunks (RAG prep)
     # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
     #    post-drift driver row is the only proof the load-time
     #    normalization (commit a3bc82f) holds at sf0.01 --
@@ -111,21 +118,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # -- regression guard: one+ r2-green representative per capability class
     #    (displaced entries hold r1/r2 driver greens and stay covered by the
     #    local oracle mirror, which runs the FULL catalog) --
-    "dedup_exact",
-    "dedup_jaccard_pairs",
     "dedup_embedding_cosine",
     "knn_cosine_topk",
-    "vector_centroids",
-    "text_quality",
     "agg_percentiles",
     "subquery_correlated_scalar",
     "streaming_dedup_replay",
     "streaming_session_windows",
     "dedup_cluster_cc",
-    "curation_hash_split",
-    "curation_global_shuffle",
     "pipeline_training_manifest",
-    "text_line_dedup",
     "topk_orders",
 )
 

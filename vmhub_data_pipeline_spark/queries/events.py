@@ -315,3 +315,59 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# SCD2 (type-2 slowly-changing dimension) construction — the warehouse op the
+# reference's truncate-reload model papers over: turn an event stream into
+# effective-dated status history. Consecutive same-status events collapse
+# (gaps-and-islands), each surviving change opens a range closed by the next
+# change; the open range is the current row.
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+  FROM events
+),
+changes AS (
+  SELECT user_id, status, ts, event_id FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> status
+)
+SELECT user_id, status,
+  ts AS valid_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+FROM changes
+"""
+
+
+@register("events_scd2_history", oracle=_SCD2_ORACLE, tags=("events", "window", "warehouse"))
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from the event stream: per-user status
+    ranges [valid_from, valid_to) with version numbers and an is_current
+    flag — the standard SCD2 build (status-change detection via lag, range
+    closing via lead), which together with join_asof_attribution gives the
+    full point-in-time-lookup toolchain.
+
+    Scale shape: both windows partition by user_id — one shuffle on the
+    natural key, no global ordering anywhere; the change filter collapses
+    same-status runs BEFORE the second window, so the range/version pass
+    runs on the (much smaller) change set. Ties on ts break by event_id in
+    every window, keeping both engines' row numbering identical."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    ).withColumn("prev_status", F.lag("status").over(w))
+    changes = ordered.filter(
+        F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -570,3 +570,198 @@ def curation_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ids_checksum"),
         )
     )
+
+
+# BPE merge learning — the third leg of the tokenizer-prep trio (build_vocab
+# counts whole words, tokenize_apply encodes with a fixed vocab; this LEARNS
+# the subword merge table itself). Classic byte-pair encoding over the
+# aggregated word-frequency table: each round counts adjacent symbol pairs
+# weighted by word frequency, picks the most frequent pair (count desc, then
+# lexicographic — the deterministic tie-break), and rewrites every word with
+# the pair fused. The oracle unrolls the same rounds as DuckDB CTEs, so every
+# round's argmax and rewrite must agree exactly between engines.
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int) -> str:
+    parts = [
+        "WITH w0 AS (",
+        "  SELECT TRIM(regexp_replace(token, '(.)', '\\1 ', 'g')) AS wsym,",
+        "         CAST(COUNT(*) AS BIGINT) AS freq",
+        "  FROM (SELECT UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)",
+        "  GROUP BY 1",
+        ")",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", s{r} AS (
+  SELECT string_split(wsym, ' ') AS l, freq FROM w{r}
+), p{r} AS (
+  SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT l, freq, UNNEST(RANGE(1, LEN(l))) AS i FROM s{r})
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1
+), w{r + 1} AS (
+  SELECT regexp_replace(w.wsym, '\\b' || m.lft || ' ' || m.rgt || '\\b',
+                        m.lft || m.rgt, 'g') AS wsym, w.freq
+  FROM w{r} w CROSS JOIN m{r} m
+)"""
+        )
+    selects = [
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, lft AS left_sym, rgt AS right_sym,"
+        f" lft || rgt AS merged, cnt AS pair_freq FROM m{r}"
+        for r in range(rounds)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "\n".join(parts)
+
+
+def bpe_learn_merges(docs: DataFrame, text_col: str = "text", rounds: int = _BPE_ROUNDS) -> DataFrame:
+    """Learn a BPE merge table: (merge_rank, left_sym, right_sym, merged,
+    pair_freq), one row per round, in learned order.
+
+    Scale shape: the corpus is touched exactly once — explode + count
+    groupBy collapses it to the (word, freq) table (map-side combine makes
+    the shuffle vocab-sized, the same shape every published BPE trainer
+    exploits; production additionally truncates to the top-K words before
+    training, which bounds the per-round work at any corpus size). Each
+    round then runs at vocab grain: one pair-count groupBy, one global
+    top-1 (TakeOrderedAndProject, not a full sort), one broadcast of the
+    single winning pair into a regexp rewrite. localCheckpoint() per round
+    cuts lineage so round r doesn't recompute rounds 0..r-1 (the same
+    iterative-algorithm discipline as operators/graph.py)."""
+    words = (
+        docs.select(
+            F.explode(F.regexp_extract_all(text_col, F.lit("[a-z0-9]+"), F.lit(0))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        # "abc" -> "a b c": symbols stay space-separated [a-z0-9]+ strings,
+        # so the merge regex below never needs escaping
+        .select(F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("wsym"), "freq")
+    )
+    w = words.localCheckpoint(eager=False)
+    merge_rows = []
+    for r in range(rounds):
+        pair_idx = F.when(
+            F.size("l") >= 2, F.sequence(F.lit(1), F.size("l") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            w.select(F.split("wsym", " ").alias("l"), "freq")
+            .select("l", "freq", F.explode(pair_idx).alias("i"))
+            .select(
+                F.element_at("l", F.col("i")).alias("lft"),
+                F.element_at("l", F.col("i") + 1).alias("rgt"),
+                "freq",
+            )
+            .groupBy("lft", "rgt")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by table AND rewrite
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(r + 1).cast("long").alias("merge_rank"),
+                F.col("lft").alias("left_sym"),
+                F.col("rgt").alias("right_sym"),
+                F.concat("lft", "rgt").alias("merged"),
+                F.col("cnt").alias("pair_freq"),
+            )
+        )
+        # \b anchors match whole space-separated symbols only: "l l" cannot
+        # match the tail of "ll l" (no word boundary inside "ll"). Java and
+        # RE2 agree on ASCII \b and on left-to-right non-overlapping global
+        # replacement, which IS the greedy BPE rewrite.
+        pat = F.concat(F.lit("\\b"), F.col("_l"), F.lit(" "), F.col("_r"), F.lit("\\b"))
+        w = (
+            w.crossJoin(
+                F.broadcast(top.select(F.col("lft").alias("_l"), F.col("rgt").alias("_r")))
+            )
+            .select(F.regexp_replace("wsym", pat, F.concat("_l", "_r")).alias("wsym"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@register("curation_bpe_merges", oracle=_bpe_oracle(_BPE_ROUNDS), tags=("curation", "text"))
+def curation_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-table learning over the corpus (see
+    bpe_learn_merges): 6 rounds, each hash-matched against an unrolled
+    DuckDB CTE computing the identical pair-argmax and word rewrite — an
+    iterative distributed algorithm verified round-for-round, like
+    graph_pagerank_dups."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs)
+
+
+# Overlapping chunk windows — retrieval-index prep (the RAG shape): split
+# each document into fixed-size token windows with stride overlap, so a
+# passage near a boundary is fully contained in at least one chunk. Chunk
+# text is reconstructed from the token array; md5 gives the chunk identity
+# key an embedding/index stage would join on.
+_CHUNK_WINDOWS_N = 64   # tokens per chunk
+_CHUNK_WINDOWS_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+_CHUNK_WINDOWS_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w,
+    UNNEST(generate_series(
+      0,
+      CAST(CEIL(GREATEST(LEN(w) - {_CHUNK_WINDOWS_N}, 0) / {_CHUNK_WINDOWS_STRIDE}.0)
+           AS BIGINT),
+      1
+    )) AS chunk_no
+  FROM ws
+)
+SELECT doc_id, chunk_no,
+  CAST(chunk_no * {_CHUNK_WINDOWS_STRIDE} + 1 AS BIGINT) AS start_token,
+  CAST(LEN(w[(chunk_no * {_CHUNK_WINDOWS_STRIDE} + 1):
+             (chunk_no * {_CHUNK_WINDOWS_STRIDE} + {_CHUNK_WINDOWS_N})]) AS BIGINT)
+    AS n_tokens,
+  md5(array_to_string(
+    w[(chunk_no * {_CHUNK_WINDOWS_STRIDE} + 1):
+      (chunk_no * {_CHUNK_WINDOWS_STRIDE} + {_CHUNK_WINDOWS_N})], ' ')) AS chunk_md5
+FROM idx
+"""
+
+
+@register("curation_chunk_windows", oracle=_CHUNK_WINDOWS_ORACLE, tags=("curation", "text"))
+def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks: 64-token windows every 48 tokens (16
+    overlap), one row per (doc, chunk) with start offset, actual token
+    count (the tail chunk is short), and the chunk digest an embedding
+    index would key on. The chunk count per doc is
+    ceil(max(len-64,0)/48)+1, so every token lands in >=1 chunk and no
+    empty trailing chunk is emitted.
+
+    Scale shape: pure scan-stage array math — sequence/explode/slice/md5,
+    zero shuffle, zero UDF; the explode fan-out is len/stride ~ 1.33x the
+    token volume, the price of overlap by construction. Digests (not chunk
+    text) are what any downstream join moves."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n, st = _CHUNK_WINDOWS_N, _CHUNK_WINDOWS_STRIDE
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = (
+        F.ceil(F.greatest(F.size("w") - n, F.lit(0)) / F.lit(float(st))).cast("long") + 1
+    )
+    chunked = ws.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_no")
+    )
+    sl = F.slice("w", (F.col("chunk_no") * st + 1).cast("int"), n)
+    return chunked.select(
+        "doc_id",
+        "chunk_no",
+        (F.col("chunk_no") * st + 1).cast("long").alias("start_token"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )

@@ -806,3 +806,153 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clf_score"),
         (score_num >= 0).alias("clf_keep"),
     )
+
+
+# Line-dedup REBUILD: the mutation counterpart of text_line_dedup's audit —
+# actually emit the cleaned corpus with duplicate lines stripped.
+_LINE_REBUILD_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ser AS (
+  SELECT doc_id, w,
+    UNNEST(generate_series(0, CAST(CEIL(LEN(w) / 10.0) AS BIGINT) - 1)) AS line_no
+  FROM ws
+),
+lines AS (
+  SELECT doc_id, line_no,
+    array_to_string(w[(line_no * 10 + 1):(line_no * 10 + 10)], ' ') AS line
+  FROM ser
+),
+rn AS (
+  SELECT doc_id, line_no, line,
+    ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS r
+  FROM lines
+)
+SELECT
+  doc_id,
+  CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+  COALESCE(
+    array_to_string(array_agg(line ORDER BY line_no) FILTER (WHERE r = 1), ' '),
+    ''
+  ) AS cleaned_text
+FROM rn
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_line_dedup_rebuild",
+    oracle=_LINE_REBUILD_ORACLE,
+    tags=("text", "dedup", "curation"),
+)
+def text_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup with DOCUMENT RECONSTRUCTION: drop every
+    non-first occurrence of each line (same keep rule as text_line_dedup),
+    then reassemble each document's surviving lines in original order —
+    the step that actually writes the boilerplate-stripped corpus, not
+    just the audit counts. Docs whose every line was seen earlier come
+    back as empty text (kept as rows: downstream length filters decide).
+
+    Scale shape: the keep decision still rides the digest-keyed window,
+    but a rebuild inescapably moves surviving line TEXT once — here inside
+    that same single shuffle (line payload alongside its digest), followed
+    by one doc-grain groupBy whose collect_list is bounded by document
+    size. That one text-carrying shuffle is the floor for any rebuild; the
+    audit variant stays digests-only for pipelines that only need counts."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(10)).cast("int")
+    chunked = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("w", i * 10 + 1, 10), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_no")
+    rn = chunked.select(
+        "doc_id", F.col("line_no").cast("long").alias("line_no"), "line"
+    ).withColumn("r", F.row_number().over(w))
+    kept_struct = F.when(F.col("r") == 1, F.struct("line_no", "line"))
+    return rn.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+# TF-IDF top terms — the classic per-document salient-term extraction used
+# for topic tagging and near-dup explanation. IDF is quantized to integer
+# micro-nats before the tf multiply (same determinism trick as langid), so
+# every score and the per-doc top-5 ranking are exact integers both engines
+# reproduce bit-for-bit.
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS score_q
+  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, score_q,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS BIGINT)
+    AS term_rank
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) <= 5
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("text", "curation"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document with integer-quantized IDF
+    (micro-nats, the langid determinism trick): (doc_id, token, tf,
+    score_q, term_rank).
+
+    Scale shape: tf is the standard (doc, token) groupBy (map-side combine
+    makes the shuffle distinct-pairs-sized); df aggregates the same
+    exploded stream to vocab grain and joins back as a broadcast — the
+    fixed-reference-vs-self-trained caveat from text_perplexity_filter
+    applies identically (cap the vocab or fall back to a shuffle join
+    above ~100M vocab rows). The per-doc top-5 is a rank<=k filter on the
+    bare row_number, which plans as WindowGroupLimit — per-partition
+    pruning before the doc-grain shuffle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_q = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * 1_000_000.0
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", (F.col("tf") * idf_q).alias("score_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 5)
+        .select("doc_id", "token", "tf", "score_q", "term_rank")
+    )

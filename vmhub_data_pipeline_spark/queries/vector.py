@@ -10,7 +10,7 @@ measured against the exact baseline in tests/test_operators.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.similarity import (
     brute_force_knn,
@@ -162,4 +162,203 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10)
     return lsh_bucketed_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, n_planes=8, n_tables=2
+    )
+
+
+# Symmetric per-dimension int8 quantization — the storage/serving step after
+# embedding generation: 4x smaller vectors for the ANN index with bounded
+# reconstruction error. scale_d = max(|x_d|) over the corpus per dimension;
+# code = round(127 * x / scale_d) in [-127, 127] by construction.
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+xv AS (
+  SELECT vec_id, pos, v[pos] AS val
+  FROM (SELECT vec_id, v, UNNEST(RANGE(1, LEN(v) + 1)) AS pos FROM e)
+),
+s AS (
+  SELECT pos, MAX(ABS(val)) AS m FROM xv GROUP BY pos
+),
+c AS (
+  SELECT xv.vec_id, xv.pos,
+    CASE WHEN s.m > 0 THEN CAST(ROUND(127.0 * xv.val / s.m) AS BIGINT) ELSE 0 END AS code,
+    CASE WHEN s.m > 0
+         THEN ABS(xv.val - CAST(ROUND(127.0 * xv.val / s.m) AS BIGINT) * s.m / 127.0)
+         ELSE ABS(xv.val) END AS err
+  FROM xv JOIN s ON s.pos = xv.pos
+)
+SELECT vec_id,
+       array_agg(code ORDER BY pos) AS codes,
+       ROUND(MAX(err), 6) AS max_abs_err
+FROM c GROUP BY vec_id
+"""
+
+
+@register("vector_quantize_int8", oracle=_QUANT_ORACLE, tags=("vector", "quantize"))
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the embedding corpus,
+    with per-vector max reconstruction error: (vec_id, codes, max_abs_err).
+
+    Scale shape: the per-dimension scales need one pass — posexplode to
+    (pos, val) grain, where map-side partial MAX collapses each partition
+    to n_dims rows before a dims-sized shuffle — and the result is a
+    single n_dims-element array broadcast to every task. The corpus side
+    is then quantized entirely inside the scan projection with zip_with
+    (JVM higher-order functions, no UDF, no shuffle, no per-element
+    explode): at 100 TB the fact table streams through codegen once.
+    Rounding is ROUND-half-away-from-zero in both engines; codes are
+    exact integers, so the value hash pins every element."""
+    from ..operators.similarity import _as_double
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    scales = (
+        e.select(F.posexplode("v").alias("pos0", "val"))
+        .groupBy("pos0")
+        .agg(F.max(F.abs(F.col("val"))).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+            ).alias("scales")
+        )
+    )
+    code = lambda x, s: F.when(  # noqa: E731
+        s > 0, F.round(F.lit(127.0) * x / s).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    err = lambda x, s: F.when(  # noqa: E731
+        s > 0, F.abs(x - code(x, s) * s / F.lit(127.0))
+    ).otherwise(F.abs(x))
+    return e.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.zip_with("v", "scales", code).alias("codes"),
+        F.round(F.array_max(F.zip_with("v", "scales", err)), 6).alias("max_abs_err"),
+    )
+
+
+# Quantized retrieval with exact re-rank — the production ANN serving pattern
+# built on vector_quantize_int8: a cheap int8 dot-product pass prunes the
+# corpus to 20 candidates per query, then exact double cosine re-ranks the
+# survivors to top-5. Every stage is deterministic (integer coarse scores,
+# exact re-rank), so unlike the LSH/IVF paths this composition is fully
+# oracle-checkable.
+_INT8_RERANK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+xv AS (
+  SELECT vec_id, pos, v[pos] AS val
+  FROM (SELECT vec_id, v, UNNEST(RANGE(1, LEN(v) + 1)) AS pos FROM e WHERE vec_id >= 10)
+),
+s AS (
+  SELECT pos, MAX(ABS(val)) AS m FROM xv GROUP BY pos
+),
+codes AS (
+  SELECT xv.vec_id, array_agg(
+    CASE WHEN s.m > 0 THEN CAST(ROUND(127.0 * xv.val / s.m) AS BIGINT) ELSE 0 END
+    ORDER BY xv.pos) AS c
+  FROM xv JOIN s ON s.pos = xv.pos GROUP BY xv.vec_id
+),
+qcodes AS (
+  SELECT e.vec_id, array_agg(
+    CASE WHEN s.m > 0 THEN CAST(ROUND(127.0 * e.v[s.pos] / s.m) AS BIGINT) ELSE 0 END
+    ORDER BY s.pos) AS c
+  FROM e CROSS JOIN s WHERE e.vec_id < 10 GROUP BY e.vec_id
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_dot_product(q.c, c.c) AS BIGINT) AS coarse_q
+  FROM qcodes q CROSS JOIN codes c
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, coarse_q FROM coarse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY coarse_q DESC, neighbor_id) <= 20
+),
+exact AS (
+  SELECT sl.query_id, sl.neighbor_id, sl.coarse_q,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM shortlist sl
+  JOIN e q ON q.vec_id = sl.query_id
+  JOIN e c ON c.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, coarse_q, ROUND(cosine, 6) AS cosine_r, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM exact
+)
+WHERE rank <= 5
+"""
+
+
+@register("knn_int8_rerank", oracle=_INT8_RERANK_ORACLE, tags=("vector", "knn", "quantize"))
+def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8-quantized dot-product shortlist (top-20 per
+    query, integer-exact scores) -> exact double-cosine re-rank (top-5) —
+    the memory-bandwidth-bound serving pattern quantization exists for, and
+    deterministic end-to-end, so the whole composition hash-matches an
+    oracle (the LSH/IVF paths stay rows-only; this one is provable).
+
+    Scale shape: corpus codes are a zip_with scan projection against the
+    broadcast per-dim scales (fact side never shuffles, same plan as
+    vector_quantize_int8); the 10-query code table broadcasts; the coarse
+    pass is one streamed nested-loop with an integer fold, pruned by
+    WindowGroupLimit to 20 rows/query BEFORE any exact math; the re-rank
+    touches 200 rows total. At corpus scale the coarse pass reads 16x less
+    than double vectors (64 B vs 512 B per embedding) — that bandwidth
+    ratio is the entire point of the composition."""
+    from ..operators.similarity import _as_double, cosine_expr
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10)
+    scales = (
+        corpus.select(F.posexplode("v").alias("pos0", "val"))
+        .groupBy("pos0")
+        .agg(F.max(F.abs(F.col("val"))).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+            ).alias("scales")
+        )
+    )
+    code = lambda x, s: F.when(  # noqa: E731
+        s > 0, F.round(F.lit(127.0) * x / s).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    c_codes = corpus.crossJoin(F.broadcast(scales)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.zip_with("v", "scales", code).alias("cc"),
+    )
+    q_codes = queries.crossJoin(F.broadcast(scales)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.zip_with("v", "scales", code).alias("qc"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qc", "cc", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = c_codes.crossJoin(F.broadcast(q_codes)).select(
+        "query_id", "neighbor_id", "qv", "cv", int_dot.alias("coarse_q")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("coarse_q"), F.asc("neighbor_id"))
+    shortlist = coarse.withColumn("crn", F.row_number().over(w1)).filter(F.col("crn") <= 20)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr(F.col("qv"), F.col("cv"))), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_q",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+            "rank",
+        )
     )
