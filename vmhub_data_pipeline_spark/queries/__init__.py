@@ -105,6 +105,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "knn_int8_rerank",              # quantized shortlist + exact re-rank
     "text_tfidf_topterms",          # integer-quantized IDF top-terms
     "curation_chunk_windows",       # overlapping retrieval chunks (RAG prep)
+    "dedup_incremental_exact",      # new-batch-vs-corpus audit (no old x old)
+    "text_langid_margin",           # top-2 confidence margin + reliability flag
     # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
     #    post-drift driver row is the only proof the load-time
     #    normalization (commit a3bc82f) holds at sf0.01 --
@@ -119,11 +121,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #    (displaced entries hold r1/r2 driver greens and stay covered by the
     #    local oracle mirror, which runs the FULL catalog) --
     "dedup_embedding_cosine",
-    "knn_cosine_topk",
     "agg_percentiles",
     "subquery_correlated_scalar",
     "streaming_dedup_replay",
-    "streaming_session_windows",
     "dedup_cluster_cc",
     "pipeline_training_manifest",
     "topk_orders",

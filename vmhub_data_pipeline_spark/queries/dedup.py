@@ -577,3 +577,65 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_integer(pairs, "doc_a", "doc_b", iterations=4)
     return ranks.select(F.col("v").alias("doc_id"), "score")
+
+
+# Incremental dedup — the daily-production shape: a NEW batch (here: the top
+# 20% of doc_ids as the arriving increment) is checked for exact duplicates
+# against the EXISTING corpus only. The candidate join is asymmetric
+# (new x old on the content digest), so old x old pairs — the quadratic bulk
+# a full-corpus rerun would redo every day — are never generated.
+_INCR_ORACLE = """
+WITH split AS (
+  SELECT doc_id, MD5(LOWER(text)) AS fp,
+         doc_id >= (SELECT CAST(MAX(doc_id) * 0.8 AS BIGINT) FROM documents) AS is_new
+  FROM documents
+),
+old_fp AS (
+  SELECT fp, MIN(doc_id) AS first_old_id, COUNT(*) AS n_old_copies
+  FROM split WHERE NOT is_new GROUP BY fp
+)
+SELECT s.doc_id, s.fp,
+  (o.fp IS NOT NULL) AS is_dup_of_corpus,
+  o.first_old_id,
+  CAST(COALESCE(o.n_old_copies, 0) AS BIGINT) AS n_old_copies
+FROM split s LEFT JOIN old_fp o ON o.fp = s.fp
+WHERE s.is_new
+"""
+
+
+@register("dedup_incremental_exact", oracle=_INCR_ORACLE, tags=("dedup", "incremental"))
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: audit each NEW document (top-20%-of-ids
+    stand-in for today's batch) against the existing corpus's fingerprint
+    index — is_dup flag, the canonical existing copy, and the existing copy
+    count. Pairs the watermark-incremental refresh (pipeline/watermark.py)
+    with dedup: a daily pipeline runs this instead of re-deduping history.
+
+    Scale shape: the corpus side collapses to one row per distinct
+    fingerprint (a digest-keyed groupBy that in production is a maintained
+    table, not recomputed); the join moves (digest, two longs) keyed on the
+    128-bit digest — new-batch-sized output, never old x old pairs. The
+    80th-percentile id cutoff is a single-row broadcast."""
+    (docs,) = load(spark, sf_dir, "documents")
+    cutoff = docs.agg((F.max("doc_id") * 0.8).cast("long").alias("cut"))
+    split = docs.crossJoin(F.broadcast(cutoff)).select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+        (F.col("doc_id") >= F.col("cut")).alias("is_new"),
+    )
+    old_fp = (
+        split.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("first_old_id"),
+            F.count(F.lit(1)).alias("n_old_copies"),
+        )
+    )
+    new = split.filter(F.col("is_new")).select("doc_id", "fp")
+    return new.join(old_fp, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.col("first_old_id").isNotNull().alias("is_dup_of_corpus"),
+        "first_old_id",
+        F.coalesce("n_old_copies", F.lit(0)).cast("long").alias("n_old_copies"),
+    )

@@ -165,23 +165,10 @@ WHERE rn = 1
 """
 
 
-@register("text_langid", oracle=_LANGID_ORACLE, tags=("text", "langid"))
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification via unigram profiles (n-gram heuristic).
-
-    Plan: explode words -> per-(doc,word) count (the fact side collapses to
-    distinct words per doc BEFORE the language expansion — the quantized
-    log-prob just multiplies by the count, integer-exact) -> profile agg
-    (shuffle on (lang,word)) -> wc x langs broadcast-joined against the
-    profile (profile cardinality = vocab x langs — tiny for a fixed
-    reference profile; the self-trained variant grows with corpus vocab, so
-    at scale cap the vocab or fall back to a shuffle join, see
-    text_perplexity_filter) -> integer log-prob sum per (doc, lang) (shuffle on
-    doc_id) -> argmax window. The expensive fact-side data moves through
-    exactly two shuffles regardless of corpus size, at distinct-word (not
-    token) volume.
-    """
-    (docs,) = load(spark, sf_dir, "documents")
+def _langid_scored(docs: DataFrame) -> DataFrame:
+    """Shared langid scoring subplan: per-(doc, candidate-lang) quantized
+    log-prob sums. Used by text_langid (argmax) and text_langid_margin
+    (top-2 gap); both oracles inline the identical CTE chain."""
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
     wc = wd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("wcnt"))
     profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -217,6 +204,27 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand_lang")
         .agg(F.sum("term_q").alias("score_q"))
     )
+    return scored
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via unigram profiles (n-gram heuristic).
+
+    Plan: explode words -> per-(doc,word) count (the fact side collapses to
+    distinct words per doc BEFORE the language expansion — the quantized
+    log-prob just multiplies by the count, integer-exact) -> profile agg
+    (shuffle on (lang,word)) -> wc x langs broadcast-joined against the
+    profile (profile cardinality = vocab x langs — tiny for a fixed
+    reference profile; the self-trained variant grows with corpus vocab, so
+    at scale cap the vocab or fall back to a shuffle join, see
+    text_perplexity_filter) -> integer log-prob sum per (doc, lang) (shuffle on
+    doc_id) -> argmax window. The expensive fact-side data moves through
+    exactly two shuffles regardless of corpus size, at distinct-word (not
+    token) volume.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = _langid_scored(docs)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand_lang"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -955,4 +963,84 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= 5)
         .select("doc_id", "token", "tf", "score_q", "term_rank")
+    )
+
+
+# Language-ID with CONFIDENCE: same quantized unigram-Bayes scores as
+# text_langid, but keeping the top-2 candidates per doc and reporting the
+# integer score margin — the CLD-style "reliable?" signal a pipeline
+# thresholds before trusting the label (ambiguous docs get routed to a
+# heavier model or dropped).
+_LANGID_MARGIN_ORACLE = """
+WITH wd AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS wcnt FROM wd GROUP BY doc_id, word
+),
+profile AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM wd GROUP BY lang, word
+),
+lang_tot AS (
+  SELECT lang, COUNT(*) AS tot FROM wd GROUP BY lang
+),
+vocab AS (
+  SELECT COUNT(DISTINCT word) AS v FROM wd
+),
+scored AS (
+  SELECT
+    wc.doc_id,
+    lang_tot.lang AS cand_lang,
+    CAST(SUM(wc.wcnt * CAST(ROUND(LN(
+      (CAST(COALESCE(profile.cnt, 0) + 1 AS DOUBLE))
+      / (CAST(lang_tot.tot + vocab.v AS DOUBLE))
+    ) * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+  FROM wc
+  CROSS JOIN lang_tot
+  CROSS JOIN vocab
+  LEFT JOIN profile ON profile.lang = lang_tot.lang AND profile.word = wc.word
+  GROUP BY wc.doc_id, lang_tot.lang
+),
+ranked AS (
+  SELECT doc_id, cand_lang, score_q,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cand_lang) AS rn
+  FROM scored
+)
+SELECT
+  r1.doc_id,
+  r1.cand_lang AS predicted_lang,
+  r1.score_q,
+  CAST(r1.score_q - r2.score_q AS BIGINT) AS margin_q,
+  (r1.score_q - r2.score_q) >= 500000 AS is_reliable
+FROM ranked r1
+JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+WHERE r1.rn = 1
+"""
+
+
+@register("text_langid_margin", oracle=_LANGID_MARGIN_ORACLE, tags=("text", "langid"))
+def text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a confidence margin: winner + integer micro-nat gap
+    to the runner-up, thresholded (0.5 nats) into an is_reliable flag.
+    Same two-fact-shuffle plan as text_langid (shared _langid_scored
+    subplan); the rank<=2 prune is a WindowGroupLimit, and the top-2
+    self-pair is a doc-grain self-join of an already-tiny (doc, 2-row)
+    set."""
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = _langid_scored(docs)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand_lang"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    top1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("cand_lang").alias("predicted_lang"), "score_q"
+    )
+    top2 = ranked.filter(F.col("rn") == 2).select(
+        "doc_id", F.col("score_q").alias("score2_q")
+    )
+    margin = (F.col("score_q") - F.col("score2_q")).cast("long")
+    return top1.join(top2, "doc_id").select(
+        "doc_id",
+        "predicted_lang",
+        "score_q",
+        margin.alias("margin_q"),
+        (margin >= 500_000).alias("is_reliable"),
     )
