@@ -272,3 +272,26 @@ def test_line_rebuild_shuffle_budget(spark, sf_dir):
     the doc-grain groupBy — any third exchange is a regression."""
     df = Q["text_line_dedup_rebuild"].fn(spark, sf_dir)
     assert count_exchanges(df) == 2
+
+
+def test_chunk_windows_is_zero_shuffle(spark, sf_dir):
+    """Retrieval chunking is pure scan-stage array math — any exchange means
+    the 1.33x overlap fan-out started moving over the network."""
+    df = Q["curation_chunk_windows"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_tfidf_and_margin_rank_filters_group_limit(spark, sf_dir):
+    """Per-doc top-k prunes must plan as WindowGroupLimit so per-partition
+    pruning happens before the doc-grain shuffle."""
+    assert has_window_group_limit(Q["text_tfidf_topterms"].fn(spark, sf_dir))
+    assert has_window_group_limit(Q["text_langid_margin"].fn(spark, sf_dir))
+    assert has_window_group_limit(Q["knn_int8_rerank"].fn(spark, sf_dir))
+
+
+def test_incremental_dedup_never_cartesian(spark, sf_dir):
+    """The new-batch audit joins on the content digest (plus one broadcast
+    cutoff row) — a cartesian means the asymmetric index degenerated."""
+    plan = explain_str(Q["dedup_incremental_exact"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert has_broadcast_join(Q["dedup_incremental_exact"].fn(spark, sf_dir))
