@@ -18,8 +18,8 @@ WINDOW = 50
 # then one r2-green guard per class.
 REQUIRED_IN_WINDOW = {
     "dedup": [
-        "dedup_embedding_cosine",
         "dedup_semantic",
+        "dedup_incremental_exact",
     ],
     "vector": ["knn_cosine_topk", "vector_quantize_int8", "knn_int8_rerank"],
     "text": [
@@ -30,7 +30,11 @@ REQUIRED_IN_WINDOW = {
         "text_quality_filter",
         "text_repetition_signals",
     ],
-    "pipeline": ["pipeline_training_manifest", "pipeline_corpus_curation"],
+    "pipeline": [
+        "pipeline_training_manifest",
+        "pipeline_corpus_curation",
+        "pipeline_rag_manifest",
+    ],
     "stats": ["agg_percentiles"],
     "subquery": ["subquery_correlated_scalar"],
     "streaming": [
@@ -38,7 +42,7 @@ REQUIRED_IN_WINDOW = {
         "streaming_session_windows",
         "streaming_pii_redact",
     ],
-    "dedup_cluster": ["dedup_cluster_cc", "dedup_cluster_lsh", "graph_pagerank_dups"],
+    "dedup_cluster": ["dedup_cluster_lsh", "graph_pagerank_dups"],
     "multimodal": ["multimodal_decode_dims", "multimodal_chunk_sample"],
     "curation": [
         "curation_chunk_windows",

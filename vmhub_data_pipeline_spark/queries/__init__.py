@@ -107,6 +107,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_chunk_windows",       # overlapping retrieval chunks (RAG prep)
     "dedup_incremental_exact",      # new-batch-vs-corpus audit (no old x old)
     "text_langid_margin",           # top-2 confidence margin + reliability flag
+    "pipeline_rag_manifest",        # chunk -> dedup -> metadata index manifest
+    "text_corpus_quality_report",   # per-source curation dashboard rollup
     # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
     #    post-drift driver row is the only proof the load-time
     #    normalization (commit a3bc82f) holds at sf0.01 --
@@ -120,11 +122,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # -- regression guard: one+ r2-green representative per capability class
     #    (displaced entries hold r1/r2 driver greens and stay covered by the
     #    local oracle mirror, which runs the FULL catalog) --
-    "dedup_embedding_cosine",
     "agg_percentiles",
     "subquery_correlated_scalar",
     "streaming_dedup_replay",
-    "dedup_cluster_cc",
     "pipeline_training_manifest",
     "topk_orders",
 )

@@ -765,3 +765,75 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_tokens"),
         F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )
+
+
+# RAG index manifest — the composed pipeline a retrieval stack actually runs:
+# chunk the corpus (overlapping windows), dedup chunks corpus-wide by digest
+# (boilerplate chunks collapse to their first occurrence), and attach the doc
+# metadata the index needs for filtering at query time. One declarative plan,
+# one oracle statement.
+_RAG_MANIFEST_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, lang, source, w,
+    UNNEST(generate_series(
+      0,
+      CAST(CEIL(GREATEST(LEN(w) - {_CHUNK_WINDOWS_N}, 0) / {_CHUNK_WINDOWS_STRIDE}.0)
+           AS BIGINT),
+      1
+    )) AS chunk_no
+  FROM ws
+),
+chunks AS (
+  SELECT doc_id, lang, source, chunk_no,
+    md5(array_to_string(
+      w[(chunk_no * {_CHUNK_WINDOWS_STRIDE} + 1):
+        (chunk_no * {_CHUNK_WINDOWS_STRIDE} + {_CHUNK_WINDOWS_N})], ' ')) AS chunk_md5
+  FROM idx
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_no) AS r
+  FROM chunks
+)
+SELECT doc_id, lang, source, chunk_no, chunk_md5, (r = 1) AS is_index_copy
+FROM rn
+"""
+
+
+@register("pipeline_rag_manifest", oracle=_RAG_MANIFEST_ORACLE, tags=("curation", "pipeline"))
+def pipeline_rag_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index build manifest: every (doc, chunk) with its digest,
+    filterable metadata (lang, source), and an is_index_copy flag — true on
+    the first corpus-wide occurrence of the chunk digest, false on every
+    later duplicate (those rows keep their provenance but point at the
+    indexed copy via the digest). The downstream embedding job encodes only
+    is_index_copy rows: chunk dedup BEFORE the GPU pass is where a RAG
+    pipeline saves real money.
+
+    Scale shape: chunking is the zero-shuffle scan projection of
+    curation_chunk_windows; the dedup decision is one digest-keyed window
+    (first-occurrence, same WindowGroupLimit family as keep-latest) whose
+    shuffle carries digests + two longs + short metadata strings — never
+    chunk text. One shuffle total."""
+    (docs,) = load(spark, sf_dir, "documents")
+    n, st = _CHUNK_WINDOWS_N, _CHUNK_WINDOWS_STRIDE
+    ws = docs.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = (
+        F.ceil(F.greatest(F.size("w") - n, F.lit(0)) / F.lit(float(st))).cast("long") + 1
+    )
+    chunked = ws.select(
+        "doc_id", "lang", "source", "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_no"),
+    )
+    sl = F.slice("w", (F.col("chunk_no") * st + 1).cast("int"), n)
+    chunks = chunked.select(
+        "doc_id", "lang", "source", "chunk_no", F.md5(F.array_join(sl, " ")).alias("chunk_md5")
+    )
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_no"))
+    return chunks.select(
+        "doc_id", "lang", "source", "chunk_no", "chunk_md5", (r == 1).alias("is_index_copy")
+    )

@@ -1044,3 +1044,97 @@ def text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin_q"),
         (margin >= 500_000).alias("is_reliable"),
     )
+
+
+# Per-source corpus QUALITY REPORT — the rollup a curation team reviews after
+# each crawl: per (source, lang) document counts, rule-filter keep rate,
+# exact-duplicate exposure, and volume. Composes the text_quality_filter
+# rules with the dedup_exact fingerprint grouping in one statement.
+_QREPORT_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source, lang,
+    MD5(LOWER(text)) AS fp,
+    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+    CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL}))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+  FROM documents
+),
+dup AS (
+  SELECT fp, COUNT(*) AS copies FROM m GROUP BY fp
+),
+scored AS (
+  SELECT m.source, m.lang, m.n_words, dup.copies,
+    ((m.n_words BETWEEN 20 AND 1000)
+     AND m.distinct_ratio >= 0.3
+     AND m.stop_ratio >= 0.01
+     AND (m.mean_word_len BETWEEN 2.0 AND 12.0)) AS keep
+  FROM m JOIN dup ON dup.fp = m.fp
+)
+SELECT source, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_group,
+  CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM scored
+GROUP BY source, lang
+"""
+
+
+@register("text_corpus_quality_report", oracle=_QREPORT_ORACLE, tags=("text", "curation", "agg"))
+def text_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation dashboard: doc counts, Gopher/C4 rule
+    keep rate, exact-dup exposure (docs whose fingerprint has >1 copy
+    corpus-wide), and token volume — the analytics layer OVER the curation
+    operators, in one declarative plan.
+
+    Scale shape: the rule signals are the same zero-shuffle scan
+    projections as text_quality_filter; the dup exposure adds one
+    digest-keyed groupBy and a digest join (fingerprints, never text);
+    the final rollup aggregates to |sources| x |langs| rows with map-side
+    combine. Three shuffles total, all digest- or group-keyed."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws).cast("long")
+    m = docs.select(
+        "doc_id", "source", "lang",
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+        n_words.alias("n_words"),
+        (F.size(F.array_distinct(ws)).cast("double") / n_words.cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double")
+            / n_words.cast("double")
+        ).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / n_words.cast("double")
+        ).alias("mean_word_len"),
+    )
+    dup = m.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
+    keep = (
+        F.col("n_words").between(20, 1000)
+        & (F.col("distinct_ratio") >= 0.3)
+        & (F.col("stop_ratio") >= 0.01)
+        & F.col("mean_word_len").between(2.0, 12.0)
+    )
+    scored = m.join(dup, "fp").select(
+        "source", "lang", "n_words", "copies", keep.alias("keep")
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).cast("long").alias("n_in_dup_group"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
