@@ -295,3 +295,50 @@ def test_incremental_dedup_never_cartesian(spark, sf_dir):
     plan = explain_str(Q["dedup_incremental_exact"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
     assert has_broadcast_join(Q["dedup_incremental_exact"].fn(spark, sf_dir))
+
+
+def test_winnow_fingerprint_is_zero_shuffle(spark, sf_dir):
+    """Winnowing selection (shingle -> hash -> window-min -> distinct) is
+    one scan-stage projection per document — any exchange means the shingle
+    fan-out started moving over the network."""
+    df = Q["text_winnow_fingerprint"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df)
+
+
+def test_winnow_pairs_never_cartesian(spark, sf_dir):
+    """The MOSS match step joins on the 52-bit fingerprint with a hot-key
+    cap — a cartesian means the inverted index degenerated to all-pairs."""
+    plan = explain_str(Q["dedup_winnow_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_weighted_sample_plans_as_group_limit(spark, sf_dir):
+    """The per-source rank<=k cut must plan as WindowGroupLimit so each map
+    task forwards at most k rows per source into the shuffle."""
+    assert has_window_group_limit(Q["curation_weighted_sample"].fn(spark, sf_dir))
+    # cost computation is scan-stage: one exchange (the source window) only
+    assert count_exchanges(Q["curation_weighted_sample"].fn(spark, sf_dir)) == 1
+
+
+def test_variant_extract_single_shuffle(spark, sf_dir):
+    """VARIANT parse + typed path reads are scan-stage; the only exchange
+    is the decade groupBy (partial aggregation map-side)."""
+    df = Q["events_variant_extract"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_kmv_sketch_rank_prunes_map_side(spark, sf_dir):
+    """The k-th-minimum cut must plan as WindowGroupLimit: each map task
+    forwards at most k hashes per group — the bounded-state sketch property,
+    held distributively."""
+    df = Q["agg_kmv_distinct"].fn(spark, sf_dir)
+    assert has_window_group_limit(df), explain_str(df)
+    assert count_exchanges(df) <= 4
+
+
+def test_hll_register_grain_bounded(spark, sf_dir):
+    """HLL folds to (group x 512 registers) in the first aggregate — the
+    shuffle budget pins the register-merge topology (distinct + register
+    max + fold + exact twin + join)."""
+    df = Q["agg_hll_distinct"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 5, explain_str(df)

@@ -35,14 +35,12 @@ REQUIRED_IN_WINDOW = {
         "pipeline_corpus_curation",
         "pipeline_rag_manifest",
     ],
-    "stats": ["agg_percentiles"],
-    "subquery": ["subquery_correlated_scalar"],
     "streaming": [
         "streaming_dedup_replay",
         "streaming_session_windows",
         "streaming_pii_redact",
     ],
-    "dedup_cluster": ["dedup_cluster_lsh", "graph_pagerank_dups"],
+    "dedup_cluster": ["graph_pagerank_dups"],
     "multimodal": ["multimodal_decode_dims", "multimodal_chunk_sample"],
     "curation": [
         "curation_chunk_windows",
@@ -55,8 +53,10 @@ REQUIRED_IN_WINDOW = {
         "curation_upsample_epochs",
         "text_line_dedup_rebuild",
     ],
-    # regression guard: previously-verified classes (displaced members keep
-    # local-oracle coverage via tests/test_queries_oracle.py full-catalog run)
+    # regression guard: previously-verified classes (displaced members —
+    # agg_percentiles, subquery_correlated_scalar, topk_orders, events_pivot,
+    # all r1+r2 double-green — keep local-oracle coverage via the
+    # tests/test_queries_oracle.py full-catalog run)
     "window": ["events_dedup_latest", "events_retention_cohort"],
     "join": [
         "join_q8_market_share",
@@ -64,8 +64,13 @@ REQUIRED_IN_WINDOW = {
         "join_q21_waiting_supplier",
         "join_salted_skew",
     ],
-    "setop": ["topk_orders"],
-    "events": ["events_funnel", "events_pivot", "events_watermark", "events_scd2_history"],
+    "events": ["events_watermark", "events_scd2_history"],
+    "sketch": ["agg_kmv_distinct", "agg_hll_distinct"],
+    # round-3b additions: winnowing fingerprints + pair matching, weighted
+    # sampling, and the Spark 4 VARIANT path
+    "winnow": ["text_winnow_fingerprint", "dedup_winnow_pairs"],
+    "sampling": ["curation_weighted_sample"],
+    "variant": ["events_variant_extract"],
 }
 
 
@@ -89,9 +94,9 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # the only rows-only window entry is the probabilistic LSH clustering
-    # path (recall is approximate by design; precision pinned in tests) —
-    # every other rows-only query (minhash/simhash/ann/sketches/fake-decode
-    # features) already has its no_oracle driver row from r2 and rotated out
+    # every rows-only query (minhash/simhash/ann/sketches/fake-decode
+    # features/LSH clustering) already has its no_oracle driver row from
+    # r1/r2 and a repeat adds nothing — the round-3 window is 100%
+    # oracle-backed
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}
-    assert rows_only == {"dedup_cluster_lsh"}
+    assert rows_only == set()

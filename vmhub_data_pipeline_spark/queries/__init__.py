@@ -88,7 +88,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_retention_cohort",
     "join_salted_skew",
     "streaming_pii_redact",
-    "dedup_cluster_lsh",
+    # (dedup_cluster_lsh holds its no_oracle driver row from r2 — a repeat
+    #  rows-only row adds nothing; its slot goes to a fully hash-checked
+    #  streaming entry, making the window 100% oracle-backed)
+    "streaming_incremental_dedup",  # REAL stream-static join dedup-at-ingest
     "join_q8_market_share",
     "join_q13_order_distribution",
     "join_q15_top_supplier",
@@ -109,24 +112,30 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_langid_margin",           # top-2 confidence margin + reliability flag
     "pipeline_rag_manifest",        # chunk -> dedup -> metadata index manifest
     "text_corpus_quality_report",   # per-source curation dashboard rollup
+    "text_winnow_fingerprint",      # MOSS winnowing: rolling-hash window minima
+    "dedup_winnow_pairs",           # shared-fingerprint candidate pairs + df cap
+    "curation_weighted_sample",     # A-ES weighted sampling, integer-exact cut
+    "events_variant_extract",       # Spark 4 VARIANT typed-path navigation
     # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
     #    post-drift driver row is the only proof the load-time
     #    normalization (commit a3bc82f) holds at sf0.01 --
     "events_dedup_latest",
-    "events_funnel",
-    "events_json_extract",
-    "events_pivot",
     "events_watermark",
     "events_sliding_2h",
     "events_tumbling_day",
-    # -- regression guard: one+ r2-green representative per capability class
-    #    (displaced entries hold r1/r2 driver greens and stay covered by the
-    #    local oracle mirror, which runs the FULL catalog) --
-    "agg_percentiles",
-    "subquery_correlated_scalar",
+    # (events_funnel / events_json_extract / events_pivot hold r1 driver
+    #  greens and output NO timestamp-typed column, so the ts-type drift
+    #  the tier re-proves cannot affect their hashes — displaced for the
+    #  deterministic-sketch tier, still covered by the local mirror)
+    "agg_kmv_distinct",             # k-minimum-values sketch, hash-exact
+    "agg_hll_distinct",             # deterministic-register HyperLogLog
+    # -- regression guard: r2-green representatives of the composed-pipeline
+    #    and real-streaming classes (displaced entries — agg_percentiles,
+    #    subquery_correlated_scalar, topk_orders, events_pivot — hold r1+r2
+    #    double driver greens, or output no drift-sensitive column, and stay
+    #    covered by the local oracle mirror, which runs the FULL catalog) --
     "streaming_dedup_replay",
     "pipeline_training_manifest",
-    "topk_orders",
 )
 
 

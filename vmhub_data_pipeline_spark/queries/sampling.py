@@ -10,7 +10,7 @@ range-partition boundary sampling.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.sampling import (
     assign_split,
@@ -836,4 +836,79 @@ def pipeline_rag_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.row_number().over(W.partitionBy("chunk_md5").orderBy("doc_id", "chunk_no"))
     return chunks.select(
         "doc_id", "lang", "source", "chunk_no", "chunk_md5", (r == 1).alias("is_index_copy")
+    )
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES shape):
+# each row draws u ~ U(0,1] from the derived-hash primitive and competes on
+# key u^(1/weight) — equivalently on cost -ln(u)/weight, smaller is better.
+# The log is quantized to integer micro-nats BEFORE the divide (the langid
+# determinism trick) and the divide is integer division by the integer
+# weight, so the per-source top-k cut is bit-identical across engines and
+# cluster topologies — no float comparison ever decides membership.
+_WS_SEED = "wsample-v1"
+_WS_K = 5
+_WS_DENOM = float(1 << 52)  # 13 hex chars of md5 = 52 uniform bits
+
+_WSAMPLE_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source, n_chars,
+    CAST(concat('0x',
+      substr(md5(concat('{_WS_SEED}:', CAST(doc_id AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS u_int
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+    CAST(ROUND(-LN((CAST(u_int AS DOUBLE) + 1.0) / {_WS_DENOM!r}) * 1000000.0)
+         AS BIGINT) * 1000000 // n_chars AS cost_q
+  FROM u
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cost_q, doc_id) AS wrank
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, cost_q, CAST(wrank AS BIGINT) AS wrank
+FROM ranked WHERE wrank <= {_WS_K}
+"""
+
+
+@register("curation_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("curation", "sampling"))
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k per source (A-ES): rows
+    compete on -ln(u)/weight with u md5-derived and weight = n_chars, so
+    longer documents are proportionally likelier to be drawn — the
+    token-budget-aware variant of stratified_sample.
+
+    Scale shape: the cost is a zero-shuffle scan projection (hash, one LN,
+    integer ops); the per-source rank<=k plans as WindowGroupLimit, so each
+    map task forwards at most k rows per source into the single shuffle.
+    Quantizing ln(u) to micro-nats before the integer divide makes the
+    selection a pure integer function of (seed, doc_id, weight): rerunning
+    on a different cluster, partitioning, or engine picks the same rows."""
+    (docs,) = load(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_WS_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    lnq = F.round(
+        -F.log((u_int.cast("double") + F.lit(1.0)) / F.lit(_WS_DENOM)) * 1000000.0
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (lnq * F.lit(1000000)).alias("cost_num"),
+    ).withColumn("cost_q", F.expr("cost_num div n_chars")).drop("cost_num")
+    w = Window.partitionBy("source").orderBy("cost_q", "doc_id")
+    return (
+        keyed.withColumn("wrank", F.row_number().over(w).cast("long"))
+        .filter(F.col("wrank") <= _WS_K)
+        .select("source", "doc_id", "n_chars", "cost_q", "wrank")
     )

@@ -11,7 +11,7 @@ one aggregate, no second pass, no fp drift at any cluster size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import quant
 from ..tables import load
@@ -313,4 +313,206 @@ def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy(band.alias("bal_band")).agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+# Deterministic distinct-count sketches. The engine-native sketches
+# (approx_count_distinct / HLL) are rows-only because register layouts are
+# engine-specific — but a sketch built from the repo's derived-hash
+# primitive is a pure function of the data, so BOTH the registers and the
+# estimate hash-match across engines. These are the production shapes for
+# 100 TB distinct-count: the shuffle carries k hashes (KMV) or m registers
+# (HLL) per group, never the distinct values themselves.
+_KMV_K = 64  # <= per-group cardinality at the smallest fixture (sf0.001 has ~126/group)
+_KMV_DENOM = float(1 << 52)
+
+_KMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x',
+      substr(md5(concat('kmv-v1:', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS hv
+  FROM d
+),
+r AS (
+  SELECT o_orderpriority, hv,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+  FROM h
+),
+exact AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT
+  r.o_orderpriority,
+  exact.n_exact,
+  r.hv AS kth_hash,
+  ROUND(({_KMV_K} - 1.0e0) * {_KMV_DENOM!r} / CAST(r.hv AS DOUBLE), 4) AS est_kmv
+FROM r JOIN exact ON r.o_orderpriority = exact.o_orderpriority
+WHERE r.rn = {_KMV_K}
+"""
+
+
+@register("agg_kmv_distinct", oracle=_KMV_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, exactly reproducible:
+    hash each distinct member with the md5-derived primitive, keep the k-th
+    smallest hash per group, estimate |D| = (k-1) * 2^52 / h_k.
+
+    Scale shape: the rank<=k cut plans as WindowGroupLimit, so each map
+    task forwards at most k hashes per group into the shuffle — the sketch
+    property (bounded state per group) holds distributively. Unlike
+    approx_count_distinct, the estimate is a pure function of the data:
+    the driver hash-matches both the register (kth_hash) and the estimate."""
+    (orders,) = load(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv-v1:"), F.col("o_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select("o_orderpriority", hv.alias("hv"))
+    w = Window.partitionBy("o_orderpriority").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("o_orderpriority", F.col("hv").alias("kth_hash"))
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return kth.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "kth_hash",
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DENOM) / F.col("kth_hash").cast("double"),
+            4,
+        ).alias("est_kmv"),
+    )
+
+
+# HyperLogLog with deterministic registers: bucket = hash mod m, rho =
+# leading-zero count of the remaining 43 bits + 1 (computed integer-exactly
+# via length(bin(x)) — no float log). Z = sum 2^-M is a sum of dyadic
+# rationals on a 2^-44 grid totalling < 2^9, so it is EXACTLY representable
+# in 53-bit doubles and addition never rounds — the estimate is therefore
+# bit-identical regardless of summation order, engine, or partitioning.
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_REM_BITS = 52 - _HLL_P  # 43
+
+_HLL_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x',
+      substr(md5(concat('hll-v1:', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS hv
+  FROM d
+),
+reg AS (
+  SELECT o_orderpriority,
+    hv % {_HLL_M} AS bucket,
+    MAX(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_REM_BITS} + 1
+             ELSE {_HLL_REM_BITS} - LENGTH(bin(hv // {_HLL_M})) + 1 END) AS m_rho
+  FROM h
+  GROUP BY o_orderpriority, hv % {_HLL_M}
+),
+fold AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_hit,
+    SUM(POWER(2.0e0, -m_rho)) AS z_hit
+  FROM reg GROUP BY o_orderpriority
+),
+est AS (
+  SELECT o_orderpriority, n_hit,
+    (0.7213e0 / (1.0e0 + 1.079e0 / {_HLL_M}.0e0)) * {_HLL_M}.0e0 * {_HLL_M}.0e0
+      / (z_hit + ({_HLL_M} - n_hit) * 1.0e0) AS raw_est
+  FROM fold
+),
+exact AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT
+  est.o_orderpriority,
+  exact.n_exact,
+  est.n_hit,
+  ROUND(CASE WHEN est.raw_est <= 2.5e0 * {_HLL_M}.0e0 AND est.n_hit < {_HLL_M}
+             THEN {_HLL_M}.0e0 * LN({_HLL_M}.0e0 / ({_HLL_M} - est.n_hit))
+             ELSE est.raw_est END, 4) AS est_hll
+FROM est JOIN exact ON est.o_orderpriority = exact.o_orderpriority
+"""
+
+
+@register("agg_hll_distinct", oracle=_HLL_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count with md5-derived hashes: 512 deterministic
+    registers per group, leading-zero ranks computed via integer bin-length
+    (never float log), the standard bias-corrected estimate with linear
+    counting below 2.5m — and the whole thing hash-matches a plain-SQL
+    oracle because every register and every dyadic sum is exact.
+
+    Scale shape: register grain is (group x 512) regardless of cardinality
+    — the first groupBy's map-side combine collapses each partition to at
+    most 512 rows per group before the shuffle; the second collapses to one
+    row per group. This is the real HLL merge topology, just with auditable
+    registers."""
+    (orders,) = load(spark, sf_dir, "orders")
+    m, rb = _HLL_M, _HLL_REM_BITS
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-v1:"), F.col("o_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select("o_orderpriority", hv.alias("hv"))
+    rem = F.expr(f"hv div {m}")
+    rho = F.when(rem == 0, F.lit(rb + 1)).otherwise(
+        F.lit(rb) - F.length(F.bin(rem)) + F.lit(1)
+    )
+    reg = (
+        h.withColumn("bucket", F.col("hv") % m)
+        .withColumn("rho", rho)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    fold = reg.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("z_hit"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    raw_est = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+        / (F.col("z_hit") + (F.lit(m) - F.col("n_hit")).cast("double"))
+    )
+    est = fold.withColumn("raw_est", raw_est)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_hit")).cast("double"))
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.when(
+                (F.col("raw_est") <= F.lit(2.5 * m)) & (F.col("n_hit") < m), lc
+            ).otherwise(F.col("raw_est")),
+            4,
+        ).alias("est_hll"),
     )

@@ -299,3 +299,64 @@ def streaming_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         spark, redacted, "stream_pii", output_mode="append", state_partitions=8
     )
+
+
+# Incremental dedup AT INGEST: the streaming twin of dedup_incremental_exact.
+# The warehouse corpus (6/7 of documents) is the STATIC side, registered as
+# a fingerprint index; the stream is a full at-least-once re-delivery (all
+# documents — old rows redelivered plus the 1/7 genuinely new). A
+# stream-static LEFT join on the content digest labels every arriving row
+# already-present (dup_of = canonical id) or new content — the decision a
+# production ingest job makes per micro-batch, against an index it never
+# rescans.
+_STREAM_INCDEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT md5(lower(text)) AS fp, MIN(doc_id) AS dup_of
+  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+),
+delivery AS (
+  SELECT doc_id, md5(lower(text)) AS fp FROM documents
+)
+SELECT d.doc_id, d.fp, c.dup_of, (c.dup_of IS NULL) AS is_new_content
+FROM delivery d LEFT JOIN corpus c ON d.fp = c.fp
+"""
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_STREAM_INCDEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest via a REAL stream-static join: arriving documents
+    (file stream) join the warehouse fingerprint index (static DataFrame)
+    on the md5 content digest; matches carry the canonical doc_id, misses
+    are new content. Stateless append — every arriving row emits exactly
+    once, so the batch SQL oracle applies verbatim (the sixth real
+    streaming execution with a full hash-match check).
+
+    Scale shape: stream-static joins re-plan the static side per
+    micro-batch, so the index is joined (broadcast while it fits, shuffled
+    hash join beyond) but never re-scanned into state — join state is ZERO
+    because only the stream side flows. The fingerprint index carries
+    (fp, canonical id), never text: the 100 TB corpus contributes one
+    digest row per document, exactly like dedup_incremental_exact's
+    asymmetric audit, but amortized to per-batch cost at ingest time."""
+    scratch = _landed_docs(spark, sf_dir)
+    (docs,) = load(spark, sf_dir, "documents")
+    index = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .groupBy(F.md5(F.lower("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(scratch)
+        .select("doc_id", F.md5(F.lower("text")).alias("fp"))
+        .join(index, "fp", "left")
+        .select("doc_id", "fp", "dup_of", F.col("dup_of").isNull().alias("is_new_content"))
+    )
+    return _run_to_memory(
+        spark, stream, "stream_incdedup", output_mode="append", state_partitions=8
+    )

@@ -1138,3 +1138,162 @@ def text_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).cast("long").alias("n_in_dup_group"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): the rolling-hash
+# document-fingerprinting scheme MOSS uses. Hash every K-word shingle,
+# slide a W-hash window over the sequence, keep each window's minimum —
+# the selected set is guaranteed to include at least one hash from every
+# match of length >= K + W - 1, at ~2/(W+1) of the shingle volume.
+_WINNOW_K = 4  # words per shingle
+_WINNOW_W = 5  # hashes per winnowing window
+
+_WINNOW_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, LEN(w) - {_WINNOW_K} + 2),
+      i -> CAST(concat('0x',
+             substr(md5(array_to_string(w[i:i + {_WINNOW_K} - 1], ' ')), 1, 13)
+           ) AS BIGINT)
+    ) AS h
+  FROM ws
+  WHERE LEN(w) >= {_WINNOW_K}
+),
+m AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LEN(h) - {_WINNOW_W} + 1, 1) + 1),
+      i -> list_aggregate(h[i:i + {_WINNOW_W} - 1], 'min')
+    )) AS fps
+  FROM g
+)
+SELECT doc_id, UNNEST(fps) AS fp FROM m
+"""
+
+
+@register("text_winnow_fingerprint", oracle=_WINNOW_ORACLE, tags=("text", "dedup"))
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: K-word shingle hashes -> sliding-W-window
+    minima -> per-document distinct fingerprint set (doc_id, fp).
+
+    Scale shape: the entire selection — shingling, hashing, window minima,
+    dedup — is higher-order array math inside ONE scan-stage projection
+    (transform/slice/array_min/array_distinct), zero shuffle, zero UDF;
+    the only post-scan op is the explode. Winnowing is embarrassingly
+    parallel per document, and the ~2/(W+1) selection density is what makes
+    corpus-wide fingerprint joins tractable at 100 TB (vs joining every
+    shingle). Hash = first 52 bits of md5, the repo's cross-engine
+    derived-randomness primitive (operators/sampling.py:derived_hash)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .withColumn(
+            "h",
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - k + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("h") - w + 1, F.lit(1))),
+                    lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+                )
+            ),
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+
+
+# Candidate pairs from shared winnowing fingerprints — the MOSS match step.
+# Two documents sharing >= _WINNOW_MIN_SHARED selected fingerprints are
+# near-dup/plagiarism candidates. Fingerprints selected from more than
+# _WINNOW_MAX_FP_DF documents are boilerplate (licence headers, navigation
+# chrome) and are dropped BEFORE the self-join — the same hot-key guard as
+# jaccard_similarity_pairs (operators/dedup.py) — so candidate volume stays
+# sum-of-df^2 over rare fingerprints, never corpus-quadratic.
+_WINNOW_MAX_FP_DF = 20
+_WINNOW_MIN_SHARED = 3
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, LEN(w) - {_WINNOW_K} + 2),
+      i -> CAST(concat('0x',
+             substr(md5(array_to_string(w[i:i + {_WINNOW_K} - 1], ' ')), 1, 13)
+           ) AS BIGINT)
+    ) AS h
+  FROM ws
+  WHERE LEN(w) >= {_WINNOW_K}
+),
+fp AS (
+  SELECT DISTINCT doc_id, UNNEST(list_distinct(list_transform(
+      range(1, GREATEST(LEN(h) - {_WINNOW_W} + 1, 1) + 1),
+      i -> list_aggregate(h[i:i + {_WINNOW_W} - 1], 'min')
+    ))) AS fp
+  FROM g
+),
+rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_FP_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS shared_fps
+  FROM fp a
+  JOIN rare r ON a.fp = r.fp
+  JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_lo, doc_hi, CAST(shared_fps AS BIGINT) AS shared_fps
+FROM pairs
+WHERE shared_fps >= {_WINNOW_MIN_SHARED}
+"""
+
+
+@register("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE, tags=("dedup", "text"))
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (the MOSS
+    match step): docs sharing >= 3 selected fingerprints, boilerplate
+    fingerprints (document frequency > 20) dropped before the self-join.
+
+    Scale shape: the fingerprint relation is ~2/(W+1) the shingle volume
+    (winnowing's guarantee), the join key is a 52-bit hash (never text),
+    and the hot-fingerprint cap bounds candidate fan-out exactly like the
+    Jaccard inverted-index cap — per-fingerprint work is df^2 with df <= 20,
+    so total candidates are linear in fingerprint volume, not corpus^2."""
+    fps = text_winnow_fingerprint(spark, sf_dir)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WINNOW_MAX_FP_DF
+    )
+    pruned = fps.join(rare.select("fp"), "fp")
+    a = pruned.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+    )
