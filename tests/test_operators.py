@@ -548,3 +548,18 @@ def test_extract_media_features_real_decode_on_bmp(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (5, 29, "bmp")
     assert (got[2]["width"], got[2]["height"]) == (301 % 300 + 1, (301 * 7) % 300 + 1)
     assert got[2]["n_bytes"] == 26 + 301
+
+
+def test_ppm_decode_byte_exact():
+    """decode_ppm_pixels parses a hand-built P6 and recovers exact means."""
+    from vmhub_data_pipeline_spark.operators.multimodal import decode_ppm_pixels
+
+    # 2x2 image: pixels (10,20,30) (40,50,60) (70,80,90) (100,110,120)
+    pix = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = b"P6\n2 2\n255\n" + pix
+    w, h, mr, mg, mb = decode_ppm_pixels(payload)
+    assert (w, h) == (2, 2)
+    assert (mr, mg, mb) == ((10 + 40 + 70 + 100) / 4, (20 + 50 + 80 + 110) / 4, (30 + 60 + 90 + 120) / 4)
+    # truncated pixel block -> None, not garbage
+    assert decode_ppm_pixels(b"P6\n2 2\n255\n" + pix[:-1]) is None
+    assert decode_ppm_pixels(b"BM\x00\x00") is None

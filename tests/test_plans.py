@@ -342,3 +342,28 @@ def test_hll_register_grain_bounded(spark, sf_dir):
     max + fold + exact twin + join)."""
     df = Q["agg_hll_distinct"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 5, explain_str(df)
+
+
+def test_triangle_count_never_cartesian(spark, sf_dir):
+    """Oriented-edge triangle enumeration joins on node ids — a cartesian
+    means an edge leg lost its equi-join key."""
+    plan = explain_str(Q["graph_triangle_count"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_quality_audit_one_pass_per_table(spark, sf_dir):
+    """Every declared constraint folds into one scan per table — adding
+    constraints must never add scans. (Exchanges are 2 per table: the
+    count-distinct key shuffle + the single-row final fold.)"""
+    df = Q["pipeline_quality_audit"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # formatted explain prints each node twice (tree + detail); count tree rows
+    assert plan.count("+- Scan parquet") == 2, plan
+    assert count_exchanges(df) <= 4, plan
+
+
+def test_pixel_stats_decode_is_zero_shuffle(spark, sf_dir):
+    """The pixel decode runs mapInPandas where the payload partitions live —
+    any exchange means image bytes started moving over the network."""
+    df = Q["multimodal_pixel_stats"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0, explain_str(df)

@@ -41,7 +41,11 @@ REQUIRED_IN_WINDOW = {
         "streaming_pii_redact",
     ],
     "dedup_cluster": ["graph_pagerank_dups"],
-    "multimodal": ["multimodal_decode_dims", "multimodal_chunk_sample"],
+    "multimodal": [
+        "multimodal_decode_dims",
+        "multimodal_chunk_sample",
+        "multimodal_pixel_stats",
+    ],
     "curation": [
         "curation_chunk_windows",
         "curation_bpe_merges",

@@ -349,3 +349,104 @@ def sample_chunks(
         (F.length(chunk_hex) / 2).cast("long").alias("chunk_bytes"),
         F.md5(chunk_hex).alias("chunk_md5"),
     )
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter producing REAL decodable binary P6 PPMs: the ASCII
+    header ``P6\\n{w} {h}\\n255\\n`` followed by w*h*3 raw RGB bytes (the
+    text's leading bytes — pure ASCII, one byte per char). Any PPM reader
+    recovers dimensions AND pixels from the bytes alone. Construction is
+    JVM expressions end-to-end; width is fixed at 4 and height derived as
+    octet_length div 12 so the pixel block always fits the text with no
+    padding byte.
+    """
+    nb = F.octet_length(F.col(text_col))
+    width = F.lit(4)
+    height = F.expr(f"octet_length({text_col}) div 12").cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit("P6\n"),
+        width.cast("string"),
+        F.lit(" "),
+        height.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels = F.substring(F.col(text_col), 1, 12 * F.expr(f"octet_length({text_col}) div 12"))
+    payload = F.concat(F.encode(header, "UTF-8"), F.encode(pixels, "UTF-8"))
+    return df.filter(nb >= 12).select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_ppm_pixels(payload: bytes) -> tuple[int, int, float, float, float] | None:
+    """REAL P6 pixel decode with no imaging library: parse the ASCII header
+    (magic, width, height, maxval tokens, then one whitespace byte), view
+    the remaining bytes as an (h*w, 3) RGB array, return per-channel means.
+    Channel sums are exact integer math; only the final mean divides."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        return None
+    # header = 4 whitespace-separated tokens; pixel data starts after the
+    # single whitespace byte that terminates maxval
+    tokens, pos, tok = [], 0, b""
+    while pos < len(payload) and len(tokens) < 4:
+        ch = payload[pos : pos + 1]
+        if ch.isspace():
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += ch
+        pos += 1
+    if len(tokens) < 4:
+        return None
+    w, h = int(tokens[1]), int(tokens[2])
+    need = w * h * 3
+    arr = np.frombuffer(payload[pos : pos + need], dtype=np.uint8)
+    if arr.size < need or need == 0:
+        return None
+    rgb = arr.reshape(-1, 3).astype(np.int64)
+    sums = rgb.sum(axis=0)
+    npix = float(w * h)
+    return w, h, float(sums[0]) / npix, float(sums[1]) / npix, float(sums[2]) / npix
+
+
+def extract_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel means via Arrow-batched mapInPandas over the binary
+    payload — the decode runs where the bytes live (per partition, zero
+    shuffle); the driver never sees a pixel."""
+    import pandas as pd
+
+    def work(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_ppm_pixels(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, mr, mg, mb = dec
+                # raw means — rounding happens in the query layer with
+                # F.round (HALF_UP, matching the oracle's ROUND); Python's
+                # banker's rounding would flip exact-.5 cases
+                out.append((int(doc_id), w, h, mr, mg, mb))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(work, PIXEL_STATS_SCHEMA)

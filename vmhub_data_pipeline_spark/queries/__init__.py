@@ -121,8 +121,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #    normalization (commit a3bc82f) holds at sf0.01 --
     "events_dedup_latest",
     "events_watermark",
-    "events_sliding_2h",
     "events_tumbling_day",
+    # (events_sliding_2h r1-green; its window-timestamp drift exposure is
+    #  equivalently re-proved by events_tumbling_day — slot goes to the
+    #  REAL-pixel-decode query that closes the multimodal partial)
+    "multimodal_pixel_stats",       # REAL P6 decode: header+pixels from bytes
     # (events_funnel / events_json_extract / events_pivot hold r1 driver
     #  greens and output NO timestamp-typed column, so the ts-type drift
     #  the tier re-proves cannot affect their hashes — displaced for the

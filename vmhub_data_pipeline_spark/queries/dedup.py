@@ -639,3 +639,117 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_old_id",
         F.coalesce("n_old_copies", F.lit(0)).cast("long").alias("n_old_copies"),
     )
+
+
+# Triangle counting + local clustering coefficient over the near-dup graph
+# (the density diagnostic for dup clusters: near-clique clusters mean one
+# canonical survivor suffices; sparse chains mean transitive merging was
+# too aggressive). Oriented-edge formulation: every triangle a<b<c is
+# counted exactly once by joining lo->hi edges twice, so work is
+# sum-over-nodes(outdeg^2) on an already-thresholded sparse graph — never
+# a cross join, never double counting.
+_TRIANGLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+edges AS (
+  SELECT doc_a AS lo, doc_b AS hi
+  FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.lo = e1.hi
+  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+tri_nodes AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT lo AS node FROM edges
+    UNION ALL SELECT hi FROM edges
+  ) GROUP BY node
+)
+SELECT
+  deg.node AS doc_id,
+  CAST(deg.degree AS BIGINT) AS degree,
+  CAST(COALESCE(tri_nodes.n_triangles, 0) AS BIGINT) AS n_triangles,
+  ROUND(2.0e0 * COALESCE(tri_nodes.n_triangles, 0)
+        / (deg.degree * (deg.degree - 1.0e0)), 4) AS clustering_coeff
+FROM deg LEFT JOIN tri_nodes ON deg.node = tri_nodes.node
+WHERE deg.degree >= 2
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("graph", "dedup"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    exact near-dup graph (jaccard >= 0.9 edges): near-1.0 coefficients mean
+    dup clusters are cliques (safe to keep one canonical doc); low
+    coefficients flag chain-shaped clusters where transitive closure
+    over-merges.
+
+    Scale shape: edges are oriented lo<hi so each triangle is enumerated
+    exactly once by two equi-joins on node ids (work = sum outdeg^2 of a
+    thresholded sparse graph); the per-node rollups shuffle ids and counts
+    only. The edge relation is built once and reused by all three join
+    legs — Catalyst reuses the exchange rather than recomputing the
+    inverted-index pair generation."""
+    (docs,) = load(spark, sf_dir, "documents")
+    edges = (
+        jaccard_similarity_pairs(
+            docs, "doc_id", "text", threshold=0.9, group_col="lang",
+            max_token_doc_freq=None,
+        )
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .localCheckpoint()  # small thresholded pair set; cut the inverted-index
+        # lineage so the three join legs scan it instead of re-deriving it
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("degree").cast("double") * (F.col("degree").cast("double") - F.lit(1.0))),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )

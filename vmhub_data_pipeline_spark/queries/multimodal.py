@@ -160,3 +160,63 @@ def multimodal_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = attach_magic_payload(docs, "doc_id", "text")
     return sample_chunks(media, "doc_id", "payload", chunk_size=64, every_k=2)
+
+
+# REAL pixel decode end-to-end: genuine binary P6 PPMs are built JVM-side
+# (ASCII header + raw RGB bytes), the Arrow batch path parses the header
+# and decodes the pixel array with numpy — no imaging library — and the
+# oracle recomputes every channel mean from the construction rule. The
+# hash match proves build -> serialize -> parse -> decode -> aggregate is
+# byte-faithful at every step.
+_PPM_PIXEL_ORACLE = """
+WITH p AS (
+  SELECT doc_id, text, strlen(text) AS nb FROM documents
+),
+dims AS (
+  SELECT doc_id, text,
+    CAST(4 AS INTEGER) AS width,
+    CAST(nb // 12 AS INTEGER) AS height,
+    (nb // 12) * 12 AS npx_bytes
+  FROM p WHERE nb >= 12
+)
+SELECT
+  doc_id, width, height,
+  ROUND(CAST(list_aggregate(list_transform(range(1, npx_bytes + 1, 3),
+          i -> ascii(text[i])), 'sum') AS BIGINT)
+        / (width * height * 1.0e0), 4) AS mean_r,
+  ROUND(CAST(list_aggregate(list_transform(range(2, npx_bytes + 1, 3),
+          i -> ascii(text[i])), 'sum') AS BIGINT)
+        / (width * height * 1.0e0), 4) AS mean_g,
+  ROUND(CAST(list_aggregate(list_transform(range(3, npx_bytes + 1, 3),
+          i -> ascii(text[i])), 'sum') AS BIGINT)
+        / (width * height * 1.0e0), 4) AS mean_b
+FROM dims
+"""
+
+
+@register("multimodal_pixel_stats", oracle=_PPM_PIXEL_ORACLE, tags=("multimodal",))
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image RGB channel means from a REAL pixel decode: binary P6 PPMs
+    (built byte-by-byte JVM-side) are parsed and decoded with numpy inside
+    the Arrow batch path — header tokenization, dimension extraction, and
+    the (h*w, 3) pixel view are all computed from the payload BYTES, no
+    imaging library, no metadata ride-along.
+
+    Scale shape: decode runs mapInPandas per partition, zero shuffle; the
+    payload never transits Catalyst as anything but opaque binary, and the
+    driver only ever sees 6 scalars per image. Channel sums are exact
+    integer math (max 255 * n_pixels), so the means — the only division —
+    hash-match the oracle's recomputation exactly."""
+    from ..operators.multimodal import attach_ppm_payload, extract_pixel_stats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_ppm_payload(docs, "doc_id", "text")
+    stats = extract_pixel_stats(media)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )

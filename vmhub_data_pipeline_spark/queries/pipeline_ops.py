@@ -188,3 +188,111 @@ def pipeline_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ds")
     )
     return df.groupBy("ds").agg(F.count(F.lit(1)).alias("n_days_window"))
+
+
+# Data-quality constraint audit (the Deequ/dbt-test shape): declarative
+# completeness / uniqueness / range constraints evaluated in ONE aggregate
+# pass per table, emitted as an auditable (table, constraint, metric,
+# passed) report — the gate a warehouse load runs before publishing a
+# partition.
+_QUALITY_AUDIT_ORACLE = """
+WITH o AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(DISTINCT o_orderkey) AS n_key,
+    COUNT(o_custkey) AS n_cust,
+    SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS n_price_ok,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS n_date_ok
+  FROM orders
+),
+l AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_key,
+    SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS n_qty_ok,
+    SUM(CASE WHEN l_discount BETWEEN 0.0e0 AND 0.1e0 THEN 1 ELSE 0 END) AS n_disc_ok
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'orders' AS tbl, 'row_count_positive' AS constraint,
+         CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM o
+  UNION ALL SELECT 'orders', 'orderkey_unique',
+         ROUND(CAST(n_key AS DOUBLE) / n, 6), n_key = n FROM o
+  UNION ALL SELECT 'orders', 'custkey_complete',
+         ROUND(CAST(n_cust AS DOUBLE) / n, 6), n_cust = n FROM o
+  UNION ALL SELECT 'orders', 'totalprice_nonnegative',
+         ROUND(CAST(n_price_ok AS DOUBLE) / n, 6), n_price_ok = n FROM o
+  UNION ALL SELECT 'orders', 'orderdate_in_range',
+         ROUND(CAST(n_date_ok AS DOUBLE) / n, 6), n_date_ok = n FROM o
+  UNION ALL SELECT 'lineitem', 'row_count_positive',
+         CAST(n AS DOUBLE), n > 0 FROM l
+  UNION ALL SELECT 'lineitem', 'pk_unique',
+         ROUND(CAST(n_key AS DOUBLE) / n, 6), n_key = n FROM l
+  UNION ALL SELECT 'lineitem', 'quantity_in_1_50',
+         ROUND(CAST(n_qty_ok AS DOUBLE) / n, 6), n_qty_ok = n FROM l
+  UNION ALL SELECT 'lineitem', 'discount_in_0_01',
+         ROUND(CAST(n_disc_ok AS DOUBLE) / n, 6), n_disc_ok = n FROM l
+)
+"""
+
+
+@register(
+    "pipeline_quality_audit", oracle=_QUALITY_AUDIT_ORACLE, tags=("pipeline", "audit")
+)
+def pipeline_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: completeness, uniqueness, and range
+    constraints over orders and lineitem, evaluated as ONE aggregate pass
+    per table and reported as (tbl, constraint, metric, passed) rows.
+
+    Scale shape: every constraint folds into the same single-row aggregate
+    (conditional sums + count-distincts), so a 100 TB table is scanned
+    once regardless of how many constraints are declared; the stack() to
+    report rows happens on the one-row result. This is the audit the
+    warehouse refresh (pipeline/lake.py Observation metrics) runs before
+    publishing a partition, expressed as a catalog query."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.count("o_custkey").alias("n_cust"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 1).otherwise(0)).alias("n_price_ok"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_date_ok"),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_key"),
+        F.sum(F.when(F.col("l_quantity").between(1, 50), 1).otherwise(0)).alias("n_qty_ok"),
+        F.sum(F.when(F.col("l_discount").between(0.0, 0.1), 1).otherwise(0)).alias(
+            "n_disc_ok"
+        ),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    o_rows = o.select(
+        F.expr(
+            "stack(5, "
+            "'row_count_positive', CAST(n AS DOUBLE), n > 0, "
+            "'orderkey_unique', ROUND(CAST(n_key AS DOUBLE) / n, 6), n_key = n, "
+            "'custkey_complete', ROUND(CAST(n_cust AS DOUBLE) / n, 6), n_cust = n, "
+            "'totalprice_nonnegative', ROUND(CAST(n_price_ok AS DOUBLE) / n, 6), n_price_ok = n, "
+            "'orderdate_in_range', ROUND(CAST(n_date_ok AS DOUBLE) / n, 6), n_date_ok = n"
+            ") AS (constraint, metric, passed)"
+        )
+    ).select(F.lit("orders").alias("tbl"), "constraint", "metric", "passed")
+    l_rows = l.select(
+        F.expr(
+            "stack(4, "
+            "'row_count_positive', CAST(n AS DOUBLE), n > 0, "
+            "'pk_unique', ROUND(CAST(n_key AS DOUBLE) / n, 6), n_key = n, "
+            "'quantity_in_1_50', ROUND(CAST(n_qty_ok AS DOUBLE) / n, 6), n_qty_ok = n, "
+            "'discount_in_0_01', ROUND(CAST(n_disc_ok AS DOUBLE) / n, 6), n_disc_ok = n"
+            ") AS (constraint, metric, passed)"
+        )
+    ).select(F.lit("lineitem").alias("tbl"), "constraint", "metric", "passed")
+    return o_rows.unionAll(l_rows)

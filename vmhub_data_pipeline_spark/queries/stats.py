@@ -516,3 +516,96 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_hll"),
     )
+
+
+# KMV MERGE — the property that makes sketches the 100 TB answer: per-group
+# sketches union by keeping the k smallest of the combined hash sets, so a
+# corpus-wide distinct estimate derives from the already-built group
+# sketches WITHOUT rescanning the data. The merged k-th minimum here is
+# provably identical to the k-th minimum computed directly over the union
+# (any global top-k hash is inside its own group's top-k), and the driver
+# hash-check proves it.
+_KMV_MERGE_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x',
+      substr(md5(concat('kmv-v1:', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS hv
+  FROM d
+),
+grp_sk AS (
+  SELECT o_orderpriority, hv FROM (
+    SELECT o_orderpriority, hv,
+      ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+merged AS (
+  SELECT hv FROM (
+    SELECT DISTINCT hv FROM grp_sk ORDER BY hv LIMIT {_KMV_K}
+  )
+),
+kth AS (
+  SELECT MAX(hv) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS k_kept FROM merged
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact_union FROM orders
+)
+SELECT
+  exact.n_exact_union,
+  kth.k_kept,
+  kth.kth_hash,
+  ROUND(({_KMV_K} - 1.0e0) * {_KMV_DENOM!r} / CAST(kth.kth_hash AS DOUBLE), 4)
+    AS est_union
+FROM kth, exact
+"""
+
+
+@register("agg_kmv_merge", oracle=_KMV_MERGE_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide distinct estimate by MERGING the per-group KMV sketches:
+    union the five per-priority k-min hash sets, dedup, keep the k smallest,
+    estimate from the merged k-th minimum — no second scan of the data.
+
+    Scale shape: the merge input is 5k hashes (group count x k), not the
+    corpus; the global top-k plans as TakeOrderedAndProject (each partition
+    forwards at most k rows to the driver-side take). Sketch merge is the
+    operation that lets 1000 executors each sketch their shard and a
+    coordinator fold the union — this query pins that algebra exactly."""
+    (orders,) = load(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv-v1:"), F.col("o_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select("o_orderpriority", hv.alias("hv"))
+    w = Window.partitionBy("o_orderpriority").orderBy("hv")
+    grp_sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("hv")
+    )
+    merged = grp_sk.distinct().orderBy("hv").limit(_KMV_K)
+    kth = merged.agg(
+        F.max("hv").alias("kth_hash"), F.count(F.lit(1)).cast("long").alias("k_kept")
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact_union")
+    )
+    return kth.crossJoin(exact).select(
+        "n_exact_union",
+        "k_kept",
+        "kth_hash",
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DENOM) / F.col("kth_hash").cast("double"),
+            4,
+        ).alias("est_union"),
+    )
