@@ -61,6 +61,12 @@ HEADLINE = [
     # rebuild (one text-carrying shuffle + doc-grain reassembly)
     "vector_quantize_int8",
     "text_line_dedup_rebuild",
+    # round 3b: winnowing selection (pure scan-stage array-math throughput),
+    # the deterministic HLL register fold, and the Arrow-batched real pixel
+    # decode — one entry per new tier
+    "text_winnow_fingerprint",
+    "agg_hll_distinct",
+    "multimodal_pixel_stats",
 ]
 
 # Queries whose single-run timing proved noisy round-over-round (knn moved
@@ -74,7 +80,13 @@ REPEATS = {"knn_cosine_topk": 3, "dedup_minhash_lsh": 3, "dedup_cluster_lsh": 3}
 # PageRank shuffle cost is exactly what needs round-over-round visibility.
 # Reported under "secondary"/"secondary_sf"; excluded from the headline
 # total so "value" stays comparable with BENCH_r01/r02.
-SECONDARY = ["dedup_cluster_cc", "graph_pagerank_dups", "curation_bpe_merges"]
+SECONDARY = [
+    "dedup_cluster_cc",
+    "graph_pagerank_dups",
+    "curation_bpe_merges",
+    # shares the exact-pair stage's fixture pathology, so sf0.01 like the rest
+    "graph_triangle_count",
+]
 
 
 def main() -> None:

@@ -563,3 +563,44 @@ def test_ppm_decode_byte_exact():
     # truncated pixel block -> None, not garbage
     assert decode_ppm_pixels(b"P6\n2 2\n255\n" + pix[:-1]) is None
     assert decode_ppm_pixels(b"BM\x00\x00") is None
+
+
+def test_pq_knn_recall_and_determinism(spark):
+    """PQ (8x16, 8-byte codes) + exact re-rank of a 40-candidate shortlist:
+    recall@5 >= 0.6 on the unit-normalized fixture (random near-orthogonal
+    vectors are the hardest PQ case — quantization error only decides
+    shortlist membership, the final order is exact cosine), and the whole
+    index build is deterministic (id-ordered k-means init, no RNG)."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        brute_force_knn,
+        dot_expr,
+        pq_fit,
+        pq_knn,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(dot_expr(v, v))
+    unit = emb.filter(nrm > 0).select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding")
+    )
+    q = unit.filter(F.col("vec_id") < 10)
+    c = unit.filter(F.col("vec_id") >= 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(c, q, "vec_id", "embedding", k=5).collect()
+    }
+    books = pq_fit(c, "vec_id", "embedding", dim=64, m=8, k=16, max_iter=3)
+    run = lambda: {  # noqa: E731
+        (r["query_id"], r["corpus_id"])
+        for r in pq_knn(
+            c, q, "vec_id", "embedding", k=5, dim=64, books=books, rerank_shortlist=40
+        ).collect()
+    }
+    got = run()
+    assert len(got) == 50
+    assert len(got & brute) / len(brute) >= 0.6
+    assert got == run()  # deterministic end-to-end
+    # codebook shape: m subspaces x k centroids x dim/m components
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cent) == 8 for b in books for cent in b)

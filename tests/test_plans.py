@@ -367,3 +367,32 @@ def test_pixel_stats_decode_is_zero_shuffle(spark, sf_dir):
     any exchange means image bytes started moving over the network."""
     df = Q["multimodal_pixel_stats"].fn(spark, sf_dir)
     assert count_exchanges(df) == 0, explain_str(df)
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """The MERGE apply is one keep-latest pass: the rank window and the
+    change-count window share a single key exchange. (No WindowGroupLimit
+    here BY DESIGN: n_changes needs every row of the partition, so the
+    rn=1 prune cannot legally happen map-side.)"""
+    df = Q["events_cdc_apply"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1, explain_str(df)
+
+
+def test_gapfill_spine_joins_broadcast(spark, sf_dir):
+    """The hour spine (single-row min/max explode) must broadcast onto the
+    aggregate — a shuffled join would move the fact side for a dim of a
+    few thousand rows."""
+    assert has_broadcast_join(Q["events_gapfill_hourly"].fn(spark, sf_dir))
+
+
+def test_mad_outlier_thresholds_broadcast(spark, sf_dir):
+    """med/MAD collapse to |event_types| rows and broadcast back onto the
+    fact scan — the outlier filter itself must not shuffle the facts."""
+    assert has_broadcast_join(Q["events_outliers_mad"].fn(spark, sf_dir))
+
+
+def test_partition_checksum_one_scan_one_shuffle(spark, sf_dir):
+    """Row hashing is a scan projection; the only exchange is the
+    month-grain SUM (map-side combined)."""
+    df = Q["pipeline_partition_checksum"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1, explain_str(df)

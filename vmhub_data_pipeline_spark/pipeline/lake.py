@@ -194,3 +194,29 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def zorder_key(col_a, col_b) -> "F.Column":
+    """Morton (Z-order) interleave of two columns for multi-dimensional
+    clustering: each column is rank-bucketed upstream to a 16-bit integer,
+    and the key interleaves their bits so sorting by it co-locates rows
+    that are close in BOTH dimensions — per-file min/max ranges then stay
+    tight on both columns, and data-skipping prunes scans filtered on
+    either one. (Linear sort gives perfect pruning on the leading column
+    and none on the second; see test_zorder_layout_improves_pruning for
+    the measured difference.)
+
+    Pure JVM bit arithmetic (the classic mask-spread sequence), usable
+    directly in repartitionByRange/sortWithinPartitions — the OPTIMIZE
+    ZORDER write path expressed as ordinary Spark expressions."""
+    def spread(c):  # 16 -> 32 bits with zeros interleaved
+        x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    a = spread(F.col(col_a) if isinstance(col_a, str) else col_a)
+    b = spread(F.col(col_b) if isinstance(col_b, str) else col_b)
+    return a.bitwiseOR(F.shiftleft(b, 1))

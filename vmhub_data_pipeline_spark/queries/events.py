@@ -421,3 +421,253 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# CDC apply: the change-log -> latest-snapshot MERGE. The event stream is
+# read as a change log (signup/view/click/purchase = upsert, error =
+# delete) and folded to final per-key state: last op in (ts, event_id)
+# order wins; a key whose last op is a delete leaves the snapshot. This is
+# the Delta/Iceberg MERGE INTO semantics expressed as pure DataFrame ops —
+# at 100 TB the apply is one keep-latest shuffle on the key, identical to
+# events_dedup_latest's plan, never a row-by-row upsert loop.
+_CDC_ORACLE = """
+WITH ops AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN event_type = 'error' THEN 'delete' ELSE event_type END AS op,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT
+  user_id,
+  op AS final_status,
+  ROUND(value, 2) AS last_value,
+  ts AS last_ts,
+  CAST(n_changes AS BIGINT) AS n_changes
+FROM ops
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("events_cdc_apply", oracle=_CDC_ORACLE, tags=("events", "warehouse"))
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change log to produce the latest snapshot (MERGE INTO
+    semantics): last operation per key wins, keys whose last operation is
+    a delete drop out of the snapshot.
+
+    Scale shape: ONE shuffle on the key serves both the keep-latest rank
+    and the change count (same window partition) — applying a day of CDC
+    against a 100 TB dimension costs one key-partitioned pass, not
+    per-row point updates. (The rn=1 prune stays post-shuffle by design:
+    n_changes needs every row of the partition.)"""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    ops = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.col("event_type"))
+        .alias("op"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_changes"),
+    )
+    return ops.filter((F.col("rn") == 1) & (F.col("op") != "delete")).select(
+        "user_id",
+        F.col("op").alias("final_status"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        "n_changes",
+    )
+
+
+# Gap filling: the time-series completion every dashboard needs — generate
+# the full hour spine between the corpus's min and max purchase hours and
+# zero-fill the hours with no purchases, so downstream rolling windows and
+# charts never silently skip empty periods.
+_GAPFILL_ORACLE = """
+WITH p AS (
+  SELECT date_trunc('hour', ts) AS h, value FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT h, COUNT(*) AS n, SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS cents
+  FROM p GROUP BY h
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM p),
+spine AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT
+  spine.h AS hour_start,
+  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_purchases,
+  ROUND(COALESCE(agg.cents, 0) / 100.0e0, 2) AS revenue
+FROM spine LEFT JOIN agg ON spine.h = agg.h
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_ORACLE, tags=("events", "window"))
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly purchase rollup with explicit zero rows for empty hours: the
+    hour spine is generated from the data's own [min, max] bounds and
+    left-joined against the aggregate.
+
+    Scale shape: the spine derives from a single-row min/max aggregate and
+    explodes driver-free into |hours| rows — thousands of rows per year,
+    broadcastable to the fact side of the join; revenue aggregates in
+    exact integer cents (order-independent), divided back only at the
+    edge."""
+    (events,) = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    agg = p.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"),
+    )
+    spine = (
+        p.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return spine.join(agg, "h", "left").select(
+        F.col("h").alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.round(F.coalesce(F.col("cents"), F.lit(0)) / F.lit(100.0), 2).alias("revenue"),
+    )
+
+
+# Robust outlier detection: median/MAD z-scores (the robust alternative to
+# mean/stddev — a handful of extreme values cannot drag the threshold).
+# Both engines share the exact interpolated-percentile definition (pinned
+# by agg_percentiles), so med/MAD — and therefore every score — are
+# computed from identical doubles.
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, med.med,
+    quantile_cont(ABS(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type, med.med
+)
+SELECT
+  e.event_id,
+  e.event_type,
+  ROUND(e.value, 2) AS value,
+  ROUND(ABS(e.value - mad.med) / (1.4826e0 * mad.mad), 4) AS robust_z
+FROM events e
+JOIN mad ON e.event_type = mad.event_type
+WHERE ROUND(ABS(e.value - mad.med) / (1.4826e0 * mad.mad), 4) > 6.0e0
+"""
+
+
+@register("events_outliers_mad", oracle=_MAD_ORACLE, tags=("events", "stats"))
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |x - median| / (1.4826 * MAD) > 6 — the
+    anomaly screen a metrics pipeline runs where mean/stddev would let a
+    few extreme points inflate their own threshold.
+
+    Scale shape: two aggregate passes (median, then median absolute
+    deviation) each collapse to |event_types| rows broadcast back onto the
+    fact scan; the outlier filter is a scan-stage projection against the
+    broadcast thresholds — no per-row shuffle anywhere. The threshold
+    compares the ROUNDED score so the cut is deterministic cross-engine."""
+    (events,) = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    scored = events.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.round(
+            F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
+        ),
+    )
+    return scored.filter(F.col("robust_z") > 6.0).select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "robust_z",
+    )
+
+
+# Ordered funnel: stage timestamps must occur IN ORDER per user (signup
+# before first view before first purchase) — the conversion metric plain
+# per-stage counts (events_funnel) cannot express, because a user who
+# purchased before signing up is not a funnel conversion.
+_ORDERED_FUNNEL_ORACLE = """
+WITH stage AS (
+  SELECT
+    user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+             AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_full_funnel
+FROM stage
+"""
+
+
+@register("events_ordered_funnel", oracle=_ORDERED_FUNNEL_ORACLE, tags=("events", "agg"))
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first signup
+    precedes their first view precedes their first purchase — per-stage
+    first timestamps folded in one user-grain aggregate, then ordering
+    predicates (NULL stage timestamps fail the comparison, correctly
+    excluding users who skipped a stage).
+
+    Scale shape: one conditional-MIN aggregate per user (map-side
+    combined), then a single-row fold — no per-event window, no self-join
+    per stage (the classic funnel anti-pattern joins events to events per
+    transition, quadratic in activity)."""
+    (events,) = load(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_signup"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_signup_then_view"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_view") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )

@@ -296,3 +296,75 @@ def pipeline_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("lineitem").alias("tbl"), "constraint", "metric", "passed")
     return o_rows.unionAll(l_rows)
+
+
+# Anti-entropy table checksum: the replication/migration verifier — two
+# systems (or two loads of the same partition) agree iff their per-partition
+# checksums agree. The checksum is a SUM of per-row 52-bit content hashes:
+# commutative and associative, so it is independent of row order, file
+# layout, partitioning, and engine — exactly the property a cross-system
+# comparison needs. Floats enter the row hash as exact integer cents, never
+# as formatted strings.
+_CHECKSUM_ORACLE = """
+WITH rows_h AS (
+  SELECT
+    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    CAST(concat('0x', substr(md5(concat_ws('|',
+      CAST(o_orderkey AS VARCHAR),
+      CAST(o_custkey AS VARCHAR),
+      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+      o_orderstatus,
+      o_orderpriority
+    )), 1, 13)) AS BIGINT) AS rh
+  FROM orders
+)
+SELECT
+  month,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(rh) AS BIGINT) AS checksum
+FROM rows_h
+GROUP BY month
+"""
+
+
+@register(
+    "pipeline_partition_checksum", oracle=_CHECKSUM_ORACLE, tags=("pipeline", "audit")
+)
+def pipeline_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content checksum (month grain):
+    SUM of per-row md5-derived 52-bit hashes over the business columns —
+    the anti-entropy check that verifies a replicated/migrated partition
+    byte-for-byte without moving the data.
+
+    Scale shape: hash is a scan-stage projection; the only shuffle is the
+    month-grain SUM with map-side combine (a 100 TB table folds to
+    |months| rows). 52-bit row hashes summed over even 2^11 rows per
+    partition stay far below int64 overflow; the same sum in DuckDB is
+    CAST from its HUGEINT accumulator, values identical."""
+    (orders,) = load(spark, sf_dir, "orders")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.round(F.col("o_totalprice") * 100.0).cast("long").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        orders.select(F.date_trunc("month", "o_orderdate").alias("month"), rh.alias("rh"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rh").cast("long").alias("checksum"),
+        )
+    )

@@ -1181,41 +1181,53 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minima -> per-document distinct fingerprint set (doc_id, fp).
 
     Scale shape: the entire selection — shingling, hashing, window minima,
-    dedup — is higher-order array math inside ONE scan-stage projection
-    (transform/slice/array_min/array_distinct), zero shuffle, zero UDF;
-    the only post-scan op is the explode. Winnowing is embarrassingly
-    parallel per document, and the ~2/(W+1) selection density is what makes
-    corpus-wide fingerprint joins tractable at 100 TB (vs joining every
-    shingle). Hash = first 52 bits of md5, the repo's cross-engine
-    derived-randomness primitive (operators/sampling.py:derived_hash)."""
+    dedup — is higher-order array math inside ONE scan-stage projection,
+    zero shuffle, zero UDF; the only post-scan op is the explode.
+    Winnowing is embarrassingly parallel per document, and the ~2/(W+1)
+    selection density is what makes corpus-wide fingerprint joins
+    tractable at 100 TB (vs joining every shingle). Hash = first 52 bits
+    of md5, the repo's cross-engine derived-randomness primitive
+    (operators/sampling.py:derived_hash).
+
+    Each window minimum is least() over W direct gram-hash evaluations
+    (out-of-range positions NULL, which least() ignores) — W·n hash evals
+    total. The tempting two-stage form (hash array column, then
+    array_min(slice(h, i, W))) is O(n²): CollapseProject inlines the
+    single-use hash-array expression into every slice() call, re-deriving
+    ALL n gram hashes per window (measured 128 s vs 4 s at sf0.1)."""
     (docs,) = load(spark, sf_dir, "documents")
     k, w = _WINNOW_K, _WINNOW_W
+
+    def gram_hash(words, j):
+        # hash of the k-gram starting at 1-based position j; NULL when the
+        # position exceeds the gram count (least() skips NULLs)
+        h = F.conv(
+            F.substring(F.md5(F.array_join(F.slice(words, j, k), " ")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        return F.when(j <= F.size(words) - (k - 1), h)
+
+    def window_min(words, i):
+        return F.least(*[gram_hash(words, i + F.lit(j)) for j in range(w)])
+
     return (
         docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
         .filter(F.size("w") >= k)
-        .withColumn(
-            "h",
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - k + 1),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")), 1, 13
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        )
-        .withColumn(
-            "fps",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("h") - w + 1, F.lit(1))),
-                    lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("w") - (k - 1) - (w - 1), F.lit(1)),
+                        ),
+                        lambda i: window_min(F.col("w"), i),
+                    )
                 )
-            ),
+            ).alias("fp"),
         )
-        .select("doc_id", F.explode("fps").alias("fp"))
     )
 
 
@@ -1278,7 +1290,10 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hot-fingerprint cap bounds candidate fan-out exactly like the
     Jaccard inverted-index cap — per-fingerprint work is df^2 with df <= 20,
     so total candidates are linear in fingerprint volume, not corpus^2."""
-    fps = text_winnow_fingerprint(spark, sf_dir)
+    # materialize the (small, post-selection) fingerprint relation once: it
+    # feeds three plan legs (df count, pruned a-side, b-side) and winnowing
+    # selection is the expensive part — 3x cheaper than re-deriving per leg
+    fps = text_winnow_fingerprint(spark, sf_dir).localCheckpoint()
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WINNOW_MAX_FP_DF
     )

@@ -362,3 +362,33 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register("ann_pq_topk", oracle=None, tags=("vector", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization (8 subspaces x 16
+    centroids = 8-byte codes, ~32x compression of the float corpus):
+    corpus encoded once scan-side, queries score codes through per-query
+    distance LUTs (asymmetric ADC), shortlist of 40 by quantized distance,
+    then exact cosine re-rank of the shortlist only. Rows-only
+    (approximate recall; measured against brute force in
+    tests/test_operators.py). At 100 TB this is the memory-resident
+    serving layout: the raw floats stay in cold storage, queries touch
+    only the m-byte codes."""
+    from ..operators.similarity import dot_expr, pq_fit, pq_knn
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    # L2-normalize first: squared-L2 over unit vectors ranks identically to
+    # cosine, so the PQ index answers the same question brute_force_knn does
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(dot_expr(v, v))
+    unit = emb.filter(nrm > 0).select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding")
+    )
+    q = unit.filter(F.col("vec_id") < 10)
+    c = unit.filter(F.col("vec_id") >= 10)
+    books = pq_fit(c, "vec_id", "embedding", dim=64, m=8, k=16, max_iter=3)
+    return pq_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, books=books,
+        rerank_shortlist=40,
+    )

@@ -294,3 +294,66 @@ def window_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_acctbal").over(w).alias("nation_top_bal"),
         F.first("c_custkey").over(w).alias("nation_top_cust"),
     )
+
+
+# Cumulative distinct count — the DAU-accretion curve ("how many unique
+# users have we EVER seen, by day"). COUNT(DISTINCT) OVER a running frame
+# is unsupported on both engines; the scalable identity is: flag each
+# user's FIRST day (rank over user), daily-sum the flags, running-sum the
+# days. Two shuffles (user grain, then day grain) regardless of history
+# length — no quadratic re-scan of ever-growing windows.
+_CUMDIST_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY day
+),
+new_users AS (
+  SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day
+)
+SELECT
+  daily.day,
+  CAST(daily.n_events AS BIGINT) AS n_events,
+  CAST(COALESCE(new_users.n_new, 0) AS BIGINT) AS n_new_users,
+  CAST(SUM(COALESCE(new_users.n_new, 0))
+         OVER (ORDER BY daily.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_distinct_users
+FROM daily LEFT JOIN new_users ON daily.day = new_users.day
+"""
+
+
+@register("window_cumulative_distinct", oracle=_CUMDIST_ORACLE, tags=("window", "events"))
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative distinct-user curve via the first-seen-flag
+    identity: per-user first day -> new users per day -> running sum.
+
+    Scale shape: turns an unsupported (and inherently quadratic)
+    COUNT(DISTINCT) OVER running frame into two ordinary aggregations plus
+    a running sum over |days| rows. The final running sum is a
+    single-partition window over day-grain rows — thousands of rows for
+    years of history, a deliberate post-aggregation driver-scale step."""
+    (events,) = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    new_users = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new_users"),
+        )
+        .withColumn(
+            "cum_distinct_users", F.sum("n_new_users").over(w).cast("long")
+        )
+    )
