@@ -396,3 +396,15 @@ def test_partition_checksum_one_scan_one_shuffle(spark, sf_dir):
     month-grain SUM (map-side combined)."""
     df = Q["pipeline_partition_checksum"].fn(spark, sf_dir)
     assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_rag_retrieval_composition_shape(spark, sf_dir):
+    """The flagship retrieval plan: chunk dedup (rn=1) and per-query top-3
+    both plan as WindowGroupLimit; the query batch rides a broadcast; no
+    cartesian anywhere (the scored cross join must be broadcast-nested-loop
+    over the 3-row query side, never a shuffled cartesian)."""
+    df = Q["pipeline_rag_retrieval"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert has_window_group_limit(df), plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert "Broadcast" in plan

@@ -33,7 +33,7 @@ REQUIRED_IN_WINDOW = {
     "pipeline": [
         "pipeline_training_manifest",
         "pipeline_corpus_curation",
-        "pipeline_rag_manifest",
+        "pipeline_rag_retrieval",
     ],
     "streaming": [
         "streaming_dedup_replay",

@@ -110,7 +110,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_chunk_windows",       # overlapping retrieval chunks (RAG prep)
     "dedup_incremental_exact",      # new-batch-vs-corpus audit (no old x old)
     "text_langid_margin",           # top-2 confidence margin + reliability flag
-    "pipeline_rag_manifest",        # chunk -> dedup -> metadata index manifest
+    # (pipeline_rag_manifest's chunk->dedup->metadata composition is
+    #  subsumed and extended by the retrieval flagship below; it stays
+    #  local-mirror-green)
+    "pipeline_rag_retrieval",       # chunk->dedup->embed->topk->metadata, 1 plan
     "text_corpus_quality_report",   # per-source curation dashboard rollup
     "text_winnow_fingerprint",      # MOSS winnowing: rolling-hash window minima
     "dedup_winnow_pairs",           # shared-fingerprint candidate pairs + df cap
