@@ -266,7 +266,14 @@ def minhash_neardup_pairs(
     recall is approximate). Jaccard is over ``shingle_size``-gram shingle
     sets (the standard web-dedup formulation)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
-    toks = token_set_df(df, id_col, text_col, shingle_size)
+    # verify on 64-bit shingle hashes, not shingle strings: set cardinality
+    # and intersections are preserved (xxhash64 collisions are ~2^-64 per
+    # pair — far below fixture or production materiality), while the verify
+    # join moves 8-byte longs instead of multi-word shingle text and
+    # array_intersect compares longs instead of strings
+    toks = token_set_df(df, id_col, text_col, shingle_size).select(
+        "id", F.array_distinct(F.transform("ws", lambda t: F.xxhash64(t))).alias("ws")
+    )
     ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
     tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")

@@ -671,3 +671,52 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_full_funnel"),
     )
+
+
+# Event-sequence transition matrix (first-order Markov): P(next | current)
+# per event-type pair over each user's time-ordered stream — the
+# session-flow / next-action model behind funnel diagnostics and behavioral
+# anomaly baselines.
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+tot AS (
+  SELECT cur, SUM(n) AS n_out FROM pairs GROUP BY cur
+)
+SELECT
+  pairs.cur, pairs.nxt,
+  CAST(pairs.n AS BIGINT) AS n,
+  ROUND(CAST(pairs.n AS DOUBLE) / CAST(tot.n_out AS DOUBLE), 6) AS p
+FROM pairs JOIN tot ON pairs.cur = tot.cur
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE, tags=("events", "window"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    (current, next) pair counts and conditional probabilities.
+
+    Scale shape: one user-keyed shuffle for the lead window, then the pair
+    rollup collapses to |types|^2 rows with map-side combine; the
+    row-total join is a broadcast of |types| rows. Probabilities divide
+    two exact counts, so they are identical doubles on both engines."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_out"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_out").cast("double"), 6).alias("p"),
+    )

@@ -609,3 +609,42 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_union"),
     )
+
+
+# Per-group mode (most frequent value) — the categorical summary statistic.
+# Computed as count-per-value then max_by over a packed (count, tiebreak)
+# key: one aggregation tree, no sort, deterministic under ties.
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT
+  c_mktsegment,
+  ARG_MAX(c_nationkey, n * 1000 - c_nationkey) AS modal_nation,
+  CAST(MAX(n) AS BIGINT) AS modal_count,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+FROM c
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE, tags=("agg", "stats"))
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal nation per market segment: value-grain counts, then max_by
+    with a packed (count, -value) key so count ties break toward the
+    smallest value identically on both engines.
+
+    Scale shape: two aggregation levels, both map-side combined — the
+    value grain is |segments| x |nations|, so the second level is
+    near-free; no global sort, no window."""
+    (cust,) = load(spark, sf_dir, "customer")
+    c = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.col("n") * F.lit(1000) - F.col("c_nationkey")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by(F.col("c_nationkey"), key).alias("modal_nation"),
+        F.max("n").cast("long").alias("modal_count"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
+    )
