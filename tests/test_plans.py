@@ -408,3 +408,12 @@ def test_rag_retrieval_composition_shape(spark, sf_dir):
     assert has_window_group_limit(df), plan
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
     assert "Broadcast" in plan
+
+
+def test_levenshtein_runs_only_on_candidates(spark, sf_dir):
+    """The quadratic edit-distance verify must sit above the winnow
+    candidate join, never a cartesian — candidate generation is what makes
+    fuzzy dedup feasible at corpus scale."""
+    plan = explain_str(Q["dedup_levenshtein_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert "levenshtein" in plan

@@ -232,3 +232,27 @@ def test_chunk_windows_cover_every_token(spark, sf_dir):
         assert covered == n  # last token reached, no phantom tail
         for c in cs[:-1]:
             assert c["n_tokens"] == 64  # only the tail chunk may be short
+
+
+def test_kmv_merge_identity_pure():
+    """Sketch-merge algebra (no Spark needed): the k smallest hashes of a
+    union equal the k smallest of the union of per-group k-smallest sets —
+    the property agg_kmv_merge relies on, checked over random partitions."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    k = 32
+    values = list(range(1000))
+
+    def h(v):
+        return int(hashlib.md5(f"kmv-v1:{v}".encode()).hexdigest()[:13], 16)
+
+    for _ in range(20):
+        groups = [[] for _ in range(rng.randint(2, 6))]
+        for v in values:
+            groups[rng.randrange(len(groups))].append(v)
+        direct = sorted({h(v) for v in values})[:k]
+        per_group = [sorted({h(v) for v in g})[:k] for g in groups if g]
+        merged = sorted(set().union(*map(set, per_group)))[:k]
+        assert merged == direct

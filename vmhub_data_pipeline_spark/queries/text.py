@@ -1312,3 +1312,101 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+# Fuzzy near-dup pairs: winnowing candidates re-verified by EDIT DISTANCE —
+# the entity-resolution shape (candidate generation by cheap fingerprints,
+# expensive exact metric only on candidates). Levenshtein is quadratic in
+# string length, so running it on candidate pairs (linear via the winnow
+# df cap) instead of all pairs is the difference between feasible and
+# corpus-squared at scale.
+_LEV_MAX_RATIO = 0.4  # edits <= 40% of the longer text
+
+_LEV_PAIRS_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, LEN(w) - {_WINNOW_K} + 2),
+      i -> CAST(concat('0x',
+             substr(md5(array_to_string(w[i:i + {_WINNOW_K} - 1], ' ')), 1, 13)
+           ) AS BIGINT)
+    ) AS h
+  FROM ws
+  WHERE LEN(w) >= {_WINNOW_K}
+),
+fp AS (
+  SELECT DISTINCT doc_id, UNNEST(list_distinct(list_transform(
+      range(1, GREATEST(LEN(h) - {_WINNOW_W} + 1, 1) + 1),
+      i -> list_aggregate(h[i:i + {_WINNOW_W} - 1], 'min')
+    ))) AS fp
+  FROM g
+),
+rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_FP_DF}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM fp a
+  JOIN rare r ON a.fp = r.fp
+  JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_lo, c.doc_hi,
+    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+    GREATEST(LENGTH(da.text), LENGTH(db.text)) AS max_len
+  FROM cands c
+  JOIN documents da ON da.doc_id = c.doc_lo
+  JOIN documents db ON db.doc_id = c.doc_hi
+)
+SELECT doc_lo, doc_hi, edit_dist,
+  ROUND(CAST(edit_dist AS DOUBLE) / max_len, 4) AS edit_ratio
+FROM verified
+WHERE CAST(edit_dist AS DOUBLE) / max_len <= {_LEV_MAX_RATIO}
+"""
+
+
+@register("dedup_levenshtein_pairs", oracle=_LEV_PAIRS_ORACLE, tags=("dedup", "text"))
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs: winnowing fingerprints generate candidates
+    (shared rare fingerprint), edit distance verifies — pairs whose
+    normalized Levenshtein ratio is <= 0.4. Both engines implement the
+    standard Wagner-Fischer distance, so the verdict is deterministic.
+
+    Scale shape: the O(len^2)-per-pair Levenshtein runs ONLY on winnow
+    candidates (bounded by the fingerprint df cap), never corpus x corpus;
+    text joins into the verify stage by doc id, so the candidate shuffle
+    itself moves only id pairs."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fps = text_winnow_fingerprint(spark, sf_dir)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WINNOW_MAX_FP_DF
+    )
+    pruned = fps.join(rare.select("fp"), "fp")
+    cands = (
+        pruned.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_lo"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_hi"), F.col("text").alias("text_b"))
+    verified = (
+        cands.join(da, "doc_lo")
+        .join(db, "doc_hi")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
+            F.greatest(F.length("text_a"), F.length("text_b")).alias("max_len"),
+        )
+    )
+    ratio = F.col("edit_dist").cast("double") / F.col("max_len")
+    return verified.filter(ratio <= _LEV_MAX_RATIO).select(
+        "doc_lo", "doc_hi", "edit_dist", F.round(ratio, 4).alias("edit_ratio")
+    )
