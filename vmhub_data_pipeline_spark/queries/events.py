@@ -720,3 +720,129 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("n_out").cast("double"), 6).alias("p"),
     )
+
+
+# Time-weighted average (TWAP shape): each observation holds until the
+# next one, so its weight is its holding duration — the correct mean for
+# irregularly-sampled series (a value held 10 hours counts 10x one held
+# an hour; the naive row-mean treats them equally).
+_TWA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+  FROM events WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT user_id, value,
+    epoch_us(nxt_ts) - epoch_us(ts) AS dur_us
+  FROM seq WHERE nxt_ts IS NOT NULL
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+  ROUND(SUM(CAST(ROUND(value * 100.0) AS BIGINT) * dur_us) * 1.0e0
+        / (SUM(dur_us) * 100.0e0), 4) AS time_weighted_avg
+FROM seg
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+"""
+
+
+@register("events_time_weighted_avg", oracle=_TWA_ORACLE, tags=("events", "window"))
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average purchase value: lead window gives
+    each observation's holding duration; the weighted sum accumulates in
+    exact integers (cents x microseconds) so the aggregate is
+    order-independent, dividing to a double only at the edge.
+
+    Scale shape: one user-keyed shuffle shared by the lead window and the
+    rollup; weights are integer microsecond durations — exact, no float
+    accumulation drift at any partitioning."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value", "ts", "event_id")
+        .withColumn("nxt_ts", F.lead("ts").over(w))
+        .filter(F.col("nxt_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("nxt_ts") - F.unix_micros("ts")).alias("dur_us"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            "total_us",
+            F.round(
+                F.col("wsum").cast("double")
+                / (F.col("total_us").cast("double") * F.lit(100.0)),
+                4,
+            ).alias("time_weighted_avg"),
+        )
+    )
+
+
+# Period-over-period deltas: daily revenue with previous-day comparison —
+# the dashboard staple (absolute delta + percent change, NULL on the first
+# day and on zero baselines rather than a division blowup).
+_POP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day
+),
+seq AS (
+  SELECT day, cents, LAG(cents) OVER (ORDER BY day) AS prev_cents FROM daily
+)
+SELECT day,
+  ROUND(cents / 100.0e0, 2) AS revenue,
+  ROUND((cents - prev_cents) / 100.0e0, 2) AS delta,
+  CASE WHEN prev_cents > 0
+       THEN ROUND((cents - prev_cents) * 100.0e0 / prev_cents, 2)
+  END AS pct_change
+FROM seq
+"""
+
+
+@register("window_period_over_period", oracle=_POP_ORACLE, tags=("window", "events"))
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas: exact-cents daily rollup, lag window
+    for the previous period, percent change guarded against zero/missing
+    baselines (NULL, never a division error or infinity).
+
+    Scale shape: the lag runs over day-grain rows (|days|, driver-scale
+    after aggregation) — the single-partition window is post-rollup by
+    construction, the same deliberate trade as window_cumulative_distinct."""
+    (events,) = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("day")
+    seq = daily.withColumn("prev_cents", F.lag("cents").over(w))
+    return seq.select(
+        "day",
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round((F.col("cents") - F.col("prev_cents")) / F.lit(100.0), 2).alias("delta"),
+        F.when(
+            F.col("prev_cents") > 0,
+            F.round(
+                (F.col("cents") - F.col("prev_cents"))
+                * F.lit(100.0)
+                / F.col("prev_cents"),
+                2,
+            ),
+        ).alias("pct_change"),
+    )

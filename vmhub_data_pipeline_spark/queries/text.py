@@ -1410,3 +1410,89 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(ratio <= _LEV_MAX_RATIO).select(
         "doc_lo", "doc_hi", "edit_dist", F.round(ratio, 4).alias("edit_ratio")
     )
+
+
+# Collocation mining: adjacent-bigram PMI (pointwise mutual information)
+# — which word pairs co-occur far above chance. The statistic behind
+# phrase detection (word2vec's phrase pass, tokenizer merge heuristics).
+# PMI is quantized to integer micro-nats (the langid trick) so the
+# ranking cut is bit-deterministic cross-engine.
+_PMI_MIN_COUNT = 30
+
+_PMI_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+uni AS (
+  SELECT UNNEST(w) AS tok FROM ws
+),
+ucnt AS (
+  SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok
+),
+utot AS (SELECT SUM(n) AS t FROM ucnt),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, UNNEST(range(1, LEN(w))) AS r(i)
+),
+bcnt AS (
+  SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2
+),
+btot AS (SELECT SUM(n) AS t FROM bcnt)
+SELECT
+  b.w1, b.w2,
+  CAST(b.n AS BIGINT) AS pair_count,
+  CAST(ROUND(LN(
+    (CAST(b.n AS DOUBLE) / CAST(btot.t AS DOUBLE))
+    / ((CAST(u1.n AS DOUBLE) / CAST(utot.t AS DOUBLE))
+       * (CAST(u2.n AS DOUBLE) / CAST(utot.t AS DOUBLE)))
+  ) * 1000000.0) AS BIGINT) AS pmi_q
+FROM bcnt b
+JOIN ucnt u1 ON b.w1 = u1.tok
+JOIN ucnt u2 ON b.w2 = u2.tok
+CROSS JOIN utot CROSS JOIN btot
+WHERE b.n >= {_PMI_MIN_COUNT}
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE, tags=("text",))
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations by PMI: bigram probability against the
+    product of unigram probabilities, quantized to integer micro-nats,
+    reported for pairs above the minimum count.
+
+    Scale shape: bigrams explode linearly in token volume (adjacent pairs
+    only, never within-document pairs); unigram counts broadcast back into
+    the vocab-grain bigram relation; the two corpus totals are single-row
+    broadcasts. All shuffles are vocab-grain, not corpus-grain."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select(F.split(F.lower("text"), " ").alias("w"))
+    uni = ws.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    utot = ucnt.agg(F.sum("n").alias("t"))
+    bi = ws.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    btot = bcnt.agg(F.sum("pair_count").alias("bt"))
+    u1 = ucnt.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    joined = (
+        bcnt.filter(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") / F.col("bt").cast("double"))
+            / (
+                (F.col("n1").cast("double") / F.col("t").cast("double"))
+                * (F.col("n2").cast("double") / F.col("t").cast("double"))
+            )
+        )
+        * 1000000.0
+    ).cast("long")
+    return joined.select("w1", "w2", "pair_count", pmi.alias("pmi_q"))
