@@ -1380,7 +1380,9 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text joins into the verify stage by doc id, so the candidate shuffle
     itself moves only id pairs."""
     (docs,) = load(spark, sf_dir, "documents")
-    fps = text_winnow_fingerprint(spark, sf_dir)
+    # materialize the fingerprint relation once for its three join legs
+    # (same reasoning as dedup_winnow_pairs)
+    fps = text_winnow_fingerprint(spark, sf_dir).localCheckpoint()
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WINNOW_MAX_FP_DF
     )
@@ -1396,15 +1398,32 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = docs.select(F.col("doc_id").alias("doc_lo"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_hi"), F.col("text").alias("text_b"))
+    # length-difference lower bound: levenshtein >= |len_a - len_b|, so a
+    # pair whose length gap already exceeds the ratio threshold cannot
+    # qualify — pruned BEFORE the O(len^2) DP runs (cuts the verify cost
+    # without changing a single output row)
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    len_gap = F.abs(F.length("text_a") - F.length("text_b"))
     verified = (
         cands.join(da, "doc_lo")
         .join(db, "doc_hi")
+        .filter(len_gap.cast("double") <= F.lit(_LEV_MAX_RATIO) * max_len)
+        # the candidate relation is bytes-tiny but CPU-heavy (len^2 DP per
+        # row), so AQE's size-based coalescing serializes it onto one task;
+        # spread the DP across the cluster explicitly before computing it
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_lo",
             "doc_hi",
             F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
-            F.greatest(F.length("text_a"), F.length("text_b")).alias("max_len"),
+            max_len.alias("max_len"),
         )
+        # materialize the DP output: the ratio filter + both output columns
+        # reference edit_dist, and predicate pushdown would otherwise inline
+        # the levenshtein call into each consumer — re-running the O(len^2)
+        # DP up to 3x per pair (the CollapseProject pitfall again, in
+        # filter-pushdown form)
+        .localCheckpoint()
     )
     ratio = F.col("edit_dist").cast("double") / F.col("max_len")
     return verified.filter(ratio <= _LEV_MAX_RATIO).select(
