@@ -86,6 +86,10 @@ SECONDARY = [
     "curation_bpe_merges",
     # shares the exact-pair stage's fixture pathology, so sf0.01 like the rest
     "graph_triangle_count",
+    # winnow-candidate generation + per-pair O(len^2) DP — tracked so a
+    # re-inlining regression (see the localCheckpoint note in the query)
+    # shows up round-over-round
+    "dedup_levenshtein_pairs",
 ]
 
 
