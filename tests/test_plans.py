@@ -433,3 +433,21 @@ def test_levenshtein_runs_only_on_candidates(spark, sf_dir):
     # oracle-checked for values): output respects the ratio threshold
     rows = Q["dedup_levenshtein_pairs"].fn(spark, sf_dir).collect()
     assert rows and all(r["edit_ratio"] <= 0.4 for r in rows)
+
+
+def test_skew_report_global_topk_take_ordered(spark, sf_dir):
+    """The heaviest-keys cut must plan as TakeOrderedAndProject (each
+    partition forwards at most 10 rows); the one-row stats side must ride
+    a broadcast."""
+    df = Q["pipeline_key_skew_report"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_gini_rank_and_fold_share_nation_shuffle(spark, sf_dir):
+    """Customer totals -> rank window -> nation fold: the rank and the
+    final groupBy both partition by nation; budget caps the chain at the
+    join + customer-grain agg + nation window (3 exchanges)."""
+    df = Q["agg_gini_concentration"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 3, explain_str(df)

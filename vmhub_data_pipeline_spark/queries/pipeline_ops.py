@@ -13,7 +13,7 @@ ingestion_timestamp is run-dependent, so it can't be oracle-hashed).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.urls import url_path_quote
 from ..tables import load
@@ -367,4 +367,66 @@ def pipeline_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("rh").cast("long").alias("checksum"),
         )
+    )
+
+
+# Key-skew diagnostic: the operational query you run BEFORE choosing a
+# join strategy — per-key row counts for the heaviest keys plus the
+# corpus-wide skew factor (max/avg). A skew factor near 1 means plain
+# hash-partitioning is fine; a large one motivates salting
+# (join_salted_skew) or AQE skew-join splitting.
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_key_rows,
+         ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor
+  FROM k
+),
+top AS (
+  SELECT key, CAST(n AS BIGINT) AS n,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS heaviness_rank
+  FROM k
+)
+SELECT top.heaviness_rank, top.key, top.n,
+       stats.n_keys, stats.n_rows, stats.skew_factor
+FROM top CROSS JOIN stats
+WHERE top.heaviness_rank <= 10
+"""
+
+
+@register("pipeline_key_skew_report", oracle=_SKEW_ORACLE, tags=("pipeline", "audit"))
+def pipeline_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join keys with corpus-wide skew statistics — the
+    pre-flight check behind every salting / skew-join decision.
+
+    Scale shape: one key-grain count (map-side combined), a global top-10
+    that plans as TakeOrderedAndProject (each partition forwards at most
+    10 rows), and a single-row stats broadcast. A 100 TB fact table folds
+    to |keys| rows before anything global happens."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
+        ).alias("skew_factor"),
+    )
+    top = (
+        k.orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+        .select(
+            F.col("key"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    ranked = top.withColumn("heaviness_rank", F.row_number().over(w).cast("long"))
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "heaviness_rank", "key", "n", "n_keys", "n_rows", "skew_factor"
     )

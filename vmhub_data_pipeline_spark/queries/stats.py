@@ -648,3 +648,65 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("modal_count"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
     )
+
+
+# Gini concentration coefficient: how unevenly revenue distributes across
+# customers within each nation — the inequality statistic behind
+# "top-N% of keys hold M% of volume" capacity planning. Computed from the
+# rank identity G = (2*sum(i*x_i) / (n*sum(x)) - (n+1)/n) over ascending
+# per-customer totals; all sums accumulate in exact integer cents so only
+# the final expression touches floating point.
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT c_nationkey, o_custkey,
+    SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, cents,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents, o_custkey) AS i
+  FROM per_cust
+)
+SELECT
+  c_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents,
+  ROUND(
+    2.0e0 * SUM(i * cents) / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+    - (COUNT(*) + 1.0e0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_gini_concentration", oracle=_GINI_ORACLE, tags=("agg", "stats"))
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue: per-customer exact
+    cent totals, ascending rank within nation (ties broken by key), the
+    rank-weighted identity folded in one aggregate.
+
+    Scale shape: the customer totals and the final fold share the
+    nation-key partitioning; the rank window and groupBy reuse one
+    shuffle. sum(i * cents) stays in int64 far beyond fixture scale; the
+    two divisions at the end are computed from exact integers, so both
+    engines emit identical doubles."""
+    orders, cust = load(spark, sf_dir, "orders", "customer")
+    per_cust = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_nationkey").agg(
+        n.cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
+            / (n * F.sum("cents").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
