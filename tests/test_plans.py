@@ -451,3 +451,53 @@ def test_gini_rank_and_fold_share_nation_shuffle(spark, sf_dir):
     join + customer-grain agg + nation window (3 exchanges)."""
     df = Q["agg_gini_concentration"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 3, explain_str(df)
+
+
+def test_regression_trend_single_shuffle(spark, sf_dir):
+    """OLS moments are one map-side-combined aggregate — exactly 1 exchange."""
+    assert count_exchanges(Q["agg_regression_trend"].fn(spark, sf_dir)) <= 1
+
+
+def test_chi2_totals_broadcast_back(spark, sf_dir):
+    """The totals row must come back via broadcast, not a shuffled join, and
+    row-grain data must shuffle only once (the category-count aggregate)."""
+    df = Q["stats_chi2_drift"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winsorize_thresholds_broadcast(spark, sf_dir):
+    """Pass-2 must join per-group thresholds by BROADCAST: re-shuffling the
+    fact against a 3-row threshold table is the classic quantile-clip
+    mistake at scale."""
+    assert has_broadcast_join(Q["stats_winsorize"].fn(spark, sf_dir))
+
+
+def test_entropy_totals_broadcast(spark, sf_dir):
+    """Per-source totals (one row per source) broadcast back onto the
+    (source, word) counts."""
+    assert has_broadcast_join(Q["text_entropy_by_source"].fn(spark, sf_dir))
+
+
+def test_ewma_fold_collapses_to_day_grain_first(spark, sf_dir):
+    """The fold input must be the day-grain aggregate (2 exchanges: day
+    agg + key collect), never row-grain collect_list."""
+    assert count_exchanges(Q["events_ewma_daily"].fn(spark, sf_dir)) <= 2
+
+
+def test_sorted_neighborhood_no_cartesian(spark, sf_dir):
+    """SNM pairing is an equi-join on rank offsets; token arrays rejoin by
+    doc_id. Nothing here may plan as CartesianProduct/BroadcastNestedLoop
+    over the corpus."""
+    plan = explain_str(Q["dedup_sorted_neighborhood"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_analog_broadcasts_nation(spark, sf_dir):
+    assert has_broadcast_join(Q["join_q9_product_profit"].fn(spark, sf_dir))
+
+
+def test_unpivot_adds_no_shuffle(spark, sf_dir):
+    """stack() is a generator projection — the only exchanges are the day
+    aggregate's (2: COUNT DISTINCT user_id expands to a two-phase agg)."""
+    assert count_exchanges(Q["events_unpivot"].fn(spark, sf_dir)) <= 2

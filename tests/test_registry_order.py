@@ -20,6 +20,7 @@ REQUIRED_IN_WINDOW = {
     "dedup": [
         "dedup_semantic",
         "dedup_incremental_exact",
+        "dedup_sorted_neighborhood",
     ],
     "vector": ["knn_cosine_topk", "vector_quantize_int8", "knn_int8_rerank"],
     "text": [
@@ -31,7 +32,8 @@ REQUIRED_IN_WINDOW = {
         "text_repetition_signals",
     ],
     "pipeline": [
-        "pipeline_training_manifest",
+        # pipeline_training_manifest rotated out in round 3b (r2-green;
+        # composed stages severally checked) for dedup_sorted_neighborhood
         "pipeline_corpus_curation",
         "pipeline_rag_retrieval",
     ],

@@ -141,7 +141,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #    double driver greens, or output no drift-sensitive column, and stay
     #    covered by the local oracle mirror, which runs the FULL catalog) --
     "streaming_dedup_replay",
-    "pipeline_training_manifest",
+    # (pipeline_training_manifest held the second guard slot; it's r2-green
+    #  and each of its composed stages is severally driver-checked, so the
+    #  slot goes to the new blocking family below)
+    "dedup_sorted_neighborhood",  # SNM: linear candidate gen vs inverted index
 )
 
 
@@ -163,6 +166,7 @@ def _load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import sampling  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import trends  # noqa: F401
     missing = [n for n in PRIORITY_WINDOW if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"PRIORITY_WINDOW names unknown queries: {missing}")

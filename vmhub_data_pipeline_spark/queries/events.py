@@ -846,3 +846,48 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (the inverse of events_pivot): wide daily metrics -> long
+# (day, metric, value) triples — the shape metric stores and training-run
+# dashboards ingest.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+    CAST(COUNT(*) AS DOUBLE) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+  FROM events
+  GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+)
+SELECT day, 'revenue'  AS metric, revenue  AS value FROM wide
+UNION ALL
+SELECT day, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL
+SELECT day, 'n_users'  AS metric, n_users  AS value FROM wide
+"""
+
+
+@register("events_unpivot", oracle=_UNPIVOT_ORACLE, tags=("events", "reshape"))
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt a wide daily-metrics table into (day, metric, value) triples via
+    ``stack`` — zero extra shuffle beyond the day-grain aggregate (unpivot
+    is a generator projection, row count merely x3). Counts are cast to
+    double at melt time because a long column can't share a value column
+    with a money metric."""
+    (ev,) = load(spark, sf_dir, "events")
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        (F.sum(F.round(F.col("value") * 100.0).cast("long")).cast("double") / F.lit(100.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.selectExpr(
+        "day",
+        "stack(3, 'revenue', revenue, 'n_events', n_events, 'n_users', n_users) AS (metric, value)",
+    )

@@ -1017,3 +1017,47 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 analog (product-type profit by nation/year). The classic Q9 prices
+# supply cost from partsupp, which the fixture set does not ship; the analog
+# derives a pseudo supply cost as 80% of the part's retail price — same join
+# topology (fact x part-filter x supplier x nation), same group grain.
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT
+  n.n_name AS nation,
+  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS o_year,
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.8 * p.p_retailprice * l.l_quantity', 4, 'profit')}
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)
+"""
+
+
+@register("join_q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "tpch"))
+def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: per-nation, per-year profit on a part-name-filtered slice.
+    The part filter prunes the fact via the join (AQE/bloom at scale);
+    nation is force-broadcast (fixed size), part/supplier stay on the
+    planner's size-based choice. One agg shuffle at (nation, year) grain.
+    Profit terms are exact at 4 dp (price 2 dp x discount 2 dp; 0.8 x
+    retail 2 dp x integral quantity), so the integer-quantized sum is
+    order-independent."""
+    li, part, supp, nation = load(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part.filter(F.col("p_name").like("%bolt%")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(dsum(profit, 4).alias("profit"))
+    )
