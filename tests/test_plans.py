@@ -501,3 +501,15 @@ def test_unpivot_adds_no_shuffle(spark, sf_dir):
     """stack() is a generator projection — the only exchanges are the day
     aggregate's (2: COUNT DISTINCT user_id expands to a two-phase agg)."""
     assert count_exchanges(Q["events_unpivot"].fn(spark, sf_dir)) <= 2
+
+
+def test_mmr_greedy_stays_jvm_single_exchange(spark, sf_dir):
+    """The MMR fold must stay a JVM higher-order expression: no Python
+    stage, no CartesianProduct (the only cross join is the broadcast-query
+    scoring pass), and the shortlist window + vector join + per-query
+    collect share one exchange."""
+    df = Q["knn_mmr_diverse"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert count_exchanges(df) <= 2

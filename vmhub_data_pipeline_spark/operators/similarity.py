@@ -433,3 +433,92 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+def mmr_diverse_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    shortlist_k: int = 20,
+    select_k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each query's exact
+    cosine top-``shortlist_k``, greedily select ``select_k`` diverse results
+    maximizing ``lam*rel - (1-lam)*max_sim_to_already_selected`` — the
+    standard RAG diversity re-rank (Carbonell & Goldstein '98 shape).
+
+    Distribution: relevance shortlisting is ``brute_force_knn`` (broadcast
+    queries x streamed corpus, WindowGroupLimit top-k — the scan does the
+    heavy work). The greedy selection is inherently sequential but only ever
+    sees ``shortlist_k`` candidates PER QUERY, so it runs as a JVM
+    higher-order-function fold over each query's collected shortlist —
+    O(select_k * shortlist_k^2) on ~kilobytes, parallel across queries, no
+    Python, no extra shuffle beyond the per-query collect.
+
+    Determinism: candidate vectors are unit-normalized once; all similarity
+    is a sequential-fold dot product (same accumulation order both engines —
+    the knn_cosine_topk precedent), and every argmax breaks ties by smaller
+    id via a packed (score, -id) comparison key.
+    """
+    qid = "query_id"
+    short = brute_force_knn(corpus, queries, id_col=id_col, vec_col=vec_col, k=shortlist_k)
+    short = short.filter(F.col("cosine").isNotNull())
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        norm_expr(_as_double(F.col(vec_col))).alias("nrm"),
+    )
+    cand = short.join(cv, "neighbor_id").select(
+        qid,
+        F.struct(
+            F.col("cosine").alias("rel"),
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cv").alias("v"),
+            F.col("nrm").alias("nrm"),
+        ).alias("c"),
+    )
+    per_q = cand.groupBy(qid).agg(F.array_sort(F.collect_list("c")).alias("cands"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    # seed: max (rel, -vec_id)
+    def packed(c):
+        return F.struct(c["rel"].alias("s"), (-c["vec_id"]).cast("double").alias("t"), c.alias("c"))
+
+    seed = F.array_max(F.transform(F.col("cands"), packed))["c"]
+    state0 = F.struct(
+        F.array(seed).alias("sel"),
+        F.filter(F.col("cands"), lambda c: c["vec_id"] != seed["vec_id"]).alias("rem"),
+    )
+
+    def step(acc, _):
+        def mmr_key(c):
+            msim = F.array_max(
+                F.transform(acc["sel"], lambda s: dot(c["v"], s["v"]) / (c["nrm"] * s["nrm"]))
+            )
+            score = F.lit(lam) * c["rel"] - F.lit(1.0 - lam) * msim
+            return F.struct(
+                score.alias("s"), (-c["vec_id"]).cast("double").alias("t"), c.alias("c")
+            )
+
+        best = F.array_max(F.transform(acc["rem"], mmr_key))["c"]
+        stepped = F.struct(
+            F.concat(acc["sel"], F.array(best)).alias("sel"),
+            F.filter(acc["rem"], lambda c: c["vec_id"] != best["vec_id"]).alias("rem"),
+        )
+        # shortlist exhausted (possible at tiny corpora): no-op step
+        return F.when(F.size(acc["rem"]) == 0, acc).otherwise(stepped)
+
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(select_k - 1)), state0, step)
+    return (
+        per_q.select(qid, F.posexplode(final["sel"]).alias("pos", "c"))
+        .select(
+            qid,
+            (F.col("pos") + 1).cast("long").alias("sel_rank"),
+            F.col("c")["vec_id"].alias("vec_id"),
+            F.round(F.col("c")["rel"], 6).alias("rel_r"),
+        )
+    )

@@ -392,3 +392,91 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, books=books,
         rerank_shortlist=40,
     )
+
+
+def _mmr_oracle(shortlist_k: int = 20, select_k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle (same technique as the PageRank
+    unrolled-CTE oracle): one argmax CTE chain per selection step — plain
+    aggregates, no recursion, bit-identical double arithmetic."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+  SELECT query_id, c.vec_id, v, nrm,
+         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * nrm) AS rel
+  FROM c CROSS JOIN q
+  WHERE nrm > 0 AND list_dot_product(qv, qv) > 0
+),
+cand AS (
+  SELECT query_id, vec_id, v, nrm, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {shortlist_k}
+),
+p1 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS pr
+    FROM cand
+  ) WHERE pr = 1
+),
+s1 AS (
+  SELECT c.query_id, c.vec_id, c.v, c.nrm, c.rel, 1 AS sel_rank
+  FROM cand c JOIN p1 USING (query_id, vec_id)
+)"""
+    parts = [head]
+    for k in range(2, select_k + 1):
+        parts.append(f""",
+m{k - 1} AS (
+  SELECT c.query_id, c.vec_id, ANY_VALUE(c.rel) AS rel,
+         MAX(list_dot_product(c.v, s.v) / (c.nrm * s.nrm)) AS msim,
+         MAX(CASE WHEN c.vec_id = s.vec_id THEN 1 ELSE 0 END) AS taken
+  FROM cand c JOIN s{k - 1} s ON s.query_id = c.query_id
+  GROUP BY c.query_id, c.vec_id
+),
+p{k} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {lam} * rel - {round(1.0 - lam, 10)} * msim DESC, vec_id
+           ) AS pr
+    FROM m{k - 1} WHERE taken = 0
+  ) WHERE pr = 1
+),
+s{k} AS (
+  SELECT * FROM s{k - 1}
+  UNION ALL
+  SELECT c.query_id, c.vec_id, c.v, c.nrm, c.rel, {k}
+  FROM cand c JOIN p{k} USING (query_id, vec_id)
+)""")
+    parts.append(f"""
+SELECT query_id, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, ROUND(rel, 6) AS rel_r
+FROM s{select_k}
+""")
+    return "".join(parts)
+
+
+@register("knn_mmr_diverse", oracle=_mmr_oracle(), tags=("vector", "knn", "rerank"))
+def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=0.7): exact cosine top-20 shortlist per
+    query, then greedy selection of 5 results trading relevance against
+    similarity to what's already picked — the anti-redundancy stage of a
+    RAG retrieval stack (near-dup corpus chunks crowd out coverage without
+    it). Greedy runs as a JVM fold over each query's ~20-row shortlist
+    (see operators/similarity.py:mmr_diverse_topk); the oracle unrolls the
+    same greedy into argmax CTE chains."""
+    from ..operators.similarity import mmr_diverse_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return mmr_diverse_topk(
+        c, q, id_col="vec_id", vec_col="embedding", shortlist_k=20, select_k=5, lam=0.7
+    )
