@@ -71,8 +71,23 @@ HEADLINE = [
 
 # Queries whose single-run timing proved noisy round-over-round (knn moved
 # +6.5% in r2 on an unchanged plan; the two LSH entries swing ~2x on the
-# first run from cold columnar reads): run N times, record the median.
-REPEATS = {"knn_cosine_topk": 3, "dedup_minhash_lsh": 3, "dedup_cluster_lsh": 3}
+# first run from cold columnar reads; the Arrow/mapInPandas and
+# heavy-codegen entries pay one-time python-worker spawn + compile on run 1
+# — measured 4-8x inflation vs steady state on the r3 host): run N times,
+# record the median.
+REPEATS = {
+    "knn_cosine_topk": 3,
+    "dedup_minhash_lsh": 3,
+    "dedup_cluster_lsh": 3,
+    "curation_global_shuffle": 3,
+    "text_perplexity_filter": 3,
+    "text_winnow_fingerprint": 3,
+    "text_pii_redact": 3,
+    "text_classifier_score": 3,
+    "dedup_semantic": 3,
+    "multimodal_pixel_stats": 3,
+    "text_langid": 3,
+}
 
 # Iterative-graph tier tracked at sf0.01: the exact-pair stage both entries
 # share is fixture-pathological at sf0.1 (~30-word vocabulary makes every

@@ -513,3 +513,10 @@ def test_mmr_greedy_stays_jvm_single_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_bottomk_sample_plans_as_group_limit(spark, sf_dir):
+    """The bottom-256-by-hash sample must plan as WindowGroupLimit (partial
+    per-partition bottom-k before the shuffle) — a full per-group sort
+    would defeat the sketch's point at scale."""
+    assert has_window_group_limit(Q["agg_bottomk_quantile_sketch"].fn(spark, sf_dir))

@@ -710,3 +710,89 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k hash-sample quantile sketch: deterministic sampled quantiles with
+# the exact value alongside (the "approximation without irreproducibility"
+# stance applied to quantiles — KMV's bottom-k idea reused as a uniform
+# row sample).
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_Q_ORACLE = """
+WITH keyed AS (
+  SELECT
+    l_returnflag,
+    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_q,
+    MD5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+  FROM lineitem
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, price_q) AS rn
+  FROM keyed
+),
+est AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(price_q, 0.5) / 100.0, 4) AS est_median,
+         ROUND(quantile_cont(price_q, 0.95) / 100.0, 4) AS est_p95,
+         CAST(COUNT(*) AS BIGINT) AS sample_n
+  FROM ranked WHERE rn <= 256 GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(price_q, 0.5) / 100.0, 4) AS exact_median,
+         ROUND(quantile_cont(price_q, 0.95) / 100.0, 4) AS exact_p95,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM keyed GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, e.sample_n, x.n, e.est_median, x.exact_median,
+       e.est_p95, x.exact_p95
+FROM est e JOIN exact x ON x.l_returnflag = e.l_returnflag
+"""
+
+
+@register("agg_bottomk_quantile_sketch", oracle=_BOTTOMK_Q_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled quantiles from a DETERMINISTIC uniform sample: per group,
+    keep the 256 rows with the smallest md5(row-key) — a mergeable bottom-k
+    (each partition keeps its local bottom-256; merge keeps the global
+    bottom-256, exactly the KMV algebra), so unlike reservoir sampling the
+    sample is identical on any cluster topology, and the estimate is
+    reproducible run-over-run. Exact quantiles computed alongside give the
+    audit column a production sketch would log.
+
+    The rank<=k filter plans as WindowGroupLimit (partial bottom-k per
+    partition before the group shuffle — plan-gated); the row-key hash
+    collides across the fixture's duplicated (orderkey, linenumber) rows,
+    so price_q joins the sort key to keep tied rows interchangeable."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        quant("l_extendedprice", 2).alias("price_q"),
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"), F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h", "price_q")
+    est = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(price_q, 0.5)") / 100.0, 4).alias("est_median"),
+            F.round(F.expr("percentile(price_q, 0.95)") / 100.0, 4).alias("est_p95"),
+            F.count(F.lit(1)).alias("sample_n"),
+        )
+    )
+    exact = keyed.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(price_q, 0.5)") / 100.0, 4).alias("exact_median"),
+        F.round(F.expr("percentile(price_q, 0.95)") / 100.0, 4).alias("exact_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag", "sample_n", "n", "est_median", "exact_median",
+        "est_p95", "exact_p95",
+    )
