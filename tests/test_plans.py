@@ -520,3 +520,25 @@ def test_bottomk_sample_plans_as_group_limit(spark, sf_dir):
     per-partition bottom-k before the shuffle) — a full per-group sort
     would defeat the sketch's point at scale."""
     assert has_window_group_limit(Q["agg_bottomk_quantile_sketch"].fn(spark, sf_dir))
+
+
+def test_multitouch_joins_never_cartesian(spark, sf_dir):
+    """Attribution pairs conversions with touches via an equi-join on
+    user_id (range lookback as post-filter) — a cartesian or nested-loop
+    here would be quadratic in the event log."""
+    plan = explain_str(Q["events_multitouch_attribution"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_broadcasts_thresholds(spark, sf_dir):
+    """Per-language thresholds (|langs| rows) must broadcast into the
+    per-doc keep filter; shuffling the corpus by lang to join 5 rows would
+    be the classic small-dim mistake."""
+    assert has_broadcast_join(Q["curation_temperature_mix"].fn(spark, sf_dir))
+
+
+def test_kanonymity_two_exchange_rollup(spark, sf_dir):
+    """rows -> QI classes -> one audit row: the second aggregate's input is
+    |distinct QI combos| rows, so the whole audit is two exchanges."""
+    assert count_exchanges(Q["stats_kanonymity_audit"].fn(spark, sf_dir)) <= 2

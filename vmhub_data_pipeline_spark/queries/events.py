@@ -891,3 +891,115 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "stack(3, 'revenue', revenue, 'n_events', n_events, 'n_users', n_users) AS (metric, value)",
     )
+
+
+_MULTITOUCH_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel, ts AS touch_ts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT c.conv_id, t.channel, t.touch_id, t.touch_ts
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.touch_ts < c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT conv_id, channel,
+    10000 // COUNT(*) OVER (PARTITION BY conv_id)
+      + CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) = 1
+             THEN 10000 % COUNT(*) OVER (PARTITION BY conv_id) ELSE 0 END
+      AS credit_bp
+  FROM joined
+),
+attributed AS (
+  SELECT channel,
+    CAST(SUM(credit_bp) AS BIGINT) AS total_credit_bp,
+    CAST(COUNT(*) AS BIGINT) AS n_touches,
+    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+  FROM credited GROUP BY channel
+),
+direct AS (
+  SELECT 'direct' AS channel,
+    CAST(10000 * COUNT(*) AS BIGINT) AS total_credit_bp,
+    CAST(0 AS BIGINT) AS n_touches,
+    CAST(COUNT(*) AS BIGINT) AS n_conversions
+  FROM conv
+  WHERE conv_id NOT IN (SELECT conv_id FROM joined)
+)
+SELECT * FROM attributed
+UNION ALL
+SELECT * FROM direct WHERE n_conversions > 0
+"""
+
+
+@register("events_multitouch_attribution", oracle=_MULTITOUCH_ORACLE, tags=("events", "window", "join"))
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes exactly
+    10,000 basis points of credit across the click/view touches that
+    preceded it within a 7-day lookback; purchases with no eligible touch
+    credit a synthetic ``direct`` channel. Credits are integer basis points
+    (10000 div n, remainder to the most recent touch) so per-conversion
+    credit sums to 10000 exactly and both engines agree bit-for-bit.
+
+    Scale shape: the conversion-touch pairing is an equi-join on ``user_id``
+    (high-cardinality in production — one shuffle each side) with the 7-day
+    range as a post-join filter, so Spark plans a plain hash/sort-merge join,
+    never a cartesian; the credit windows partition by ``conv_id`` (natural
+    parallelism, no global ordering); the ``direct`` remainder is a
+    left-anti on conv_id that AQE turns into a broadcast when the touched-id
+    side is small. Nothing touches the driver.
+    """
+    (ev,) = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("touch_ts") < F.col("conv_ts"))
+            & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("conv_id", "channel", "touch_id", "touch_ts")
+    )
+    wn = Window.partitionBy("conv_id")
+    wo = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    credited = (
+        joined.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "credit_bp",
+            F.expr("10000 div n + CASE WHEN rn = 1 THEN 10000 % n ELSE 0 END"),
+        )
+    )
+    attributed = credited.groupBy("channel").agg(
+        F.sum("credit_bp").cast("long").alias("total_credit_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+    )
+    direct = (
+        conv.join(joined.select("conv_id"), "conv_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("direct").alias("channel"),
+            (F.col("n") * 10000).cast("long").alias("total_credit_bp"),
+            F.lit(0).cast("long").alias("n_touches"),
+            F.col("n").cast("long").alias("n_conversions"),
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+    return attributed.unionByName(direct)

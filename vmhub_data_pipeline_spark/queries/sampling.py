@@ -1075,3 +1075,107 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 4).alias("cosine_r"),
         )
     )
+
+
+_TEMPERATURE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY lang
+),
+s0 AS (
+  SELECT lang, n_total,
+    CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE))) AS BIGINT) AS r0
+  FROM c
+),
+w AS (
+  SELECT lang, n_total,
+    CASE WHEN (r0 + 1) * (r0 + 1) <= n_total THEN r0 + 1
+         WHEN r0 * r0 > n_total THEN r0 - 1
+         ELSE r0 END AS wgt
+  FROM s0
+),
+m AS (SELECT n_total AS n_m, wgt AS w_m FROM w ORDER BY n_total, lang LIMIT 1),
+t AS (
+  SELECT w.lang, w.n_total, w.wgt,
+    CAST((65536 * w.wgt * m.n_m) // (m.w_m * w.n_total) AS BIGINT) AS thresh
+  FROM w, m
+),
+kept AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN t ON d.lang = t.lang
+  WHERE t.thresh >= 65536
+     OR substr(md5(concat('temp-v1:', CAST(d.doc_id AS VARCHAR))), 1, 4)
+        < lpad(lower(to_hex(t.thresh)), 4, '0')
+  GROUP BY d.lang
+)
+SELECT
+  t.lang, t.n_total, t.wgt, t.thresh,
+  COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM t LEFT JOIN kept ON t.lang = kept.lang
+"""
+
+
+@register("curation_temperature_mix", oracle=_TEMPERATURE_ORACLE, tags=("curation", "sampling"))
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling (alpha = 0.5): downsample each
+    language so kept counts are proportional to sqrt(n_lang) — the standard
+    rebalancing step of multilingual pretraining mixes (XLM-R-style
+    p_l proportional to n_l^alpha), expressed with ONLY integer arithmetic so
+    Spark and DuckDB agree bit-for-bit.
+
+    The alpha-power weight is an EXACT integer sqrt: a double ``sqrt`` seed
+    corrected by one ±1 step (``(r+1)^2 <= n`` / ``r^2 > n``), valid for all
+    n < 2^52, so no float rounding can flip a threshold. The smallest
+    language (argmin n, tie-break lang) keeps rate 1; every other language's
+    acceptance threshold is ``65536*w*n_m div (w_m*n)`` compared against the
+    first 4 md5 hex chars of the doc id — the same keep-decision machinery as
+    ``curation_domain_mix``, reused deliberately so one audited primitive
+    backs both mixture controls. Per-language stats (|langs| rows) broadcast
+    into the scan-speed per-doc filter; no driver-side math. Overflow bound:
+    ``65536 * w * n_m`` stays under 2^63 while ``w * n_m < 1.4e14`` — at 100 TB
+    (n ~ 1e12, w ~ 1e6) the smallest-language count n_m must stay under ~1e8,
+    true whenever rebalancing is needed at all; beyond that, swap the
+    constant to a 128-bit decimal in both engines.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_total"))
+    w = counts.withColumn(
+        "r0", F.floor(F.sqrt(F.col("n_total").cast("double"))).cast("long")
+    ).withColumn(
+        "wgt",
+        F.expr(
+            "CASE WHEN (r0 + 1) * (r0 + 1) <= n_total THEN r0 + 1 "
+            "WHEN r0 * r0 > n_total THEN r0 - 1 ELSE r0 END"
+        ),
+    ).drop("r0")
+    m = (
+        w.orderBy("n_total", "lang")
+        .limit(1)
+        .select(F.col("n_total").alias("n_m"), F.col("wgt").alias("w_m"))
+    )
+    thresholds = w.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_total",
+        "wgt",
+        F.expr("CAST((65536 * wgt * n_m) div (w_m * n_total) AS BIGINT)").alias(
+            "thresh"
+        ),
+    )
+    h4 = F.substring(
+        F.md5(F.concat(F.lit("temp-v1:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    kept = (
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(
+            (F.col("thresh") >= 65536)
+            | (h4 < F.lpad(F.lower(F.hex("thresh")), 4, "0"))
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return thresholds.join(kept, "lang", "left").select(
+        "lang",
+        "n_total",
+        "wgt",
+        "thresh",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )

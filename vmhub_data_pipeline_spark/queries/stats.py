@@ -796,3 +796,52 @@ def agg_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "sample_n", "n", "est_median", "exact_median",
         "est_p95", "exact_p95",
     )
+
+
+_KANON_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT
+  CAST(5 AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+  CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+  CAST(10000 * SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+       // SUM(class_size) AS BIGINT) AS risk_bp
+FROM classes
+"""
+
+
+@register("stats_kanonymity_audit", oracle=_KANON_ORACLE, tags=("stats", "privacy"))
+def stats_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier
+    pair: how many equivalence classes fall below k=5, how many rows they
+    expose, and the at-risk fraction in integer basis points — the
+    release-gating check a privacy review runs before exporting user-level
+    aggregates or training data.
+
+    Two map-side-combinable aggregates back to back (rows -> classes ->
+    one audit row); the second input is |distinct QI combos| rows, so the
+    final reduce is trivially small at any corpus size. Integer-only output
+    (``10000 * risk div total``) keeps both engines bit-identical.
+    """
+    (cust,) = load(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    risky = F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(F.lit(0))
+    return classes.agg(
+        F.lit(5).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("class_size") < 5).cast("long")).cast("long").alias("n_risky_classes"),
+        F.sum(risky).cast("long").alias("n_rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.expr(
+            "CAST(10000 * SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)"
+            " div SUM(class_size) AS BIGINT)"
+        ).alias("risk_bp"),
+    )
