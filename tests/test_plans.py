@@ -305,6 +305,16 @@ def test_winnow_fingerprint_is_zero_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 0, explain_str(df)
 
 
+def test_winnow_fingerprint_hashes_each_gram_once(spark, sf_dir):
+    """Each gram must be md5-hashed exactly once into the array column. If
+    CollapseProject ever re-inlines the hash array into the W slice()
+    window-min consumers (the sentinel column stops it today), md5 appears
+    W times in the plan and the stage degrades to O(n*W) hash evals —
+    measured 3x slower at sf0.1, quadratic in the worst inlining."""
+    plan = explain_str(Q["text_winnow_fingerprint"].fn(spark, sf_dir))
+    assert plan.count("md5") == 1, f"md5 evaluated {plan.count('md5')} times"
+
+
 def test_winnow_pairs_never_cartesian(spark, sf_dir):
     """The MOSS match step joins on the 52-bit fingerprint with a hot-key
     cap — a cartesian means the inverted index degenerated to all-pairs."""

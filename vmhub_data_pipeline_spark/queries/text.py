@@ -1181,7 +1181,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minima -> per-document distinct fingerprint set (doc_id, fp).
 
     Scale shape: the entire selection — shingling, hashing, window minima,
-    dedup — is higher-order array math inside ONE scan-stage projection,
+    dedup — is higher-order array math in TWO scan-stage projections,
     zero shuffle, zero UDF; the only post-scan op is the explode.
     Winnowing is embarrassingly parallel per document, and the ~2/(W+1)
     selection density is what makes corpus-wide fingerprint joins
@@ -1189,45 +1189,51 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of md5, the repo's cross-engine derived-randomness primitive
     (operators/sampling.py:derived_hash).
 
-    Each window minimum is least() over W direct gram-hash evaluations
-    (out-of-range positions NULL, which least() ignores) — W·n hash evals
-    total. The tempting two-stage form (hash array column, then
-    array_min(slice(h, i, W))) is O(n²): CollapseProject inlines the
-    single-use hash-array expression into every slice() call, re-deriving
-    ALL n gram hashes per window (measured 128 s vs 4 s at sf0.1)."""
+    Each gram is hashed EXACTLY ONCE into an array column, then every
+    window minimum is array_min(slice(h, i, W)) over the materialized
+    array. The naive two-projection form of that is O(n²): CollapseProject
+    inlines the single-use hash-array expression into every slice() call,
+    re-deriving ALL n gram hashes per window (measured 128 s vs 4 s at
+    sf0.1). The nondeterministic sentinel column (spark_partition_id,
+    dropped unread) blocks the collapse, pinning the n-eval shape: 0.8 s
+    vs 2.4 s for the previous W·n least()-of-direct-evals form at sf0.1.
+    The plan gate counts md5 occurrences (exactly 1) so an optimizer
+    change that re-inlines the array would fail loudly, not silently."""
     (docs,) = load(spark, sf_dir, "documents")
     k, w = _WINNOW_K, _WINNOW_W
 
-    def gram_hash(words, j):
-        # hash of the k-gram starting at 1-based position j; NULL when the
-        # position exceeds the gram count (least() skips NULLs)
-        h = F.conv(
-            F.substring(F.md5(F.array_join(F.slice(words, j, k), " ")), 1, 13),
-            16,
-            10,
-        ).cast("long")
-        return F.when(j <= F.size(words) - (k - 1), h)
-
-    def window_min(words, i):
-        return F.least(*[gram_hash(words, i + F.lit(j)) for j in range(w)])
-
-    return (
+    hashed = (
         docs.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
         .filter(F.size("w") >= k)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.greatest(F.size("w") - (k - 1) - (w - 1), F.lit(1)),
-                        ),
-                        lambda i: window_min(F.col("w"), i),
-                    )
-                )
-            ).alias("fp"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda j: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("w"), j, k), " ")), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ).alias("h"),
+            # nondeterministic sentinel: forbids CollapseProject from inlining
+            # `h` into the W slice() consumers below (see docstring)
+            F.spark_partition_id().alias("_barrier"),
         )
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("h") - (w - 1), F.lit(1))
+                    ),
+                    lambda i: F.array_min(F.slice("h", i, w)),
+                )
+            )
+        ).alias("fp"),
     )
 
 
