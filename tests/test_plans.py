@@ -552,3 +552,31 @@ def test_kanonymity_two_exchange_rollup(spark, sf_dir):
     """rows -> QI classes -> one audit row: the second aggregate's input is
     |distinct QI combos| rows, so the whole audit is two exchanges."""
     assert count_exchanges(Q["stats_kanonymity_audit"].fn(spark, sf_dir)) <= 2
+
+
+def test_association_rules_joins_on_basket_key(spark, sf_dir):
+    """Pair generation must self-join on the (user, day) basket key —
+    a cartesian would be baskets^2; the only cross join allowed is the
+    broadcast of the 1-row basket-count aggregate."""
+    df = Q["events_association_rules"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_snapshot_diff_single_full_outer_join(spark, sf_dir):
+    """Reconciliation is ONE full-outer equi-join plus a 4-group rollup —
+    no nested loop, no second pass over either snapshot."""
+    plan = explain_str(Q["pipeline_snapshot_diff"].fn(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_broadcasts_bounds(spark, sf_dir):
+    """The 1-row min/max/count aggregate must broadcast into the binning
+    projection; shuffling the fact side to meet one row is the classic
+    scalar-subquery mistake."""
+    df = Q["stats_histogram_profile"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3

@@ -1003,3 +1003,89 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("n_conversions") > 0)
     )
     return attributed.unionByName(direct)
+
+
+_ASSOC_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+  FROM events
+),
+nb AS (
+  SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets FROM baskets
+),
+item AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets a
+  JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT
+  p.item_a, p.item_b, p.n_pair,
+  CAST(10000 * p.n_pair // nb.n_baskets AS BIGINT) AS support_bp,
+  CAST(10000 * p.n_pair // ia.n_item AS BIGINT) AS confidence_bp,
+  CAST(10000 * p.n_pair * nb.n_baskets // (ia.n_item * ib.n_item) AS BIGINT) AS lift_bp
+FROM pairs p
+JOIN item ia ON p.item_a = ia.event_type
+JOIN item ib ON p.item_b = ib.event_type
+CROSS JOIN nb
+WHERE CAST(10000 * p.n_pair // nb.n_baskets AS BIGINT) >= 100
+"""
+
+
+@register("events_association_rules", oracle=_ASSOC_ORACLE, tags=("events", "agg", "join"))
+def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets of event
+    types: pair support, confidence (A=>B), and lift, all in integer basis
+    points with a 1% minimum-support cut — the co-occurrence mining step
+    behind recommendation and funnel-insight features.
+
+    Scale shape: baskets deduplicate on the high-cardinality (user, day,
+    item) key (one shuffle); pair generation self-joins ON THE BASKET KEY,
+    so candidate volume is sum over baskets of |basket|^2 — bounded by the
+    per-basket item-type cardinality (tiny), never corpus^2. Item totals
+    and the basket count are |items|-row / 1-row aggregates that broadcast
+    back into the pair frame; integer basis points (10000*n div d) keep
+    both engines bit-identical.
+    """
+    (ev,) = load(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = baskets.select("user_id", "day", F.col("event_type").alias("item_a"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    ia = item.select(F.col("event_type").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("event_type").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.expr("CAST(10000 * n_pair div n_baskets AS BIGINT)").alias("support_bp"),
+            F.expr("CAST(10000 * n_pair div n_a AS BIGINT)").alias("confidence_bp"),
+            F.expr("CAST(10000 * n_pair * n_baskets div (n_a * n_b) AS BIGINT)").alias(
+                "lift_bp"
+            ),
+        )
+        .filter(F.col("support_bp") >= 100)
+    )

@@ -430,3 +430,92 @@ def pipeline_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(stats)).select(
         "heaviness_rank", "key", "n", "n_keys", "n_rows", "skew_factor"
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH prev AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+curr AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+           + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END AS price_c,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+diff AS (
+  SELECT
+    CASE
+      WHEN p.o_orderkey IS NULL THEN 'added'
+      WHEN c.o_orderkey IS NULL THEN 'removed'
+      WHEN p.price_c <> c.price_c OR p.o_orderstatus <> c.o_orderstatus THEN 'changed'
+      ELSE 'unchanged'
+    END AS status,
+    COALESCE(c.price_c, p.price_c) AS price_c,
+    COALESCE(c.o_orderkey, p.o_orderkey) AS key
+  FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+)
+SELECT
+  status,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+  CAST(BIT_XOR(CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 13)) AS BIGINT)) AS BIGINT) AS key_checksum
+FROM diff
+GROUP BY status
+"""
+
+
+@register("pipeline_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("pipeline", "join"))
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer-join two table versions on the
+    business key and classify every row added / removed / changed /
+    unchanged, with per-class row counts, value totals, and a key checksum
+    — the diff audit run between warehouse loads to prove an incremental
+    pipeline converged to the same state as a full rebuild.
+
+    The two versions are carved deterministically from the fixture (key
+    mod 97 / mod 101 membership, a +1-cent drift on mod-89 keys) so the
+    oracle reproduces them exactly. Scale shape: ONE full-outer sort-merge
+    join on the key (both sides shuffle once — unavoidable and linear),
+    then a 4-group aggregate; the change predicate compares quantized
+    cents, so no float equality is ever trusted. The key checksum is an
+    XOR fold of the repo's 52-bit md5 hash primitive — order-independent,
+    overflow-free at any key volume (a SUM-of-products checksum would
+    trip ANSI int64 overflow past ~1e6 rows), and catches any class
+    membership drift without collecting keys.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    prev = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", price_c.alias("price_p"), F.col("o_orderstatus").alias("status_p")
+    )
+    curr = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        (price_c + F.when(F.col("o_orderkey") % 89 == 0, 100).otherwise(0)).alias(
+            "price_x"
+        ),
+        F.col("o_orderstatus").alias("status_x"),
+    )
+    diff = prev.join(curr, "o_orderkey", "full_outer").select(
+        F.when(F.col("price_p").isNull(), "added")
+        .when(F.col("price_x").isNull(), "removed")
+        .when(
+            (F.col("price_p") != F.col("price_x"))
+            | (F.col("status_p") != F.col("status_x")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("price_x", "price_p").alias("price_c"),
+        F.col("o_orderkey").alias("key"),
+    )
+    key_h = F.conv(
+        F.substring(F.md5(F.col("key").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_c").cast("long").alias("sum_price_c"),
+        F.bit_xor(key_h).cast("long").alias("key_checksum"),
+    )

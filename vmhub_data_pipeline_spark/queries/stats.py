@@ -845,3 +845,64 @@ def stats_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(class_size) AS BIGINT)"
         ).alias("risk_bp"),
     )
+
+
+_HISTOGRAM_ORACLE = """
+WITH q AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c FROM orders
+),
+b AS (
+  SELECT CAST(MIN(price_c) AS BIGINT) AS lo, CAST(MAX(price_c) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n FROM q
+),
+binned AS (
+  SELECT
+    CAST(LEAST(9, (q.price_c - b.lo) * 10 // (b.hi - b.lo + 1)) AS BIGINT) AS bucket,
+    q.price_c, b.n
+  FROM q CROSS JOIN b
+)
+SELECT
+  bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(price_c) AS BIGINT) AS min_c,
+  CAST(MAX(price_c) AS BIGINT) AS max_c,
+  CAST(10000 * COUNT(*) // ANY_VALUE(n) AS BIGINT) AS share_bp
+FROM binned
+GROUP BY bucket
+"""
+
+
+@register("stats_histogram_profile", oracle=_HISTOGRAM_ORACLE, tags=("stats", "profiling"))
+def stats_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profile of order totals: 10 integer-cent bins
+    between the global min and max, with per-bin counts, observed bounds,
+    and share in basis points — the column-profiling step a data-quality
+    service runs on every numeric column at ingest.
+
+    Two passes, both linear: a 1-row min/max/count aggregate that
+    BROADCASTS back into a scan-speed binning projection (``(x-lo)*10 div
+    (hi-lo+1)``, pure int64 — identical in both engines, no float bin
+    boundaries to disagree over), then a 10-group aggregate. At 100 TB
+    this is exactly the two-scan histogram a warehouse profiler runs;
+    nothing driver-side, no sort.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    q = orders.select(F.round(F.col("o_totalprice") * 100.0).cast("long").alias("price_c"))
+    b = q.agg(
+        F.min("price_c").alias("lo"),
+        F.max("price_c").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = q.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9), F.expr("(price_c - lo) * 10 div (hi - lo + 1)")
+        ).cast("long").alias("bucket"),
+        "price_c",
+        "n",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("price_c").cast("long").alias("min_c"),
+        F.max("price_c").cast("long").alias("max_c"),
+        F.expr("CAST(10000 * COUNT(*) div ANY_VALUE(n) AS BIGINT)").alias("share_bp"),
+    )
