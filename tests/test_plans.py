@@ -580,3 +580,14 @@ def test_histogram_broadcasts_bounds(spark, sf_dir):
     df = Q["stats_histogram_profile"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3
+
+
+def test_fk_integrity_parents_collapse_before_join(spark, sf_dir):
+    """Every FK edge joins the child against the parent's DISTINCT key
+    projection — small parents must broadcast, and no edge may plan a
+    cartesian or nested loop."""
+    df = Q["pipeline_fk_integrity"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df)

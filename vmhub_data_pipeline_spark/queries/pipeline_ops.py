@@ -519,3 +519,90 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_c").cast("long").alias("sum_price_c"),
         F.bit_xor(key_h).cast("long").alias("key_checksum"),
     )
+
+
+_FK_INTEGRITY_ORACLE = """
+WITH lo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+),
+oc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+),
+cn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c.c_nationkey = n.n_nationkey
+),
+sn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON s.s_nationkey = n.n_nationkey
+)
+SELECT edge, n_child, n_orphans,
+       CAST(10000 * (n_child - n_orphans) // n_child AS BIGINT) AS coverage_bp
+FROM (
+  SELECT 'lineitem->orders' AS edge, * FROM lo
+  UNION ALL SELECT 'orders->customer', * FROM oc
+  UNION ALL SELECT 'customer->nation', * FROM cn
+  UNION ALL SELECT 'supplier->nation', * FROM sn
+)
+"""
+
+
+@register(
+    "pipeline_fk_integrity", oracle=_FK_INTEGRITY_ORACLE, tags=("pipeline", "audit", "join")
+)
+def pipeline_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges: per
+    edge, child row count, orphan count (child key absent from the parent),
+    and coverage in integer basis points — the cross-table complement to
+    ``pipeline_quality_audit``'s single-table constraints, run before
+    publishing a warehouse load.
+
+    Scale shape: each edge is ONE left join of the child against the
+    parent's DISTINCT key projection — the parent side collapses to its key
+    cardinality before the join, so nation-sized parents broadcast and even
+    the orders parent ships only 8-byte keys; the orphan test is a
+    null-check aggregate, so no orphan rows are ever materialized. Edges
+    run as independent plan legs unioned at one row each.
+    """
+    cust, orders, li, sup, nat = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        p = parent.select(pk).distinct()
+        return (
+            child.select(F.col(ck))
+            .join(p, child[ck] == p[pk], "left")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                "edge",
+                "n_child",
+                "n_orphans",
+                F.expr(
+                    "CAST(10000 * (n_child - n_orphans) div n_child AS BIGINT)"
+                ).alias("coverage_bp"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"))
+        .unionByName(edge("supplier->nation", sup, "s_nationkey", nat, "n_nationkey"))
+    )
