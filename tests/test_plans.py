@@ -591,3 +591,16 @@ def test_fk_integrity_parents_collapse_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_broadcast_join(df)
+
+
+def test_budget_apportion_broadcasts_scalars(spark, sf_dir):
+    """Grand total and leftover are 1-row frames that must broadcast into
+    the source-grain quota math."""
+    assert has_broadcast_join(Q["curation_budget_apportion"].fn(spark, sf_dir))
+
+
+def test_survivorship_works_at_cluster_grain(spark, sf_dir):
+    """Survivorship must never plan a cartesian; mode windows rank
+    (cluster, value) count rows, not raw members."""
+    plan = explain_str(Q["dedup_survivorship"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -196,3 +196,20 @@ def test_bpe_merges_classic_example_hand_computed(spark):
         (3, "e", "r", "er", 2),
         (4, "low", "er", "lower", 2),
     ]
+
+
+def test_budget_apportion_sums_exactly_to_budget(spark):
+    """Largest-remainder quotas must sum to EXACTLY the budget — the
+    property float-proportional rounding lacks — and every source's quota
+    must differ from exact proportionality by less than 1 slot."""
+    from vmhub_data_pipeline_spark.queries.sampling import _APPORTION_B
+    import pyspark.sql.functions as F
+    from vmhub_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["curation_budget_apportion"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r["final_quota"] for r in rows) == _APPORTION_B
+    grand = sum(r["n_total"] for r in rows)
+    for r in rows:
+        exact = _APPORTION_B * r["n_total"] / grand
+        assert abs(r["final_quota"] - exact) < 1.0, r

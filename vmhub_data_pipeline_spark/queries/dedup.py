@@ -10,7 +10,7 @@ covered by unit tests against the exact variants in tests/test_operators.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import (
     exact_dedup,
@@ -826,4 +826,118 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+_SURVIVORSHIP_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+mem AS (
+  SELECT cc.doc_id, cc.cluster_id, d.lang, d.source, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)
+),
+base AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM mem GROUP BY cluster_id
+),
+lm AS (
+  SELECT cluster_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM mem GROUP BY cluster_id, lang
+),
+sm AS (
+  SELECT cluster_id, source,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY COUNT(*) DESC, source) AS rn
+  FROM mem GROUP BY cluster_id, source
+)
+SELECT b.cluster_id, b.n_members, b.canonical_doc, b.max_chars,
+       lm.lang AS survivor_lang, sm.source AS survivor_source
+FROM base b
+JOIN lm ON b.cluster_id = lm.cluster_id AND lm.rn = 1
+JOIN sm ON b.cluster_id = sm.cluster_id AND sm.rn = 1
+"""
+
+
+@register("dedup_survivorship", oracle=_SURVIVORSHIP_ORACLE, tags=("dedup", "iterative"))
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM-style golden record per near-dup cluster: connected components
+    over exact-Jaccard pairs, then survivorship rules pick the canonical
+    attributes — min doc_id as keeper, per-cluster modal lang/source
+    (deterministic tie-break: highest count, then smallest value), max
+    n_chars. The entity-resolution step after clustering: one surviving
+    record per duplicate group, attributes merged across members.
+
+    Scale shape: clustering is the audited iterative CC operator (2
+    digest-keyed shuffles per round); survivorship then works entirely at
+    CLUSTER grain — member attrs join once on doc_id, the three aggregates
+    and two mode windows all key on cluster_id (cardinality = number of
+    dup groups, far below corpus size). The mode windows rank
+    (cluster, value) count rows, never raw members. Hash-matched against
+    the recursive-CTE closure + ROW_NUMBER survivorship in DuckDB."""
+    from ..operators.graph import connected_components
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    mem = cc.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+    base = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+    def mode_of(col: str, alias: str) -> DataFrame:
+        cnt = mem.groupBy("cluster_id", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("cnt").desc(), F.col(col).asc()
+        )
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col(col).alias(alias))
+        )
+
+    return (
+        base.join(mode_of("lang", "survivor_lang"), "cluster_id")
+        .join(mode_of("source", "survivor_source"), "cluster_id")
+        .select(
+            "cluster_id", "n_members", "canonical_doc", "max_chars",
+            "survivor_lang", "survivor_source",
+        )
     )

@@ -1179,3 +1179,79 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thresh",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
+
+
+_APPORTION_B = 100000  # training-slot budget to distribute
+
+_APPORTION_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_total) AS BIGINT) AS grand FROM c),
+q AS (
+  SELECT c.source, c.n_total,
+         CAST({_APPORTION_B} * c.n_total // t.grand AS BIGINT) AS base_quota,
+         CAST({_APPORTION_B} * c.n_total % t.grand AS BIGINT) AS remainder
+  FROM c CROSS JOIN t
+),
+lo AS (SELECT CAST({_APPORTION_B} AS BIGINT) - CAST(SUM(base_quota) AS BIGINT) AS leftover FROM q),
+r AS (
+  SELECT q.*, lo.leftover,
+         ROW_NUMBER() OVER (ORDER BY q.remainder DESC, q.source) AS rk
+  FROM q CROSS JOIN lo
+)
+SELECT source, n_total, base_quota,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS final_quota
+FROM r
+"""
+
+
+@register("curation_budget_apportion", oracle=_APPORTION_ORACLE, tags=("curation", "sampling"))
+def curation_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hare-quota) apportionment of a fixed training
+    budget across sources: each source gets floor(B*n/N) slots, and the
+    leftover slots go to the largest remainders (tie-break source asc) —
+    so quotas sum to EXACTLY B with no float rounding drift, the
+    correctness property proportional-float-then-round allocation lacks.
+    This is the "allocate 100k training slots across domains" step of
+    dataset budgeting.
+
+    Scale shape: the corpus collapses to |sources| rows in one map-side-
+    combinable aggregate; everything after — grand total, remainders,
+    the ranking window — runs at source grain (tens of rows), so the
+    unpartitioned ROW_NUMBER window is over a provably tiny frame (same
+    stance as the tercile windows in text_perplexity_filter). Integer
+    arithmetic throughout; overflow bound B*n < 2^63 holds to n ~ 9e13
+    docs at B=1e5."""
+    (docs,) = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    t = c.agg(F.sum("n_total").cast("long").alias("grand"))
+    B = _APPORTION_B
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_total",
+        F.expr(f"CAST({B} * n_total div grand AS BIGINT)").alias("base_quota"),
+        F.expr(f"CAST({B} * n_total % grand AS BIGINT)").alias("remainder"),
+    )
+    lo = q.agg(
+        (F.lit(B).cast("long") - F.sum("base_quota").cast("long")).alias("leftover")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    return (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_total",
+            "base_quota",
+            F.when(F.col("rk") <= F.col("leftover"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("final_quota"),
+        )
+    )
