@@ -604,3 +604,20 @@ def test_survivorship_works_at_cluster_grain(spark, sf_dir):
     (cluster, value) count rows, not raw members."""
     plan = explain_str(Q["dedup_survivorship"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_ab_experiment_broadcasts_control_row(spark, sf_dir):
+    """The control-variant row is a 1-row frame that must broadcast into
+    the per-variant lift projection."""
+    df = Q["events_ab_experiment"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_langid_confusion_reuses_broadcast_scoring(spark, sf_dir):
+    """The confusion matrix rides the same broadcast-profile scoring
+    subplan as text_langid; the label join is doc-grain, the matrix
+    aggregates are |langs|-grain."""
+    plan = explain_str(Q["text_langid_confusion"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1089,3 +1089,92 @@ def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("support_bp") >= 100)
     )
+
+
+_ABTEST_ORACLE = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN substr(md5(concat('exp1:', CAST(user_id AS VARCHAR))), 1, 1) < '8'
+         THEN 'A' ELSE 'B' END AS variant
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT a.variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+  GROUP BY a.variant
+),
+vb AS (
+  SELECT variant, n_users, n_converted,
+         CAST(10000 * n_converted // n_users AS BIGINT) AS conversion_bp
+  FROM v
+),
+ctrl AS (SELECT conversion_bp AS ctrl_bp FROM vb WHERE variant = 'A')
+SELECT vb.variant, vb.n_users, vb.n_converted, vb.conversion_bp,
+       CAST(10000 * vb.conversion_bp // ctrl.ctrl_bp - 10000 AS BIGINT) AS lift_vs_ctrl_bp
+FROM vb CROSS JOIN ctrl
+"""
+
+
+@register("events_ab_experiment", oracle=_ABTEST_ORACLE, tags=("events", "experiment"))
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic hash assignment: users
+    split 50/50 into variants by the first md5 hex char of their id (a pure
+    function of (experiment, user) — the same derived-randomness primitive
+    as curation_hash_split, so assignment is stable across reruns and
+    growing data), then per-variant conversion (>= 1 purchase) and lift vs
+    control in integer basis points.
+
+    Scale shape: assignment is a scan-side projection; conversion is a
+    distinct-user semi-structure (two user-grain shuffles); the readout
+    collapses to |variants| rows before the control row broadcasts back
+    for the lift column. No experiment-config table needed — the hash IS
+    the assignment, which is how production experiment frameworks avoid
+    an assignment-log join at billions of users."""
+    (ev,) = load(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 1
+            )
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    vb = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_bp",
+            F.expr("CAST(10000 * n_converted div n_users AS BIGINT)"),
+        )
+    )
+    ctrl = vb.filter(F.col("variant") == "A").select(
+        F.col("conversion_bp").alias("ctrl_bp")
+    )
+    return vb.crossJoin(F.broadcast(ctrl)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        "conversion_bp",
+        F.expr("CAST(10000 * conversion_bp div ctrl_bp - 10000 AS BIGINT)").alias(
+            "lift_vs_ctrl_bp"
+        ),
+    )

@@ -1521,3 +1521,92 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000.0
     ).cast("long")
     return joined.select("w1", "w2", "pair_count", pmi.alias("pmi_q"))
+
+
+_LANGID_CONFUSION_ORACLE = """
+WITH wd AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS wcnt FROM wd GROUP BY doc_id, word
+),
+profile AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM wd GROUP BY lang, word
+),
+lang_tot AS (
+  SELECT lang, COUNT(*) AS tot FROM wd GROUP BY lang
+),
+vocab AS (
+  SELECT COUNT(DISTINCT word) AS v FROM wd
+),
+scored AS (
+  SELECT
+    wc.doc_id,
+    lang_tot.lang AS cand_lang,
+    CAST(SUM(wc.wcnt * CAST(ROUND(LN(
+      (CAST(COALESCE(profile.cnt, 0) + 1 AS DOUBLE))
+      / (CAST(lang_tot.tot + vocab.v AS DOUBLE))
+    ) * 1000000.0) AS BIGINT)) AS BIGINT) AS score_q
+  FROM wc
+  CROSS JOIN lang_tot
+  CROSS JOIN vocab
+  LEFT JOIN profile ON profile.lang = lang_tot.lang AND profile.word = wc.word
+  GROUP BY wc.doc_id, lang_tot.lang
+),
+pred AS (
+  SELECT doc_id, cand_lang AS predicted_lang
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cand_lang) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+),
+cm AS (
+  SELECT d.lang AS true_lang, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.predicted_lang
+),
+tot AS (
+  SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n_true FROM cm GROUP BY true_lang
+)
+SELECT cm.true_lang, cm.predicted_lang, cm.n_docs,
+       CAST(10000 * cm.n_docs // tot.n_true AS BIGINT) AS row_share_bp,
+       cm.true_lang = cm.predicted_lang AS is_correct
+FROM cm JOIN tot ON cm.true_lang = tot.true_lang
+"""
+
+
+@register("text_langid_confusion", oracle=_LANGID_CONFUSION_ORACLE, tags=("text", "langid", "eval"))
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation harness for the langid classifier: the confusion
+    matrix of predicted vs labeled language, with per-true-language row
+    shares in basis points — the accuracy readout a curation pipeline
+    publishes before trusting a classifier's keep/drop decisions.
+
+    Reuses the SAME scoring subplan as text_langid/text_langid_margin
+    (``_langid_scored``), so the three queries stay provably consistent;
+    the evaluation adds one doc-grain join back to the labels and two
+    lang-grain aggregates (|langs|^2 matrix rows at most — trivially small
+    at any corpus size)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    scored = _langid_scored(docs)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("cand_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n_docs").cast("long").alias("n_true"))
+    return cm.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("CAST(10000 * n_docs div n_true AS BIGINT)").alias("row_share_bp"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )
