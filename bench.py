@@ -67,6 +67,10 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "agg_hll_distinct",
     "multimodal_pixel_stats",
+    # round 3c: the attribution join+window family and the two-pass
+    # broadcast-bounds profiler — one entry per new tier
+    "events_multitouch_attribution",
+    "stats_histogram_profile",
 ]
 
 # Queries whose single-run timing proved noisy round-over-round (knn moved
@@ -105,6 +109,9 @@ SECONDARY = [
     # re-inlining regression (see the localCheckpoint note in the query)
     # shows up round-over-round
     "dedup_levenshtein_pairs",
+    # CC + cluster-grain survivorship: tracks the golden-record join cost
+    # on top of the shared iterative closure
+    "dedup_survivorship",
 ]
 
 
