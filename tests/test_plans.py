@@ -621,3 +621,20 @@ def test_langid_confusion_reuses_broadcast_scoring(spark, sf_dir):
     plan = explain_str(Q["text_langid_confusion"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_plans_posting_list_and_group_limit(spark, sf_dir):
+    """BM25: term stream filtered to query terms (matched volume, not
+    corpus volume), df/stats broadcast, rank<=10 as WindowGroupLimit."""
+    df = Q["text_bm25_topk"].fn(spark, sf_dir)
+    assert has_window_group_limit(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_cms_fold_is_constant_width_shuffle(spark, sf_dir):
+    """The Count-Min fold groups on (row, bucket) — the shuffle is the
+    constant-size counter grid, and the probe side joins it broadcast."""
+    df = Q["agg_cms_heavy_hitters"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df)

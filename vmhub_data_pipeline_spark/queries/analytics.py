@@ -311,3 +311,116 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+# Count-Min sketch (Cormode-Muthukrishnan) with DETERMINISTIC md5-derived
+# row hashes — same stance as the KMV/HLL entries: the sketch fold and the
+# point estimates are pure functions of the data, so DuckDB reproduces the
+# counters and estimates bit-for-bit.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT event_type FROM events),
+fold AS (
+  SELECT r.r AS r,
+    CAST(CAST(concat('0x', substr(md5(concat('cms', CAST(r.r AS VARCHAR), ':', ev.event_type)), 1, 13)) AS BIGINT) % {_CMS_WIDTH} AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev CROSS JOIN (SELECT UNNEST(range({_CMS_DEPTH})) AS r) r
+  GROUP BY 1, 2
+),
+keys AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ev GROUP BY event_type
+),
+probes AS (
+  SELECT k.event_type, k.exact_n, r.r AS r,
+    CAST(CAST(concat('0x', substr(md5(concat('cms', CAST(r.r AS VARCHAR), ':', k.event_type)), 1, 13)) AS BIGINT) % {_CMS_WIDTH} AS BIGINT) AS bucket
+  FROM keys k CROSS JOIN (SELECT UNNEST(range({_CMS_DEPTH})) AS r) r
+)
+SELECT p.event_type, p.exact_n,
+  CAST(MIN(f.cnt) AS BIGINT) AS cms_n,
+  CAST(10000 * (CAST(MIN(f.cnt) AS BIGINT) - p.exact_n) // p.exact_n AS BIGINT) AS overestimate_bp
+FROM probes p JOIN fold f ON p.r = f.r AND p.bucket = f.bucket
+GROUP BY p.event_type, p.exact_n
+"""
+
+
+@register("agg_cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: fold the raw event stream
+    into a {_CMS_DEPTH}x{_CMS_WIDTH} counter grid (md5-derived row hashes,
+    deterministic like the KMV/HLL entries), then point-estimate each
+    candidate key as the MIN over its {_CMS_DEPTH} counters, reported next
+    to the exact count with the overestimate in basis points.
+
+    Scale shape: the fold never keys on the item — each event contributes
+    {_CMS_DEPTH} (row, bucket) increments that partial-aggregate map-side
+    into at most {_CMS_DEPTH}x{_CMS_WIDTH} = {_CMS_DEPTH * _CMS_WIDTH}
+    counters, so the shuffle is CONSTANT-width at any stream volume (the
+    property that makes CM the right heavy-hitter structure when exact
+    per-key counts can't fit); probes join the tiny counter grid. The
+    exact side here exists only to report estimation error."""
+    (ev,) = load(spark, sf_dir, "events")
+    d, wdt = _CMS_DEPTH, _CMS_WIDTH
+
+    def bucket(r: F.Column, key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), key)),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % wdt
+        )
+
+    folded = (
+        ev.select("event_type")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket(F.lit(r), F.col("event_type")).alias("bucket"),
+                        )
+                        for r in range(d)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    probes = keys.select(
+        "event_type",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.lit(r), F.col("event_type")).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("event_type", "exact_n", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(folded), ["r", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_n"))
+        .select(
+            "event_type",
+            "exact_n",
+            "cms_n",
+            F.expr("CAST(10000 * (cms_n - exact_n) div exact_n AS BIGINT)").alias(
+                "overestimate_bp"
+            ),
+        )
+    )

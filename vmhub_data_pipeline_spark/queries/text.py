@@ -1610,3 +1610,133 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * n_docs div n_true AS BIGINT)").alias("row_share_bp"),
         (F.col("true_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+# BM25 (Robertson k1=1.2, b=0.75): lexical ranked retrieval over the corpus
+# for a fixed query set — the sparse complement to the dense-cosine RAG path.
+# Per-term scores are quantized to integer micro-units BEFORE the per-doc
+# sum (the langid trick), so ranking is bit-deterministic across engines and
+# partitionings; idf/tf-norm doubles are assembled from exact integer counts
+# with identical expression trees on both engines.
+_BM25_QUERIES = [("q1", "spark"), ("q1", "join"), ("q2", "vector"), ("q2", "stream"), ("q3", "hash"), ("q3", "merge")]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH qt(query_id, term) AS (
+  VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)}
+),
+dl AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_len FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, w
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+term_scores AS (
+  SELECT
+    qt.query_id, tf.doc_id,
+    CAST(ROUND(
+      LN(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+          / (CAST(df.df AS DOUBLE) + 0.5)) + 1.0)
+      * ((CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+         / (CAST(tf.tf AS DOUBLE)
+            + {_BM25_K1} * ((1.0 - {_BM25_B})
+               + {_BM25_B} * ((CAST(dl.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+                               / CAST(s.tot_len AS DOUBLE)))))
+      * 1000000.0) AS BIGINT) AS term_score_q
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(term_score_q) AS BIGINT) AS score_q
+  FROM term_scores GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_q, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
+  FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "retrieval"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query: the lexical ranked-retrieval scorer
+    (k1=1.2, b=0.75) complementing the dense-cosine kNN path — together
+    they are the hybrid-retrieval pair a RAG stack runs.
+
+    Scale shape: the corpus term stream is FILTERED TO QUERY TERMS before
+    any aggregation (the posting-list read — term stats shuffle at matched
+    volume, not corpus volume); df and corpus stats are term-/1-row frames
+    that broadcast back; per-term partial scores quantize to integer
+    micro-units BEFORE the (query, doc) sum, so the ranking is order- and
+    partitioning-independent; rank<=10 plans as WindowGroupLimit."""
+    (docs,) = load(spark, sf_dir, "documents")
+    k1, b = _BM25_K1, _BM25_B
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    terms = sorted({t for _, t in _BM25_QUERIES})
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_len"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfnorm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (
+                (F.col("dl").cast("double") * F.col("n_docs").cast("double"))
+                / F.col("tot_len").cast("double")
+            )
+        )
+    )
+    term_scores = (
+        F.broadcast(qt)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm * F.lit(1000000.0)).cast("long").alias("term_score_q"),
+        )
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score_q").cast("long").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "score_q", F.col("rn").cast("long").alias("rank"))
+    )
