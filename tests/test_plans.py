@@ -638,3 +638,25 @@ def test_cms_fold_is_constant_width_shuffle(spark, sf_dir):
     df = Q["agg_cms_heavy_hitters"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_overlap_matrix_joins_on_gram_digest(spark, sf_dir):
+    """The source-overlap pair join must ride the gram-hash inverted index
+    (8-byte digests), never a cartesian of sources or docs."""
+    plan = explain_str(Q["dedup_overlap_matrix"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_pairs_single_knn_pass(spark, sf_dir):
+    """Positive and negative picks must share ONE broadcast-anchor kNN
+    shortlist (WindowGroupLimit), not two scoring passes."""
+    import re
+
+    df = Q["curation_contrastive_pairs"].fn(spark, sf_dir)
+    assert has_window_group_limit(df)
+    plan = explain_str(df)
+    # exactly one scoring pass: the broadcast-anchor cross join node
+    # appears once, not once per pick (formatted explain names each node
+    # twice — tree + details — so count the numbered detail entries)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("BroadcastNestedLoopJoin") == 1, nodes

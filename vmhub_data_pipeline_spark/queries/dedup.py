@@ -941,3 +941,92 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor_lang", "survivor_source",
         )
     )
+
+
+_OVERLAP_K = 8  # words per overlap gram
+
+_OVERLAP_ORACLE = f"""
+WITH ws AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+    CAST(concat('0x',
+      substr(md5(array_to_string(w[i:i + {_OVERLAP_K} - 1], ' ')), 1, 13)
+    ) AS BIGINT) AS g
+  FROM ws, LATERAL (SELECT UNNEST(range(1, LEN(w) - {_OVERLAP_K} + 2)) AS i) t
+  WHERE LEN(w) >= {_OVERLAP_K}
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+  CAST(10000 * s.n_shared // (ta.n_grams + tb.n_grams - s.n_shared) AS BIGINT)
+    AS jaccard_bp
+FROM shared s
+JOIN totals ta ON s.source_a = ta.source
+JOIN totals tb ON s.source_b = tb.source
+WHERE CAST(10000 * s.n_shared // (ta.n_grams + tb.n_grams - s.n_shared) AS BIGINT) >= 50
+"""
+
+
+@register("dedup_overlap_matrix", oracle=_OVERLAP_ORACLE, tags=("dedup", "text"))
+def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap matrix: for every source pair, shared distinct
+    {_OVERLAP_K}-gram fingerprints and gram-set Jaccard in basis points
+    (>= 0.5% cut) — the "how much does dump B repeat dump A" report that
+    decides whether a new crawl snapshot is worth ingesting at all, run at
+    SOURCE grain rather than document grain.
+
+    Scale shape: docs collapse to distinct (source, gram-hash) rows first
+    — the only text-volume shuffle, at 8-byte digest width; the pair join
+    is an inverted index on the gram hash whose fan-out per gram is
+    bounded by the SOURCE count (tens-to-hundreds in production, never
+    corpus size), so candidate volume is |grams| x |sources-per-gram|^2
+    with a hard ceiling of |sources|^2 pair keys; totals broadcast back.
+    """
+    (docs,) = load(spark, sf_dir, "documents")
+    k = _OVERLAP_K
+    staged = docs.select("source", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= k
+    )
+    grams = staged.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k))), 1, 13
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    jac = F.expr("CAST(10000 * n_shared div (na + nb - n_shared) AS BIGINT)")
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "n_shared", jac.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= 50)
+    )

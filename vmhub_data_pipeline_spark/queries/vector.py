@@ -480,3 +480,71 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diverse_topk(
         c, q, id_col="vec_id", vec_col="embedding", shortlist_k=20, select_k=5, lam=0.7
     )
+
+
+_CONTRASTIVE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id,
+    list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c CROSS JOIN q
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT
+  p.query_id,
+  p.cand_id AS positive_id,  ROUND(p.cosine, 6) AS positive_cos,
+  n.cand_id AS negative_id,  ROUND(n.cosine, 6) AS negative_cos
+FROM ranked p JOIN ranked n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND n.rn = 20
+"""
+
+
+@register("curation_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE, tags=("vector", "curation"))
+def curation_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model fine-tuning:
+    for a deterministic anchor sample (vec_id % 50), the POSITIVE is the
+    nearest neighbor by exact cosine (rank 1, self excluded) and the
+    NEGATIVE is the semi-hard rank-20 shortlist entry — close enough to be
+    informative, far enough to be wrong, the standard mining heuristic when
+    no labels exist.
+
+    Scale shape: one broadcast-anchors x streamed-corpus scoring pass (the
+    audited kNN topology) with a single WindowGroupLimit shortlist serving
+    BOTH picks — mining positives and negatives costs exactly one kNN,
+    not two. Cosine rounds to 6 dp in the output only; ranking uses the
+    raw double on both engines."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb
+    # k=21 because the anchor itself sits in the corpus side: after
+    # self-exclusion exactly 20 true neighbors remain for the re-rank
+    knn = brute_force_knn(c, q, id_col="vec_id", vec_col="embedding", k=21)
+    ranked = knn.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    # conditional pivot, NOT a pos-join-neg self-join: a self-join would
+    # duplicate the entire scoring subplan (two kNN passes); the pivot
+    # keeps ONE shortlist feeding both picks
+    return (
+        ranked.filter(F.col("rn").isin(1, 20))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("neighbor_id"))).alias("positive_id"),
+            F.max(F.when(F.col("rn") == 1, F.round("cosine", 6))).alias("positive_cos"),
+            F.max(F.when(F.col("rn") == 20, F.col("neighbor_id"))).alias("negative_id"),
+            F.max(F.when(F.col("rn") == 20, F.round("cosine", 6))).alias("negative_cos"),
+        )
+        .filter(F.col("negative_id").isNotNull())
+    )
