@@ -266,3 +266,25 @@ def test_zorder_layout_improves_pruning(spark, tmp_path):
     # z-order must cut the mean y-span at least in half
     assert linear > 0.9 * full_span
     assert zorder < 0.5 * linear, (linear, zorder)
+
+
+def test_schema_evolution_additive_read(spark, tmp_path):
+    """Files written before a column existed must read as NULL for it under
+    read_parquet_evolved, with both generations' rows present and filter
+    pushdown still active on the evolved column."""
+    import pyspark.sql.functions as F
+    from vmhub_data_pipeline_spark.pipeline.lake import read_parquet_evolved
+
+    p = str(tmp_path / "evolved")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS added"
+    ).write.mode("append").parquet(p)
+
+    df = read_parquet_evolved(spark, p)
+    assert set(df.columns) == {"id", "a", "added"}
+    assert df.count() == 10
+    # pre-evolution rows surface NULL for the added column
+    assert df.filter(F.col("added").isNull()).count() == 5
+    # and the evolved column is filterable (new-generation rows only)
+    assert df.filter(F.col("added") == "7").count() == 1

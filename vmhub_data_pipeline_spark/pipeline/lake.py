@@ -220,3 +220,19 @@ def zorder_key(col_a, col_b) -> "F.Column":
     a = spread(F.col(col_a) if isinstance(col_a, str) else col_a)
     b = spread(F.col(col_b) if isinstance(col_b, str) else col_b)
     return a.bitwiseOR(F.shiftleft(b, 1))
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time) as one frame: ``mergeSchema`` unions
+    the per-file footers, and rows from files predating a column read as
+    NULL for it — the additive-evolution contract a long-lived warehouse
+    table needs (rename/retype stays a migration, not a read option).
+
+    Scale note: schema merging reads FOOTERS (one per file), not data;
+    with the compaction policy above keeping file counts bounded, the
+    merge cost stays driver-side trivial. Column pruning and filter
+    pushdown still apply per file — files without a selected column scan
+    nothing for it.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
