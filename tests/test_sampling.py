@@ -213,3 +213,39 @@ def test_budget_apportion_sums_exactly_to_budget(spark):
     for r in rows:
         exact = _APPORTION_B * r["n_total"] / grand
         assert abs(r["final_quota"] - exact) < 1.0, r
+
+
+def test_temperature_mix_isqrt_exact_over_range(spark):
+    """The corrected integer sqrt must satisfy w^2 <= n < (w+1)^2 for every
+    n — checked in one Spark batch over boundary-heavy values (perfect
+    squares, squares±1, large 2^k±1 values) where a raw double sqrt seed
+    can land one off."""
+    import pyspark.sql.functions as F
+
+    vals = []
+    for k in list(range(1, 60)):
+        for base in (2**k, 3**min(k, 37)):
+            for d in (-1, 0, 1):
+                v = base + d
+                if 1 <= v <= 2**52:
+                    vals.append(v)
+    for r in range(1, 2000, 7):
+        for d in (-1, 0, 1):
+            v = r * r + d
+            if v >= 1:
+                vals.append(v)
+    df = spark.createDataFrame([(v,) for v in set(vals)], "n_total long")
+    w = df.withColumn(
+        "r0", F.floor(F.sqrt(F.col("n_total").cast("double"))).cast("long")
+    ).withColumn(
+        "wgt",
+        F.expr(
+            "CASE WHEN (r0 + 1) * (r0 + 1) <= n_total THEN r0 + 1 "
+            "WHEN r0 * r0 > n_total THEN r0 - 1 ELSE r0 END"
+        ),
+    )
+    bad = w.filter(
+        ~((F.col("wgt") * F.col("wgt") <= F.col("n_total"))
+          & ((F.col("wgt") + 1) * (F.col("wgt") + 1) > F.col("n_total")))
+    ).count()
+    assert bad == 0
