@@ -360,3 +360,67 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         spark, stream, "stream_incdedup", output_mode="append", state_partitions=8
     )
+
+
+_STREAM_CMS_ORACLE = """
+WITH ev AS (SELECT event_type FROM events),
+r AS (SELECT UNNEST(range(4)) AS r)
+SELECT r.r AS r,
+  CAST(CAST(concat('0x', substr(md5(concat('cms', CAST(r.r AS VARCHAR), ':', ev.event_type)), 1, 13)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ev CROSS JOIN r
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_cms_fold", oracle=_STREAM_CMS_ORACLE, tags=("streaming", "sketch"))
+def streaming_cms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min counters maintained by an ACTUAL streaming execution: the
+    same 4x64 deterministic fold as agg_cms_heavy_hitters, but as a
+    stateful streaming aggregation (file source -> explode (row, bucket)
+    -> groupBy count, complete mode) — the online heavy-hitter sketch a
+    monitoring pipeline keeps per topic.
+
+    The state is the CONSTANT-size counter grid (at most 256 rows)
+    regardless of stream volume or key cardinality — the property that
+    makes CM the streaming frequency structure; a per-key streaming count
+    would grow state with distinct keys forever. Counters after
+    availableNow-draining the landed fixture equal the batch fold exactly,
+    so the full hash oracle applies to a REAL micro-batch execution."""
+    from ..streaming.events import events_file_stream
+
+    scratch = _landed_events(spark, sf_dir)
+
+    def bucket(r: F.Column, key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), key)),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    stream = (
+        events_file_stream(spark, scratch)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket(F.lit(r), F.col("event_type")).alias("bucket"),
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return _run_to_memory(spark, stream, "stream_cms")
