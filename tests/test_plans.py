@@ -660,3 +660,12 @@ def test_contrastive_pairs_single_knn_pass(spark, sf_dir):
     # twice — tree + details — so count the numbered detail entries)
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert nodes.count("BroadcastNestedLoopJoin") == 1, nodes
+
+
+def test_feature_store_pit_three_user_keyed_passes(spark, sf_dir):
+    """Two as-of features + the prior-count rank = three user-keyed window
+    passes and nothing else: no cartesian, no per-feature fact re-join
+    blowup, exchange budget 3."""
+    df = Q["join_feature_store_pit"].fn(spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(df)
+    assert count_exchanges(df) <= 3

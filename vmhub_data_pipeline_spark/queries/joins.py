@@ -1061,3 +1061,75 @@ def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year"))
         .agg(dsum(profit, 4).alias("profit"))
     )
+
+
+_FEATURE_STORE_ORACLE = """
+WITH spine AS (
+  SELECT event_id AS spine_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts AS c_ts, value AS c_value FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+f1 AS (
+  SELECT s.spine_id, s.user_id, s.ts, c.c_ts, c.c_value
+  FROM spine s ASOF LEFT JOIN c ON s.user_id = c.user_id AND c.c_ts <= s.ts
+),
+f2 AS (
+  SELECT f1.*, v.v_ts
+  FROM f1 ASOF LEFT JOIN v ON f1.user_id = v.user_id AND v.v_ts <= f1.ts
+)
+SELECT
+  spine_id,
+  user_id,
+  c_value AS last_click_value,
+  CAST((epoch_us(ts) - epoch_us(c_ts)) // 1000000 AS BIGINT) AS click_age_s,
+  CAST((epoch_us(ts) - epoch_us(v_ts)) // 1000000 AS BIGINT) AS view_age_s,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, spine_id) - 1 AS BIGINT)
+    AS prior_purchases
+FROM f2
+"""
+
+
+@register("join_feature_store_pit", oracle=_FEATURE_STORE_ORACLE, tags=("join", "asof", "curation"))
+def join_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time assembly: for every label row (purchase
+    spine), attach features AS OF the label timestamp with zero leakage —
+    last click value + its staleness, last view staleness, and the user's
+    strictly-prior purchase count. This is THE training-set construction
+    join: every feature value is provably computable at prediction time.
+
+    Scale shape: each as-of feature rides the audited union+window
+    ``asof_join`` (one shuffle on user_id, linear carry — never the
+    O(events x labels) join+rank form), composed twice; the prior-count is
+    a rank window sharing the same user partitioning; staleness math is
+    integer microseconds div to seconds, identical in both engines. The
+    whole assembly is three user-keyed window passes, no fact-table
+    re-scan per feature."""
+    from ..operators.joins import asof_join
+
+    (ev,) = load(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("spine_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("v_ts")
+    )
+    f1 = asof_join(
+        spine, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_value_cols=["c_ts", "c_value"],
+    )
+    f2 = asof_join(
+        f1, views, on="user_id", left_time="ts", right_time="ts",
+        right_value_cols=["v_ts"],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "spine_id")
+    return f2.select(
+        "spine_id",
+        "user_id",
+        F.col("c_value").alias("last_click_value"),
+        F.expr("CAST((unix_micros(ts) - unix_micros(c_ts)) div 1000000 AS BIGINT)").alias("click_age_s"),
+        F.expr("CAST((unix_micros(ts) - unix_micros(v_ts)) div 1000000 AS BIGINT)").alias("view_age_s"),
+        (F.row_number().over(w) - 1).cast("long").alias("prior_purchases"),
+    )
