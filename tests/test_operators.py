@@ -604,3 +604,27 @@ def test_pq_knn_recall_and_determinism(spark):
     # codebook shape: m subspaces x k centroids x dim/m components
     assert len(books) == 8 and all(len(b) == 16 for b in books)
     assert all(len(cent) == 8 for b in books for cent in b)
+
+
+def test_label_propagation_fragments_chain_where_cc_does_not(spark):
+    """On a 6-chain, CC yields ONE component but 3-round deterministic LPA
+    settles to smallest-label dominance per local neighborhood — pinning
+    both the semantics difference and the exact tie-break."""
+    import pyspark.sql.functions as F
+    from vmhub_data_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "doc_a long, doc_b long"
+    )
+    cc = {r["v"]: r["component"] for r in connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert set(cc.values()) == {1}, cc
+    lpa = {r["v"]: r["community"] for r in label_propagation(pairs, "doc_a", "doc_b", rounds=3).collect()}
+    # deterministic: same answer every run
+    lpa2 = {r["v"]: r["community"] for r in label_propagation(pairs, "doc_a", "doc_b", rounds=3).collect()}
+    assert lpa == lpa2
+    # smallest labels propagate along the chain but 3 rounds can't carry
+    # label 1 to the far end — the local-neighborhood view
+    assert lpa[1] in (1, 2) and lpa[6] != lpa[1]

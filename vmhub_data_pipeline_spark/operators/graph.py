@@ -155,3 +155,53 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.)
+    over the undirected pair graph, made fully deterministic: each round
+    every vertex adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label, for a FIXED number of rounds (no
+    oscillation-prone convergence test — the same stance as
+    ``pagerank_integer``'s fixed iterations).
+
+    Communities differ from connected components: a long chain is one
+    component but fragments into local communities, which is what makes
+    LPA the "near-dup neighborhoods" view where CC is the "transitive
+    closure" view.
+
+    Per round: one edge-to-label equi-join + one (vertex, label) count
+    groupBy + one per-vertex argmax window — all keyed on vertex id, with
+    ``localCheckpoint(eager=True)`` cutting lineage per round. Returns
+    (v, community).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct().withColumn("lab", F.col("v"))
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges["a"] == labels["v"])
+            .select(F.col("b").alias("v"), "lab")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("v", F.col("lab").alias("community"))

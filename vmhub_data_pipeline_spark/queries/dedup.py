@@ -1030,3 +1030,79 @@ def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_a", "source_b", "n_shared", jac.alias("jaccard_bp"))
         .filter(F.col("jaccard_bp") >= 50)
     )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled-CTE label propagation: same pair graph as _CC_ORACLE, then
+    ``rounds`` synchronous majority-vote rounds (ties -> smallest label),
+    mirroring operators/graph.py:label_propagation exactly."""
+    parts = ["""
+WITH toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS v, a AS lab FROM edges)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+v{r} AS (
+  SELECT e.b AS v, l.lab, COUNT(*) AS c
+  FROM edges e JOIN l{r - 1} l ON e.a = l.v
+  GROUP BY e.b, l.lab
+),
+l{r} AS (
+  SELECT v, lab FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v{r}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS community
+FROM l{rounds}""")
+    return "".join(parts)
+
+
+_LPA_ROUNDS = 3
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS), tags=("dedup", "iterative", "graph"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup pair graph via deterministic
+    synchronous label propagation (3 fixed rounds, majority vote, ties to
+    the smallest label) — the LOCAL-neighborhood complement to
+    dedup_cluster_cc's transitive closure, and the fourth iterative
+    DataFrame algorithm hash-matched against unrolled DuckDB CTE rounds.
+
+    Per round: edge-to-label equi-join + (vertex, label) count + argmax
+    window, all keyed on vertex id; lineage cut per round. Rounds are
+    FIXED (not converge-tested) because synchronous LPA can oscillate —
+    determinism is the contract here."""
+    from ..operators.graph import label_propagation
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    lpa = label_propagation(pairs, "doc_a", "doc_b", rounds=_LPA_ROUNDS)
+    return lpa.select(
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
