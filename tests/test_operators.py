@@ -628,3 +628,26 @@ def test_label_propagation_fragments_chain_where_cc_does_not(spark):
     # smallest labels propagate along the chain but 3 rounds can't carry
     # label 1 to the far end — the local-neighborhood view
     assert lpa[1] in (1, 2) and lpa[6] != lpa[1]
+
+
+def test_wav_header_parse_matches_hand_built_bytes(spark):
+    """decode_wav_header must recover the exact parameters from a WAV
+    byte string assembled independently with Python's struct — proving the
+    JVM hex parser agrees with the canonical RIFF layout, not merely with
+    its own builder."""
+    import struct
+
+    from vmhub_data_pipeline_spark.operators.multimodal import decode_wav_header
+
+    channels, rate, bits, data = 2, 44100, 16, b"\x01\x02\x03\x04\x05\x06"
+    block = channels * bits // 8
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame([(1, bytearray(hdr + data))], "doc_id long, payload binary")
+    row = decode_wav_header(df).collect()[0]
+    assert (row["format"], row["channels"], row["sample_rate"]) == ("wav", 2, 44100)
+    assert (row["bits_per_sample"], row["data_bytes"]) == (16, 6)
+    assert row["duration_ms"] == len(data) * 8 * 1000 // (rate * channels * bits)

@@ -669,3 +669,11 @@ def test_feature_store_pit_three_user_keyed_passes(spark, sf_dir):
     df = Q["join_feature_store_pit"].fn(spark, sf_dir)
     assert "CartesianProduct" not in explain_str(df)
     assert count_exchanges(df) <= 3
+
+
+def test_audio_decode_is_scan_stage(spark, sf_dir):
+    """WAV build + header parse is ONE projection: no exchange, no Python
+    stage — the audio twin of the quality-filter zero-shuffle stance."""
+    df = Q["multimodal_audio_stats"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "Python" not in explain_str(df)

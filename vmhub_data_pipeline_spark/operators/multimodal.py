@@ -450,3 +450,97 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(work, PIXEL_STATS_SCHEMA)
+
+
+def _int16_le_hex(v) -> F.Column:
+    """int column -> 4 hex chars of its little-endian int16 encoding."""
+    be = F.lpad(F.hex(v), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def _le_bytes_to_long(payload, pos: int, nbytes: int) -> F.Column:
+    """Parse ``nbytes`` little-endian bytes at 1-based ``pos`` of a binary
+    column into a long — pure JVM string ops (hex + pair reorder + conv),
+    the decode twin of _int32_le_hex/_int16_le_hex."""
+    hx = F.hex(F.substring(payload, pos, nbytes))
+    be = F.concat(*[F.substring(hx, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+    return F.conv(be, 16, 10).cast("long")
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter producing REAL decodable WAVs: the canonical 44-byte
+    RIFF/WAVE PCM header (fmt chunk with audioFormat=1, channels, sample
+    rate, byte rate, block align, bits per sample; data chunk sized to the
+    payload) with parameters derived from the row, followed by the text
+    bytes as PCM-sample stand-in. Any real WAV reader recovers the audio
+    parameters from these payloads by parsing the BYTES. Construction is
+    JVM expressions end-to-end (hex building + unhex), zero Python."""
+    did = F.col(id_col)
+    nb = F.octet_length(F.col(text_col)).cast("long")
+    channels = (did % 2 + 1).cast("int")
+    rate = (
+        F.when(did % 3 == 0, 8000).when(did % 3 == 1, 16000).otherwise(44100)
+    ).cast("int")
+    bits = ((did % 2) * 8 + 8).cast("int")  # 8 or 16
+    block_align = (channels * bits / 8).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+    header_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _int32_le_hex(nb + 36),       # chunk size
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        F.lit("10000000"),            # fmt chunk size = 16
+        F.lit("0100"),                # audioFormat = 1 (PCM)
+        _int16_le_hex(channels),
+        _int32_le_hex(rate),
+        _int32_le_hex(byte_rate),
+        _int16_le_hex(block_align),
+        _int16_le_hex(bits),
+        F.lit("64617461"),            # 'data'
+        _int32_le_hex(nb),
+    )
+    payload = F.concat(F.unhex(header_hex), F.encode(F.col(text_col), "UTF-8"))
+    return df.select(
+        did.alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_wav_header(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse audio parameters out of WAV payload BYTES — scan-side JVM
+    expressions, no Python, no audio library: container check (RIFF @1,
+    WAVE @9), channels (le16 @23), sample rate (le32 @25), bits per sample
+    (le16 @35), data size (le32 @41), and integer duration_ms derived as
+    data_bytes * 8000 div (rate * channels * bits)."""
+    p = F.col(payload_col)
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+    channels = _le_bytes_to_long(p, 23, 2)
+    rate = _le_bytes_to_long(p, 25, 4)
+    bits = _le_bytes_to_long(p, 35, 2)
+    data_size = _le_bytes_to_long(p, 41, 4)
+    return media.select(
+        "doc_id",
+        F.when(is_wav, F.lit("wav")).otherwise("unknown").alias("format"),
+        channels.alias("channels"),
+        rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+        data_size.alias("data_bytes"),
+        F.expr(
+            f"CAST(({_le_expr(payload_col, 41, 4)} * 8 * 1000) div "
+            f"({_le_expr(payload_col, 25, 4)} * {_le_expr(payload_col, 23, 2)} * "
+            f"{_le_expr(payload_col, 35, 2)}) AS BIGINT)"
+        ).alias("duration_ms"),
+    )
+
+
+def _le_expr(payload_col: str, pos: int, nbytes: int) -> str:
+    """SQL-string twin of _le_bytes_to_long for use inside F.expr."""
+    pairs = " , ".join(
+        f"substring(hex(substring({payload_col}, {pos}, {nbytes})), {2 * i + 1}, 2)"
+        for i in reversed(range(nbytes))
+    )
+    return f"CAST(conv(concat({pairs}), 16, 10) AS BIGINT)"

@@ -220,3 +220,40 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+_AUDIO_ORACLE = """
+SELECT
+  doc_id,
+  'wav' AS format,
+  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+            WHEN doc_id % 3 = 1 THEN 16000
+            ELSE 44100 END AS BIGINT) AS sample_rate,
+  CAST((doc_id % 2) * 8 + 8 AS BIGINT) AS bits_per_sample,
+  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS data_bytes,
+  CAST((OCTET_LENGTH(ENCODE(text)) * 8 * 1000)
+       // (CASE WHEN doc_id % 3 = 0 THEN 8000
+                WHEN doc_id % 3 = 1 THEN 16000
+                ELSE 44100 END
+           * (doc_id % 2 + 1) * ((doc_id % 2) * 8 + 8)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+@register("multimodal_audio_stats", oracle=_AUDIO_ORACLE, tags=("multimodal",))
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-header decode, end-to-end and oracle-checked: payloads
+    are genuine canonical 44-byte RIFF/WAVE PCM files built byte-by-byte
+    JVM-side (attach_wav_payload), and every audio parameter — channels,
+    sample rate, bit depth, data size, integer duration — is recovered by
+    PARSING the little-endian header fields out of the payload bytes with
+    scan-side JVM expressions (decode_wav_header); nothing rides along as
+    metadata. The oracle recomputes the parameters from the construction
+    rule, so a hash match proves the byte round-trip (build -> parse) is
+    exact. Zero shuffle: the whole build+decode is one projection."""
+    from ..operators.multimodal import attach_wav_payload, decode_wav_header
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id", "text")
+    return decode_wav_header(media)
