@@ -677,3 +677,11 @@ def test_audio_decode_is_scan_stage(spark, sf_dir):
     df = Q["multimodal_audio_stats"].fn(spark, sf_dir)
     assert count_exchanges(df) == 0
     assert "Python" not in explain_str(df)
+
+
+def test_video_frame_census_is_scan_stage(spark, sf_dir):
+    """MJPEG build + marker-count parse is one projection: no exchange,
+    no Python stage."""
+    df = Q["multimodal_video_frames"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "Python" not in explain_str(df)

@@ -544,3 +544,49 @@ def _le_expr(payload_col: str, pos: int, nbytes: int) -> str:
         for i in reversed(range(nbytes))
     )
     return f"CAST(conv(concat({pairs}), 16, 10) AS BIGINT)"
+
+
+def attach_mjpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter producing a REAL frame-structured video stand-in:
+    1 + doc_id % 5 concatenated JPEG frames, each a genuine SOI/APP0 marker
+    (FF D8 FF E0), the text bytes as frame payload, and an EOI (FF D9) —
+    the MJPEG layout. The text is ASCII (no 0xFF bytes), so frame markers
+    are unambiguous in the byte stream and frame counting downstream is
+    real byte parsing. JVM expressions end-to-end."""
+    frame = F.concat(
+        F.unhex(F.lit("FFD8FFE0")), F.encode(F.col(text_col), "UTF-8"),
+        F.unhex(F.lit("FFD9")),
+    )
+    n_frames = (F.col(id_col) % 5 + 1).cast("int")
+    payload = F.aggregate(
+        F.sequence(F.lit(1), n_frames),
+        F.lit(b"").cast("binary"),
+        lambda acc, _: F.concat(acc, frame),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("video/x-motion-jpeg").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def count_mjpeg_frames(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Frame census by BYTE parsing: count SOI/APP0 markers in the hex
+    image of the payload (occurrences = length delta under marker removal
+    div marker width) — the frame-sample precursor of a video pipeline,
+    scan-side, no Python, no codec."""
+    hx = F.hex(F.col(payload_col))
+    marker = "FFD8FFE0"
+    n_frames = (
+        (F.length(hx) - F.length(F.replace(hx, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+    return media.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        (F.length(F.col(payload_col)).cast("long") / n_frames).cast("long").alias(
+            "frame_bytes"
+        ),
+        F.length(F.col(payload_col)).cast("long").alias("total_bytes"),
+    )

@@ -257,3 +257,29 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = attach_wav_payload(docs, "doc_id", "text")
     return decode_wav_header(media)
+
+
+_VIDEO_ORACLE = """
+SELECT
+  doc_id,
+  CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames,
+  CAST(OCTET_LENGTH(ENCODE(text)) + 6 AS BIGINT) AS frame_bytes,
+  CAST((doc_id % 5 + 1) * (OCTET_LENGTH(ENCODE(text)) + 6) AS BIGINT) AS total_bytes
+FROM documents
+"""
+
+
+@register("multimodal_video_frames", oracle=_VIDEO_ORACLE, tags=("multimodal",))
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame census on a video stand-in: payloads are MJPEG-style
+    concatenations of genuine JPEG SOI/APP0-marked frames
+    (attach_mjpeg_payload), and the frame count is recovered by PARSING
+    the marker bytes out of the stream (count_mjpeg_frames) — completing
+    the byte-parsing triad (BMP/PPM pixels, WAV audio params, MJPEG
+    frames). Oracle recomputes from the construction rule; hash match
+    proves the byte round-trip. One projection, zero shuffle."""
+    from ..operators.multimodal import attach_mjpeg_payload, count_mjpeg_frames
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_mjpeg_payload(docs, "doc_id", "text")
+    return count_mjpeg_frames(media)
