@@ -685,3 +685,16 @@ def test_video_frame_census_is_scan_stage(spark, sf_dir):
     df = Q["multimodal_video_frames"].fn(spark, sf_dir)
     assert count_exchanges(df) == 0
     assert "Python" not in explain_str(df)
+
+
+def test_markov_eval_broadcasts_model(spark, sf_dir):
+    """The |states|^2 argmax model must broadcast onto the transition
+    stream; the lead window is the only user-keyed pass."""
+    assert has_broadcast_join(Q["events_markov_eval"].fn(spark, sf_dir))
+
+
+def test_zipf_top1000_is_take_ordered(spark, sf_dir):
+    """The vocabulary cut must plan as TakeOrderedAndProject — a full
+    vocab sort before a LIMIT would be the classic global-sort trap."""
+    plan = explain_str(Q["text_zipf_slope"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

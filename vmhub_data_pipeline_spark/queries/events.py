@@ -1178,3 +1178,68 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_vs_ctrl_bp"
         ),
     )
+
+
+_MARKOV_EVAL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur, ts, event_id,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+model AS (
+  SELECT cur, nxt AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn FROM trans
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT s.cur, CASE WHEN s.nxt = m.predicted THEN 1 ELSE 0 END AS ok
+  FROM seq s JOIN model m ON s.cur = m.cur
+  WHERE s.nxt IS NOT NULL
+)
+SELECT cur AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  CAST(SUM(ok) AS BIGINT) AS n_correct,
+  CAST(10000 * SUM(ok) // COUNT(*) AS BIGINT) AS accuracy_bp
+FROM scored GROUP BY cur
+"""
+
+
+@register("events_markov_eval", oracle=_MARKOV_EVAL_ORACLE, tags=("events", "eval"))
+def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the Markov session model: train the argmax
+    next-event predictor (most frequent successor per state, ties to the
+    smallest label — the same transition counts as
+    events_markov_transitions) and score its in-sample accuracy per state
+    in basis points — the second model-eval entry next to
+    text_langid_confusion, proving predict-then-score loops stay
+    declarative.
+
+    One lead window on the user key produces BOTH training pairs and eval
+    instances; the model is |states|^2 rows that broadcast back onto the
+    transition stream. In-sample by construction (documented): the point
+    is the harness shape, not holdout methodology."""
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wm = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        trans.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    scored = seq.join(F.broadcast(model), "cur").select(
+        "cur", (F.col("nxt") == F.col("predicted")).cast("long").alias("ok")
+    )
+    return scored.groupBy(F.col("cur").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.expr("CAST(10000 * SUM(ok) div COUNT(*) AS BIGINT)").alias("accuracy_bp"),
+    )

@@ -1740,3 +1740,88 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "doc_id", "score_q", F.col("rn").cast("long").alias("rank"))
     )
+
+
+_ZIPF_ORACLE = """
+WITH wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+  FROM wc ORDER BY freq DESC, w LIMIT 1000
+),
+pts AS (
+  SELECT
+    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+    CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(x * x) AS HUGEINT) AS sxx,
+    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(y * y) AS HUGEINT) AS syy,
+    CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_words,
+  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS zipf_slope,
+  ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS r2
+FROM m
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE, tags=("text", "stats"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of log(freq) on log(rank)
+    over the top-1000 vocabulary — the power-law health check of a text
+    corpus (natural text sits near slope -1; synthetic or boilerplate-
+    heavy corpora deviate, which makes this a curation diagnostic).
+
+    Scale shape: vocab-grain count (the only text-volume shuffle), global
+    top-1000 cut as TakeOrderedAndProject (never a full sort), log points
+    quantized to integer micro-nats BEFORE the moment sums (decimal-exact
+    at any partitioning — same machinery as agg_regression_trend), one-row
+    double assembly identical in both engines. The rank window runs over
+    the 1000-row cut only."""
+    (docs,) = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = wc.orderBy(F.desc("freq"), F.asc("w")).limit(1000)
+    wr = Window.orderBy(F.desc("freq"), F.asc("w"))
+    pts = top.withColumn("rank", F.row_number().over(wr)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000.0)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000.0)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sxd * syd / nd
+    var_x = F.col("sxx").cast("double") - sxd * sxd / nd
+    var_y = F.col("syy").cast("double") - syd * syd / nd
+    return m.select(
+        F.col("n").alias("n_words"),
+        F.round(cov / var_x, 6).alias("zipf_slope"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("r2"),
+    )
