@@ -256,3 +256,87 @@ def test_kmv_merge_identity_pure():
         per_group = [sorted({h(v) for v in g})[:k] for g in groups if g]
         merged = sorted(set().union(*map(set, per_group)))[:k]
         assert merged == direct
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=10**6),
+)
+def test_largest_remainder_apportionment_properties(spark, counts, budget):
+    """For ANY group counts and budget: quotas sum to exactly B, every
+    quota is within 1 of exact proportionality, and quotas are monotone
+    in count (a strictly larger group never gets a smaller quota) — the
+    Hare-quota guarantees, checked on the same integer math the catalog
+    query uses."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(f"s{i:02d}", c) for i, c in enumerate(counts)], "source string, n_total long"
+    )
+    t = df.agg(F.sum("n_total").cast("long").alias("grand"))
+    q = df.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_total",
+        F.expr(f"CAST({budget} * n_total div grand AS BIGINT)").alias("base_quota"),
+        F.expr(f"CAST({budget} * n_total % grand AS BIGINT)").alias("remainder"),
+        "grand",
+    )
+    lo = q.agg((F.lit(budget).cast("long") - F.sum("base_quota")).alias("leftover"))
+    w = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    out = (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_total",
+            "grand",
+            (
+                F.col("base_quota")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("final_quota"),
+        )
+    ).collect()
+    assert sum(r["final_quota"] for r in out) == budget
+    grand = out[0]["grand"]
+    by_count = {}
+    for r in out:
+        assert abs(r["final_quota"] - budget * r["n_total"] / grand) < 1.0
+        by_count.setdefault(r["n_total"], []).append(r["final_quota"])
+    ordered = sorted((n, max(qs)) for n, qs in by_count.items())
+    for (n1, q1), (n2, q2) in zip(ordered, ordered[1:]):
+        if n2 > n1:
+            assert q2 >= min(by_count[n1])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    channels=st.integers(min_value=1, max_value=8),
+    rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000, 96000]),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    data=st.binary(min_size=0, max_size=64),
+)
+def test_wav_build_parse_roundtrip_any_params(spark, channels, rate, bits, data):
+    """decode_wav_header must invert a canonical PCM header for ANY valid
+    parameter combination — not just the fixture adapter's three rates and
+    two depths."""
+    import struct
+
+    from vmhub_data_pipeline_spark.operators.multimodal import decode_wav_header
+
+    block = max(1, channels * bits // 8)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data))], "doc_id long, payload binary"
+    )
+    row = decode_wav_header(df).collect()[0]
+    assert (row["format"], row["channels"], row["sample_rate"], row["bits_per_sample"]) == (
+        "wav", channels, rate, bits
+    )
+    assert row["data_bytes"] == len(data)
+    assert row["duration_ms"] == len(data) * 8 * 1000 // (rate * channels * bits)
