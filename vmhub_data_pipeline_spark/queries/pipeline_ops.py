@@ -606,3 +606,54 @@ def pipeline_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"))
         .unionByName(edge("supplier->nation", sup, "s_nationkey", nat, "n_nationkey"))
     )
+
+
+_IVM_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM events
+GROUP BY day
+"""
+
+
+@register("pipeline_incremental_aggregate", oracle=_IVM_ORACLE, tags=("pipeline", "agg"))
+def pipeline_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the daily-revenue rollup: history
+    and the new batch (split at a date boundary, simulating stored partial
+    state + today's load) are aggregated SEPARATELY and merged by partial-
+    aggregate algebra (sum of counts, sum of integer-cent sums) — never
+    rescanning history. The oracle recomputes the rollup from scratch, so
+    the hash match PROVES the merge algebra equals full recomputation —
+    the plain-aggregate analog of agg_kmv_merge's sketch mergeability.
+
+    At 100 TB this is the only viable refresh shape: day-partitioned
+    partial state is O(days) rows; each load aggregates only its batch and
+    merges at state grain. Integer cents make the merge exact under any
+    arrival order or re-partitioning; a float sum would drift between the
+    incremental and recomputed paths."""
+    (ev,) = load(spark, sf_dir, "events")
+    # the fixture's event stream spans January 2024; the cut lands mid-
+    # stream so BOTH legs are non-empty and one day (the cut day itself,
+    # if events straddle midnight) exercises the cross-leg merge
+    cut = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+
+    history = partials(ev.filter(F.col("ts") < cut))
+    batch = partials(ev.filter(F.col("ts") >= cut))
+    return (
+        history.unionByName(batch)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("revenue_c").cast("long").alias("revenue_c"),
+        )
+    )
