@@ -1106,3 +1106,101 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long").alias("doc_id"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+_BLOCKING_EVAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_DISTINCT(string_split(text, ' ')) AS ws,
+         SUBSTR(LOWER(text), 1, 32) AS sortkey
+  FROM documents
+),
+inv AS (
+  SELECT doc_id, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+rn AS (
+  SELECT doc_id, ws, ROW_NUMBER() OVER (ORDER BY sortkey, doc_id) AS rn FROM toks
+),
+snm AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a, GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn <= a.rn + 4
+  WHERE CAST(LEN(list_intersect(a.ws, b.ws)) AS DOUBLE)
+      / CAST(LEN(a.ws) + LEN(b.ws) - LEN(list_intersect(a.ws, b.ws)) AS DOUBLE) >= 0.9
+),
+j AS (
+  SELECT t.doc_a AS t_a, s.doc_a AS s_a
+  FROM truth t FULL OUTER JOIN snm s
+    ON t.doc_a = s.doc_a AND t.doc_b = s.doc_b
+)
+SELECT
+  CAST(COUNT(t_a) AS BIGINT) AS n_truth,
+  CAST(COUNT(s_a) AS BIGINT) AS n_candidates,
+  CAST(SUM(CASE WHEN t_a IS NOT NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN t_a IS NOT NULL AND s_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN t_a IS NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(10000 * SUM(CASE WHEN t_a IS NOT NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END)
+       // COUNT(t_a) AS BIGINT) AS recall_bp,
+  CAST(10000 * SUM(CASE WHEN t_a IS NOT NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END)
+       // COUNT(s_a) AS BIGINT) AS precision_bp
+FROM j
+"""
+
+
+@register("dedup_blocking_eval", oracle=_BLOCKING_EVAL_ORACLE, tags=("dedup", "eval"))
+def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report — the third in-engine evaluation harness
+    (after langid confusion and Markov accuracy): sorted-neighborhood
+    candidate pairs scored against exhaustive exact-Jaccard ground truth,
+    reporting TP/FN/FP and recall/precision in basis points. This is the
+    report an entity-resolution team runs before trusting a blocking
+    scheme at scale, where exhaustive truth is only computable on a
+    sample — here the fixture IS the sample.
+
+    Both sides are deterministic and SQL-expressible, so the entire
+    evaluation (truth chain + SNM chain + full-outer confusion join) hash-
+    matches one oracle statement. Pairs canonicalize to (min, max) id so
+    sort-order and id-order pairings compare equal. Precision is 10000 by
+    construction (SNM verifies with the same exact Jaccard); recall < 10000
+    quantifies exactly what the w=4 sort window misses."""
+    truth = jaccard_similarity_pairs(
+        load(spark, sf_dir, "documents")[0], "doc_id", "text",
+        threshold=0.9, group_col=None, max_token_doc_freq=None,
+    ).select("doc_a", "doc_b")
+    snm = dedup_sorted_neighborhood(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    t = truth.withColumn("t_mark", F.lit(1))
+    s = snm.withColumn("s_mark", F.lit(1))
+    j = t.join(s, ["doc_a", "doc_b"], "full_outer")
+    tp = F.sum(
+        (F.col("t_mark").isNotNull() & F.col("s_mark").isNotNull()).cast("long")
+    )
+    return j.agg(
+        F.count("t_mark").cast("long").alias("n_truth"),
+        F.count("s_mark").cast("long").alias("n_candidates"),
+        tp.cast("long").alias("tp"),
+        F.sum((F.col("t_mark").isNotNull() & F.col("s_mark").isNull()).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum((F.col("t_mark").isNull() & F.col("s_mark").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.expr(
+            "CAST(10000 * SUM(CASE WHEN t_mark IS NOT NULL AND s_mark IS NOT NULL THEN 1 ELSE 0 END)"
+            " div COUNT(t_mark) AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(10000 * SUM(CASE WHEN t_mark IS NOT NULL AND s_mark IS NOT NULL THEN 1 ELSE 0 END)"
+            " div COUNT(s_mark) AS BIGINT)"
+        ).alias("precision_bp"),
+    )
