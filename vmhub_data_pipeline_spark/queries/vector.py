@@ -152,16 +152,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None, tags=("vector", "lsh"))
+def _lsh_ann_oracle(n_planes: int = 8, n_tables: int = 2, dim: int = 64, k: int = 5) -> str:
+    """Full-hash oracle for the hyperplane-LSH ANN: the planes are
+    md5-derived (deterministic), so the ENTIRE approximate pipeline —
+    sign-pattern buckets, candidate equi-join, exact cosine re-rank — is
+    expressible in SQL with the plane constants inlined (the
+    dedup_semantic technique, scaled to 2 tables x 8 planes)."""
+    from ..operators.similarity import _hyperplane
+
+    def bucket_sql(vcol: str, table: int) -> str:
+        terms = []
+        for i in range(n_planes):
+            lits = "[" + ", ".join(repr(x) for x in _hyperplane(dim, i, table)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lits}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def side(name: str, idcol: str, pred: str) -> str:
+        legs = " UNION ALL ".join(
+            f"SELECT vec_id AS {idcol}, embedding::DOUBLE[] AS v, "
+            f"{t} AS table_id, {bucket_sql('embedding::DOUBLE[]', t)} AS bucket "
+            f"FROM embeddings WHERE {pred}"
+            for t in range(n_tables)
+        )
+        return f"{name} AS ({legs})"
+
+    return f"""
+WITH {side("qb", "query_id", "vec_id < 10")},
+{side("cb", "neighbor_id", "vec_id >= 10")},
+scored AS (
+  SELECT qb.query_id, cb.neighbor_id,
+    MAX(CASE WHEN list_dot_product(qb.v, qb.v) > 0 AND list_dot_product(cb.v, cb.v) > 0
+         THEN list_dot_product(qb.v, cb.v)
+              / (sqrt(list_dot_product(qb.v, qb.v)) * sqrt(list_dot_product(cb.v, cb.v)))
+         END) AS cosine
+  FROM qb JOIN cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+  GROUP BY qb.query_id, cb.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine_r, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_ann_oracle(), tags=("vector", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (8 planes x 2 tables) +
-    exact re-rank of candidates. Rows-only: recall is probabilistic;
-    measured against brute force in tests/test_operators.py."""
+    exact re-rank of candidates. FULLY oracle-checked (upgraded from
+    rows-only in r3c): the planes are md5-derived, so buckets, candidate
+    sets, and the re-ranked output are all deterministic and the DuckDB
+    oracle reproduces the approximate pipeline bit-for-bit — approximation
+    without irreproducibility, the repo's sketch-tier stance applied to
+    ANN. Recall vs brute force stays pinned in tests/test_operators.py."""
     (emb,) = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return lsh_bucketed_knn(
+    knn = lsh_bucketed_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, n_planes=8, n_tables=2
+    )
+    return knn.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
     )
 
 
