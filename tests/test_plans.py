@@ -698,3 +698,19 @@ def test_zipf_top1000_is_take_ordered(spark, sf_dir):
     vocab sort before a LIMIT would be the classic global-sort trap."""
     plan = explain_str(Q["text_zipf_slope"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_zscore_day_grain_window(spark, sf_dir):
+    """Day-grain collapse must happen BEFORE the trailing window: the
+    window input is |days| rows, so the plan has exactly the rollup
+    exchange plus the (bounded) window's single-partition sort."""
+    df = Q["events_anomaly_zscore"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2, explain_str(df)
+
+
+def test_dataset_card_two_linear_passes(spark, sf_dir):
+    """The card is one corpus scan + one digest-grain dup aggregate, the
+    1-row legs joined by broadcast — no extra passes."""
+    df = Q["curation_dataset_card"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df).replace("BroadcastNestedLoopJoin", "")

@@ -1255,3 +1255,69 @@ def curation_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("final_quota"),
         )
     )
+
+
+_DATASET_CARD_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         LEN(string_split(text, ' ')) AS n_words,
+         md5(LOWER(text)) AS fp
+  FROM documents
+),
+dup AS (
+  SELECT CAST(SUM(c - 1) AS BIGINT) AS n_exact_dups
+  FROM (SELECT COUNT(*) AS c FROM base GROUP BY fp)
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_words) AS BIGINT) AS total_words,
+  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+  CAST(MIN(n_words) AS BIGINT) AS min_words,
+  CAST(MAX(n_words) AS BIGINT) AS max_words,
+  (SELECT n_exact_dups FROM dup) AS n_exact_dups,
+  CAST(10000 * (SELECT n_exact_dups FROM dup) // COUNT(*) AS BIGINT) AS dup_rate_bp
+FROM base
+"""
+
+
+@register("curation_dataset_card", oracle=_DATASET_CARD_ORACLE, tags=("curation", "audit"))
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary block published alongside a
+    training corpus — document/language/source counts, exact char and
+    token totals, length bounds, and the exact-duplicate rate in basis
+    points. The release artifact every curated dataset ships with,
+    computed in-engine so the card can never drift from the data.
+
+    Two passes, both linear and map-side-combinable: one corpus scan for
+    the counts/totals, one digest-grain aggregate for the dup rate (the
+    same md5 fingerprint as dedup_exact, so the card's dup number is BY
+    CONSTRUCTION consistent with the dedup operator's). Everything
+    integer; the two one-row legs join by broadcast."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+    )
+    dup = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_exact_dups"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.expr("CAST(SUM(n_chars) div COUNT(*) AS BIGINT)").alias("mean_chars"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "*",
+        F.expr("CAST(10000 * n_exact_dups div n_docs AS BIGINT)").alias("dup_rate_bp"),
+    )

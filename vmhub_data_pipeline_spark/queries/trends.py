@@ -17,7 +17,7 @@ same alias and rounding on both engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import quant
 from ..tables import load
@@ -406,4 +406,78 @@ def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entropy_q").cast("double") / F.col("n_tokens").cast("double") / F.lit(1_000_000.0),
             6,
         ).alias("entropy_nats"),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM events GROUP BY day
+),
+w AS (
+  SELECT day, rev_c,
+    CAST(COUNT(*) OVER tw AS BIGINT) AS n_w,
+    CAST(SUM(rev_c) OVER tw AS BIGINT) AS s_w,
+    CAST(SUM(rev_c * rev_c) OVER tw AS BIGINT) AS ss_w
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, rev_c,
+  ROUND(CASE WHEN n_w >= 3 AND
+      (CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+        / (CAST(n_w AS DOUBLE) - 1.0) > 0
+    THEN (CAST(rev_c AS DOUBLE) - CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+         / sqrt((CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+                / (CAST(n_w AS DOUBLE) - 1.0))
+    END, 6) AS zscore,
+  COALESCE(ABS(CASE WHEN n_w >= 3 AND
+      (CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+        / (CAST(n_w AS DOUBLE) - 1.0) > 0
+    THEN (CAST(rev_c AS DOUBLE) - CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+         / sqrt((CAST(ss_w AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE))
+                / (CAST(n_w AS DOUBLE) - 1.0))
+    END) > 3.0, FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("events", "stats"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's revenue z-scored
+    against the PRECEDING 7 days (never including itself — no
+    self-masking), |z| > 3 flags the anomaly; warm-up days (< 3 priors) and
+    zero-variance windows emit NULL scores rather than fake zeros. The
+    time-series complement to the MAD (cross-sectional) and chi-square
+    (categorical) detectors.
+
+    Scale shape: rows collapse to day grain FIRST (map-side combinable,
+    integer cents), so the trailing window runs over |days| rows — a
+    bounded frame at any event volume; mean/variance assemble from exact
+    integer window sums with the identical double expression on both
+    engines (the agg_variance_corr machinery applied to window frames)."""
+    (ev,) = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).cast("long").alias("rev_c")
+    )
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day",
+        "rev_c",
+        F.count(F.lit(1)).over(tw).cast("long").alias("n_w"),
+        F.sum("rev_c").over(tw).cast("long").alias("s_w"),
+        F.sum(F.col("rev_c") * F.col("rev_c")).over(tw).cast("long").alias("ss_w"),
+    )
+    nd = F.col("n_w").cast("double")
+    sd = F.col("s_w").cast("double")
+    var = (F.col("ss_w").cast("double") - sd * sd / nd) / (nd - F.lit(1.0))
+    z = F.when(
+        (F.col("n_w") >= 3) & (var > 0),
+        (F.col("rev_c").cast("double") - sd / nd) / F.sqrt(var),
+    )
+    return w.select(
+        "day",
+        "rev_c",
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
