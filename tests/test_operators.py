@@ -651,3 +651,54 @@ def test_wav_header_parse_matches_hand_built_bytes(spark):
     assert (row["format"], row["channels"], row["sample_rate"]) == ("wav", 2, 44100)
     assert (row["bits_per_sample"], row["data_bytes"]) == (16, 6)
     assert row["duration_ms"] == len(data) * 8 * 1000 // (rate * channels * bits)
+
+
+def test_mjpeg_frame_count_is_byte_aligned_and_zero_guarded(spark):
+    """Marker counting must only match SOI/APP0 at byte boundaries — real
+    JPEG entropy data contains 0xFF bytes, so a naive hex-substring count
+    can match a marker straddling two bytes (odd nibble offset). Also:
+    a payload with zero frames must yield NULL frame_bytes, not a
+    divide-by-zero."""
+    from vmhub_data_pipeline_spark.operators.multimodal import count_mjpeg_frames
+
+    aligned = b"\xff\xd8\xff\xe0payload\xff\xd9"        # 1 real frame
+    # hex('\x4f\xfd\x8f\xfe\x04') = '4FFD8FFE04': 'FFD8FFE0' appears at
+    # nibble offset 1 — a nibble-misaligned phantom, NOT a frame marker.
+    misaligned = b"\x4f\xfd\x8f\xfe\x04"
+    both = aligned + misaligned                          # still exactly 1 frame
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(aligned)),
+            (2, bytearray(misaligned)),
+            (3, bytearray(both)),
+            (4, bytearray(b"no markers here")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in count_mjpeg_frames(df).collect()}
+    assert rows[1]["n_frames"] == 1
+    assert rows[2]["n_frames"] == 0, "nibble-misaligned match counted as a frame"
+    assert rows[3]["n_frames"] == 1
+    assert rows[4]["n_frames"] == 0
+    assert rows[2]["frame_bytes"] is None and rows[4]["frame_bytes"] is None
+    assert rows[1]["frame_bytes"] == len(aligned)
+
+
+def test_mmr_select_k_one_returns_exactly_one(spark):
+    """select_k=1 must return exactly the single most-relevant candidate:
+    F.sequence(1, 0) is the DESCENDING two-element array [1, 0], so an
+    unguarded fold would run two greedy steps and return 3 selections."""
+    from vmhub_data_pipeline_spark.operators.similarity import mmr_diverse_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = mmr_diverse_topk(
+        corpus, q, id_col="vec_id", vec_col="embedding", shortlist_k=4, select_k=1
+    ).collect()
+    assert len(out) == 1, f"select_k=1 returned {len(out)} rows"
+    assert out[0]["vec_id"] == 0 and out[0]["sel_rank"] == 1

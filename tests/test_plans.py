@@ -714,3 +714,28 @@ def test_dataset_card_two_linear_passes(spark, sf_dir):
     df = Q["curation_dataset_card"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in explain_str(df).replace("BroadcastNestedLoopJoin", "")
+
+
+def test_perplexity_profile_cap_drops_broadcast(spark, sf_dir):
+    """The self-trained LM profile's broadcast hint must be CODE-guarded:
+    above ``profile_max_rows`` the hint is dropped and the (lang,word)
+    equi-join plans as a shuffle join. Verified differentially with
+    autoBroadcastJoinThreshold disabled so only the explicit hint can
+    produce a BroadcastHashJoin."""
+    from vmhub_data_pipeline_spark.queries.text import text_perplexity_filter
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        over_cap = explain_str(text_perplexity_filter(spark, sf_dir, profile_max_rows=1))
+        assert "SortMergeJoin" in over_cap or "ShuffledHashJoin" in over_cap, (
+            "profile over the cap must take the shuffle-join path"
+        )
+        under_cap = explain_str(
+            text_perplexity_filter(spark, sf_dir, profile_max_rows=10_000_000)
+        )
+        assert "BroadcastHashJoin" in under_cap, (
+            "profile under the cap must keep the broadcast hint"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -48,6 +48,45 @@ def test_mirror_is_type_aware(spark, sf_dir):
     assert ok, f"cast SUM must pass: {detail}"
 
 
+def test_mirror_rejects_array_columns(spark, sf_dir):
+    """An array-typed output column must FAIL the mirror on BOTH sides even
+    when the values are identical.
+
+    Regression for the round-3 ``vector_quantize_int8`` driver failure: the
+    driver's pandas canonicalizer sorts the frame before hashing and throws
+    ``TypeError: unhashable type: 'list'`` on list cells, while the local
+    mirror canonicalized lists via ``repr`` and passed. Arrays must be
+    serialized (``concat_ws`` / ``array_to_string``) before returning.
+    """
+    import pyspark.sql.functions as F
+
+    def spark_array(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        return df.groupBy("source").agg(
+            F.array_sort(F.collect_set("lang")).alias("langs")
+        )
+
+    array_sql = (
+        "SELECT source, list_sort(list(DISTINCT lang)) AS langs "
+        "FROM documents GROUP BY source"
+    )
+    ok, detail = compare(spark, spark_array, array_sql, sf_dir)
+    assert not ok and "nested" in detail, f"array output must fail the mirror: {detail}"
+
+    def spark_str(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        return df.groupBy("source").agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs")
+        )
+
+    str_sql = (
+        "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs "
+        "FROM documents GROUP BY source"
+    )
+    ok, detail = compare(spark, spark_str, str_sql, sf_dir)
+    assert ok, f"serialized form must pass: {detail}"
+
+
 def test_mirror_flags_class_mismatch(spark, sf_dir):
     """An int-vs-float class drift between engines must fail even when the
     values would normalize equal (e.g. 1 vs 1.0)."""

@@ -198,7 +198,7 @@ def test_bpe_merges_classic_example_hand_computed(spark):
     ]
 
 
-def test_budget_apportion_sums_exactly_to_budget(spark):
+def test_budget_apportion_sums_exactly_to_budget(spark, sf_dir):
     """Largest-remainder quotas must sum to EXACTLY the budget — the
     property float-proportional rounding lacks — and every source's quota
     must differ from exact proportionality by less than 1 slot."""
@@ -206,7 +206,7 @@ def test_budget_apportion_sums_exactly_to_budget(spark):
     import pyspark.sql.functions as F
     from vmhub_data_pipeline_spark.queries import REGISTRY
 
-    df = REGISTRY["curation_budget_apportion"].fn(spark, "/root/testdata/sf0.001")
+    df = REGISTRY["curation_budget_apportion"].fn(spark, sf_dir)
     rows = df.collect()
     assert sum(r["final_quota"] for r in rows) == _APPORTION_B
     grand = sum(r["n_total"] for r in rows)

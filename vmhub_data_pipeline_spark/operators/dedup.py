@@ -200,7 +200,7 @@ def _minhash_signatures(tok_sets: DataFrame, num_hashes: int) -> DataFrame:
             for i in range(num_hashes)
         ]
     )
-    # One slim round-robin exchange on the finished signatures: the LSH
+    # One slim hash-repartition on id over the finished signatures: the LSH
     # band self-join consumes this frame on BOTH sides, and without an
     # exchange boundary Spark re-executes the whole hash projection per
     # side (no cross-side CSE); with it, the second side is a

@@ -572,21 +572,32 @@ def attach_mjpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def count_mjpeg_frames(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Frame census by BYTE parsing: count SOI/APP0 markers in the hex
-    image of the payload (occurrences = length delta under marker removal
-    div marker width) — the frame-sample precursor of a video pipeline,
-    scan-side, no Python, no codec."""
-    hx = F.hex(F.col(payload_col))
-    marker = "FFD8FFE0"
+    """Frame census by BYTE parsing: count SOI/APP0 markers at byte-aligned
+    offsets — the frame-sample precursor of a video pipeline, scan-side, no
+    Python, no codec.
+
+    Byte alignment: a naive substring count over ``hex(payload)`` can match
+    a marker starting mid-byte (odd hex offset) when real JPEG entropy data
+    contains 0xFF bytes. The hex string is therefore first re-spaced into
+    one token per byte (``regexp_replace(hx, '(..)', '$1 ')``), so the
+    marker pattern can only ever match on byte boundaries. Occurrences =
+    length delta under marker removal div marker width, all JVM-side.
+
+    ``n_frames = 0`` (no SOI marker at all) yields NULL ``frame_bytes``
+    rather than a divide-by-zero."""
+    # 'FF D8 FF E0 ' — one trailing space per byte token, boundary-safe.
+    spaced = F.regexp_replace(F.hex(F.col(payload_col)), "(..)", "$1 ")
+    marker = "FF D8 FF E0 "
     n_frames = (
-        (F.length(hx) - F.length(F.replace(hx, F.lit(marker), F.lit(""))))
+        (F.length(spaced) - F.length(F.replace(spaced, F.lit(marker), F.lit(""))))
         / F.lit(len(marker))
     ).cast("long")
     return media.select(
         "doc_id",
         n_frames.alias("n_frames"),
-        (F.length(F.col(payload_col)).cast("long") / n_frames).cast("long").alias(
-            "frame_bytes"
-        ),
+        F.when(
+            n_frames > 0,
+            (F.length(F.col(payload_col)).cast("long") / n_frames).cast("long"),
+        ).alias("frame_bytes"),
         F.length(F.col(payload_col)).cast("long").alias("total_bytes"),
     )

@@ -173,6 +173,7 @@ def kmeans_fit(
     vec_col: str,
     k: int = 16,
     max_iter: int = 5,
+    exact_mean: bool = False,
 ) -> list[list[float]]:
     """Plain Lloyd's k-means over an embedding column, Spark-distributed.
 
@@ -182,6 +183,16 @@ def kmeans_fit(
     (posexplode + avg). Centroid count k is driver-sized (k x dim floats),
     the data never leaves executors except k centroids per iteration —
     the standard scalable topology.
+
+    ``exact_mean`` replaces the float AVG (whose value depends on the
+    engine's summation order) with the repo's integer-quantization
+    convention: each contribution is quantized to nano-units
+    (``floor(x*1e9 + 0.5)``, a BIGINT), summed EXACTLY, then divided —
+    two correctly-rounded IEEE ops on exactly-representable integers. The
+    fitted centroids are then bit-identical on any engine that sums the
+    same integers, which is what lets a DuckDB oracle replay the whole
+    fit (see ``queries/vector.py:ann_pq_topk``). Quantization error is
+    ~1e-9 per component — far below any clustering-relevant distance.
     """
     v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     cents = [
@@ -191,12 +202,21 @@ def kmeans_fit(
     if not cents:
         raise ValueError("kmeans_fit: empty corpus")
     k = min(k, len(cents))  # corpus smaller than k: one centroid per row
+    if exact_mean:
+        mean_expr = (
+            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count("col")
+            / F.lit(1e9)
+        ).alias("m")
+    else:
+        mean_expr = F.avg("col").alias("m")
     for _ in range(max_iter):
         assigned = v.select("id", "v", _nearest_centroid_expr(cents).alias("c"))
         new = (
             assigned.select("c", F.posexplode("v"))
             .groupBy("c", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(mean_expr)
             .groupBy("c")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("c", F.transform("pm", lambda s: s["m"]).alias("centroid"))
@@ -303,6 +323,7 @@ def pq_fit(
     m: int = 8,
     k: int = 16,
     max_iter: int = 3,
+    exact_mean: bool = False,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector into ``m``
     contiguous subspaces and run the distributed k-means on each — the
@@ -322,7 +343,9 @@ def pq_fit(
             F.col(id_col).alias(id_col),
             F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("__sub"),
         )
-        books.append(kmeans_fit(piece, id_col, "__sub", k=k, max_iter=max_iter))
+        books.append(
+            kmeans_fit(piece, id_col, "__sub", k=k, max_iter=max_iter, exact_mean=exact_mean)
+        )
     return books
 
 
@@ -512,7 +535,13 @@ def mmr_diverse_topk(
         # shortlist exhausted (possible at tiny corpora): no-op step
         return F.when(F.size(acc["rem"]) == 0, acc).otherwise(stepped)
 
-    final = F.aggregate(F.sequence(F.lit(1), F.lit(select_k - 1)), state0, step)
+    # select_k<=1 must skip the fold entirely: sequence(1, 0) is Spark's
+    # DESCENDING array [1, 0] (two elements), not an empty one, so folding
+    # over it would run two greedy steps and return 3 selections for k=1.
+    if select_k <= 1:
+        final = state0
+    else:
+        final = F.aggregate(F.sequence(F.lit(1), F.lit(select_k - 1)), state0, step)
     return (
         per_q.select(qid, F.posexplode(final["sel"]).alias("pos", "c"))
         .select(

@@ -68,83 +68,79 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- round-2 failure + round-3 oracle/impl changes (must re-verify) --
-    "text_langid",                  # r2's only FAIL (HUGEINT cast, fixed)
-    "text_perplexity_filter",       # same latent cast bug, fixed pre-emptively
-    "dedup_semantic",               # oracle zero-norm guard added
-    "text_repetition_signals",      # inner->left join contract change
-    "curation_decontaminate_ngram", # hot-gram cap added to both engines
-    # -- never driver-checked (registered after r2's window composed) --
-    "text_classifier_score",
-    "graph_pagerank_dups",
-    "pipeline_corpus_curation",
-    "curation_domain_mix",
-    "curation_decontaminate_exact",
-    "curation_build_vocab",
-    "curation_tokenize_apply",
-    "curation_upsample_epochs",
-    "multimodal_chunk_sample",
-    "text_quality_filter",
-    "events_retention_cohort",
-    "join_salted_skew",
-    "streaming_pii_redact",
-    # (dedup_cluster_lsh holds its no_oracle driver row from r2 — a repeat
-    #  rows-only row adds nothing; its slot goes to a fully hash-checked
-    #  streaming entry, making the window 100% oracle-backed)
-    "streaming_incremental_dedup",  # REAL stream-static join dedup-at-ingest
-    "join_q8_market_share",
-    "join_q13_order_distribution",
-    "join_q15_top_supplier",
-    "join_q17_small_quantity",
-    "join_q18_large_orders",
-    "join_q21_waiting_supplier",
-    "join_q22_dormant_customers",
-    # -- new in round 3 --
-    "multimodal_decode_dims",       # REAL header decode, oracle-checked
-    "curation_bpe_merges",          # iterative BPE learning vs unrolled CTEs
-    "vector_quantize_int8",         # per-dim symmetric quantization
-    "events_scd2_history",          # type-2 dimension build (gaps-and-islands)
-    "text_line_dedup_rebuild",      # boilerplate strip with doc reconstruction
-    "knn_int8_rerank",              # quantized shortlist + exact re-rank
-    "text_tfidf_topterms",          # integer-quantized IDF top-terms
-    "curation_chunk_windows",       # overlapping retrieval chunks (RAG prep)
-    "dedup_incremental_exact",      # new-batch-vs-corpus audit (no old x old)
-    "text_langid_margin",           # top-2 confidence margin + reliability flag
-    # (pipeline_rag_manifest's chunk->dedup->metadata composition is
-    #  subsumed and extended by the retrieval flagship below; it stays
-    #  local-mirror-green)
-    "pipeline_rag_retrieval",       # chunk->dedup->embed->topk->metadata, 1 plan
-    "text_corpus_quality_report",   # per-source curation dashboard rollup
-    "text_winnow_fingerprint",      # MOSS winnowing: rolling-hash window minima
-    "dedup_winnow_pairs",           # shared-fingerprint candidate pairs + df cap
-    "curation_weighted_sample",     # A-ES weighted sampling, integer-exact cut
-    "events_variant_extract",       # Spark 4 VARIANT typed-path navigation
-    # -- events tier: r1-green but the fixture ts type drifted mid-r2; a
-    #    post-drift driver row is the only proof the load-time
-    #    normalization (commit a3bc82f) holds at sf0.01 --
-    "events_dedup_latest",
-    "events_watermark",
-    "events_tumbling_day",
-    # (events_sliding_2h r1-green; its window-timestamp drift exposure is
-    #  equivalently re-proved by events_tumbling_day — slot goes to the
-    #  REAL-pixel-decode query that closes the multimodal partial)
-    "multimodal_pixel_stats",       # REAL P6 decode: header+pixels from bytes
-    # (events_funnel / events_json_extract / events_pivot hold r1 driver
-    #  greens and output NO timestamp-typed column, so the ts-type drift
-    #  the tier re-proves cannot affect their hashes — displaced for the
-    #  deterministic-sketch tier, still covered by the local mirror)
-    "agg_kmv_distinct",             # k-minimum-values sketch, hash-exact
-    "agg_hll_distinct",             # deterministic-register HyperLogLog
-    # -- regression guard: r2-green representatives of the composed-pipeline
-    #    and real-streaming classes (displaced entries — agg_percentiles,
-    #    subquery_correlated_scalar, topk_orders, events_pivot — hold r1+r2
-    #    double driver greens, or output no drift-sensitive column, and stay
-    #    covered by the local oracle mirror, which runs the FULL catalog) --
-    "streaming_dedup_replay",
-    # (pipeline_training_manifest held the second guard slot; it's r2-green
-    #  and each of its composed stages is severally driver-checked, so the
-    #  slot goes to the new blocking family below)
-    "dedup_sorted_neighborhood",  # SNM: linear candidate gen vs inverted index
+    # Round-4 composition (VERDICT r3 task 2): rotate the never-driver-checked
+    # r3c tier through the window. Every r1/r2/r3 driver-green entry is
+    # displaced — each holds at least one driver hash-green row and stays
+    # covered by the local full-catalog mirror, which (since r4) rejects the
+    # two canonicalization classes that previously diverged from the driver
+    # (HUGEINT, nested array/struct columns). Window remains 100%
+    # oracle-backed.
+    #
+    # -- round-3's one driver failure, fixed (codes ARRAY -> concat_ws) --
+    "vector_quantize_int8",
+    # -- iterative / stateful / composed entries (weakest local evidence) --
+    "graph_label_propagation",      # semi-synchronous LPA rounds
+    "graph_triangle_count",         # oriented-edge triangle join
+    "events_cdc_apply",             # changelog -> snapshot (last-writer-wins)
+    "pipeline_incremental_aggregate",  # IVM merge == full recompute proof
+    "streaming_cms_fold",           # stateful Count-Min fold (real micro-batch)
+    "agg_cms_heavy_hitters",        # deterministic CMS point estimates
+    "agg_kmv_merge",                # KMV sketch union/merge algebra
+    "dedup_survivorship",           # golden-record merge after clustering
+    "dedup_overlap_matrix",         # source x source near-dup overlap grid
+    "dedup_levenshtein_pairs",      # edit-distance verify on blocked pairs
+    "dedup_blocking_eval",          # SNM recall/precision vs exhaustive truth
+    "join_feature_store_pit",       # point-in-time multi-feature composition
+    "join_q9_product_profit",       # TPC-H Q9 analog (pseudo-partsupp cost)
+    "knn_mmr_diverse",              # greedy MMR fold over per-query shortlist
+    # -- multimodal byte-decode paths (audio/video never driver-checked) --
+    "multimodal_audio_stats",       # WAV header little-endian byte parse
+    "multimodal_video_frames",      # MJPEG frame census (byte-aligned, r4 fix)
+    # -- text/corpus analytics tier --
+    "text_bm25_topk",
+    "text_collocations_pmi",
+    "text_zipf_slope",
+    "text_entropy_by_source",
+    "text_langid_confusion",
+    # -- events analytics tier --
+    "events_gapfill_hourly",
+    "events_outliers_mad",
+    "events_ordered_funnel",
+    "events_markov_transitions",
+    "events_markov_eval",
+    "events_multitouch_attribution",
+    "events_ab_experiment",
+    "events_anomaly_zscore",
+    "events_time_weighted_avg",
+    "events_unpivot",
+    "events_ewma_daily",
+    # -- stats / data-quality tier --
+    "stats_chi2_drift",
+    "stats_winsorize",
+    "stats_kanonymity_audit",
+    "stats_histogram_profile",
+    # -- pipeline audit tier --
+    "pipeline_fk_integrity",
+    "pipeline_key_skew_report",
+    "pipeline_partition_checksum",
+    "pipeline_quality_audit",
+    "pipeline_snapshot_diff",
+    "pipeline_rag_manifest",
+    # -- curation tier --
+    "curation_temperature_mix",
+    "curation_budget_apportion",
+    "curation_contrastive_pairs",
+    "curation_dataset_card",
+    # -- window tier --
+    "window_cumulative_distinct",
+    "window_period_over_period",
+    # -- ANN: first driver row since the r3c planes-inlined oracle upgrade --
+    "ann_lsh_topk",
+    # Remaining never-driver-checked (round-5 rotation): agg_mode,
+    # agg_gini_concentration, agg_regression_trend, agg_bottomk_quantile_sketch,
+    # case_bucketing, events_association_rules, multimodal_format_detect,
+    # vector_centroids, vector_norms, plus the r1-only greens
+    # (events_funnel, events_json_extract, events_pivot).
 )
 
 

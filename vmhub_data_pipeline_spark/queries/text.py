@@ -404,7 +404,9 @@ FROM xent
 
 
 @register("text_perplexity_filter", oracle=_PPL_ORACLE, tags=("text", "curation"))
-def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_perplexity_filter(
+    spark: SparkSession, sf_dir: str, profile_max_rows: int = 100_000_000
+) -> DataFrame:
     """Perplexity-based quality bucketing (the CCNet filter shape): unigram
     LM per language, per-document cross-entropy, head/middle/tail terciles
     within each language — 'head' is the lowest-perplexity (most fluent)
@@ -413,11 +415,13 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fact side collapses to per-(doc,word) counts before any
     join. The LM profile broadcasts safely when trained on a FIXED reference
     corpus (the production CCNet setup — bounded vocab). The self-trained
-    variant here grows with corpus vocabulary, so above a profile-size
-    threshold (~100M rows) cap the vocab (min-count / top-k per language,
-    rare words fall back to the smoothing term) or drop F.broadcast and let
-    the (lang,word) equi-join shuffle — same topology, no driver pressure.
-    The
+    variant here grows with corpus vocabulary, so the broadcast hint is
+    CODE-GUARDED by ``profile_max_rows``: if the fitted profile exceeds it,
+    the hint is dropped and the (lang,word) equi-join runs as a shuffle
+    join — identical semantics, no driver/executor memory pressure. (The
+    guard costs one extra count job over the profile aggregate, amortized
+    against the multi-pass query; set ``profile_max_rows=0`` to force the
+    shuffle path, or a huge value to skip straight to broadcast.) The
     inner join (every scored word was observed in training here) means no
     smoothing-only rows materialize. Two fact shuffles total — (doc,word)
     grain then doc grain — plus one per-language tercile window. The mean
@@ -430,6 +434,14 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
     vocab = wd.agg(F.countDistinct("word").alias("v"))
 
+    profile_side = profile.select(
+        F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt"
+    )
+    # limit(N+1).count() early-stops at the threshold instead of scanning the
+    # full aggregate when it is far over the cap.
+    if profile_max_rows > 0 and profile_side.limit(profile_max_rows + 1).count() <= profile_max_rows:
+        profile_side = F.broadcast(profile_side)
+
     qlogp = F.round(
         F.log(
             (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("v")).cast("double")
@@ -438,9 +450,7 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     xent = (
         wc.join(
-            F.broadcast(
-                profile.select(F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt")
-            ),
+            profile_side,
             on=[F.col("lang") == F.col("p_lang"), F.col("word") == F.col("p_word")],
         )
         .join(F.broadcast(lang_tot.select(F.col("lang").alias("t_lang"), "tot")),

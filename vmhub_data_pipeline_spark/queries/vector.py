@@ -244,7 +244,7 @@ c AS (
   FROM xv JOIN s ON s.pos = xv.pos
 )
 SELECT vec_id,
-       array_agg(code ORDER BY pos) AS codes,
+       array_to_string(array_agg(code ORDER BY pos), ',') AS codes,
        ROUND(MAX(err), 6) AS max_abs_err
 FROM c GROUP BY vec_id
 """
@@ -263,7 +263,14 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM higher-order functions, no UDF, no shuffle, no per-element
     explode): at 100 TB the fact table streams through codegen once.
     Rounding is ROUND-half-away-from-zero in both engines; codes are
-    exact integers, so the value hash pins every element."""
+    exact integers, so the value hash pins every element.
+
+    Output convention: ``codes`` is serialized with ``concat_ws`` to a
+    comma-joined STRING (not a raw ARRAY<BIGINT>) — the driver's pandas
+    canonicalizer cannot sort/hash list-valued cells, which was round 3's
+    one driver failure; the repo-wide rule (see ``agg_collect_sorted``)
+    is that oracle-checked outputs carry only scalar columns, now
+    enforced by ``testing.oracle_type_violations``."""
     from ..operators.similarity import _as_double
 
     (emb,) = load(spark, sf_dir, "embeddings")
@@ -286,7 +293,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.abs(x))
     return e.crossJoin(F.broadcast(scales)).select(
         "vec_id",
-        F.zip_with("v", "scales", code).alias("codes"),
+        F.concat_ws(",", F.zip_with("v", "scales", code)).alias("codes"),
         F.round(F.array_max(F.zip_with("v", "scales", err)), 6).alias("max_abs_err"),
     )
 
@@ -419,15 +426,143 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_topk", oracle=None, tags=("vector", "pq"))
+def _pq_ann_oracle(
+    dim: int = 64, m: int = 8, k: int = 16, max_iter: int = 3,
+    shortlist: int = 40, topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of the ENTIRE IVF-PQ pipeline — k-means fit
+    included — in plain SQL (the BPE/PageRank unrolled-oracle technique
+    applied to Lloyd's algorithm).
+
+    Bit-parity with the Spark side rests on three invariants:
+    * centroid means use exact-integer quantization (``kmeans_fit
+      exact_mean=True``): ``floor(x*1e9+0.5)`` BIGINTs summed exactly,
+      then two correctly-rounded IEEE divisions — engine-order-proof;
+    * every dot product folds left-to-right on both engines
+      (``dot_expr`` fold == ``list_dot_product``, the knn_cosine_topk
+      precedent), and the m ADC terms add in subspace order;
+    * every argmax/tie is broken by smallest centroid index / smallest id
+      (``array_position`` first-match == ``ROW_NUMBER ... ORDER BY score
+      DESC, cidx``)."""
+    sub = dim // m
+    # one assignment + exact-integer re-mean block per Lloyd iteration
+    iters = []
+    for t in range(1, max_iter + 1):
+        prev = f"c{t-1}"
+        iters.append(f"""
+a{t} AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s JOIN {prev} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.j, a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.sv[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM a{t} a
+  JOIN corp s ON s.vec_id = a.vec_id AND s.j = a.j
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {sub + 1})) AS pos) p
+  GROUP BY a.j, a.cidx, p.pos
+),
+c{t} AS (
+  SELECT p.j, p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT j, cidx, array_agg(comp ORDER BY pos) AS cv FROM m{t} GROUP BY j, cidx
+  ) n ON n.j = p.j AND n.cidx = p.cidx
+)""")
+    final_c = f"c{max_iter}"
+    adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM raw WHERE sqrt(list_dot_product(v0, v0)) > 0
+),
+js AS (SELECT UNNEST(RANGE(0, {m})) AS j),
+subv AS (
+  SELECT u.vec_id, js.j, u.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM unit u CROSS JOIN js
+),
+corp AS (SELECT * FROM subv WHERE vec_id >= 10),
+qsub AS (SELECT * FROM subv WHERE vec_id < 10),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT DISTINCT vec_id FROM unit WHERE vec_id >= 10)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
+),
+c0 AS (
+  SELECT s.j, i.cidx, s.sv AS cv
+  FROM corp s JOIN init_ids i USING (vec_id)
+),{",".join(iters)},
+enc AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s JOIN {final_c} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.j, c.cidx,
+         list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(q.sv, c.cv) AS term
+  FROM qsub q JOIN {final_c} c ON c.j = q.j
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS corpus_id, {adc_sum} AS pq_dist
+  FROM enc e JOIN lut l ON l.j = e.j AND l.cidx = e.code
+  GROUP BY l.query_id, e.vec_id
+),
+short AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY pq_dist ASC, corpus_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.corpus_id,
+         CASE WHEN sqrt(list_dot_product(qu.v, qu.v))
+                   * sqrt(list_dot_product(cu.v, cu.v)) > 0
+              THEN list_dot_product(qu.v, cu.v)
+                   / (sqrt(list_dot_product(qu.v, qu.v))
+                      * sqrt(list_dot_product(cu.v, cu.v)))
+         END AS cosine
+  FROM short s
+  JOIN unit qu ON qu.vec_id = s.query_id
+  JOIN unit cu ON cu.vec_id = s.corpus_id
+)
+SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+"""
+
+
+@register("ann_pq_topk", oracle=_pq_ann_oracle(), tags=("vector", "pq"))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via product quantization (8 subspaces x 16
     centroids = 8-byte codes, ~32x compression of the float corpus):
     corpus encoded once scan-side, queries score codes through per-query
     distance LUTs (asymmetric ADC), shortlist of 40 by quantized distance,
-    then exact cosine re-rank of the shortlist only. Rows-only
-    (approximate recall; measured against brute force in
-    tests/test_operators.py). At 100 TB this is the memory-resident
+    then exact cosine re-rank of the shortlist only. FULLY oracle-checked
+    (upgraded from rows-only in r4): the k-means fit uses exact-integer
+    means (``kmeans_fit exact_mean=True``), making codebooks, codes,
+    shortlists and the re-ranked output deterministic enough for a DuckDB
+    oracle to replay the entire pipeline — fit included — as unrolled
+    CTEs (see ``_pq_ann_oracle``). Recall vs brute force stays pinned in
+    tests/test_operators.py. At 100 TB this is the memory-resident
     serving layout: the raw floats stay in cold storage, queries touch
     only the m-byte codes."""
     from ..operators.similarity import dot_expr, pq_fit, pq_knn
@@ -442,7 +577,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = unit.filter(F.col("vec_id") < 10)
     c = unit.filter(F.col("vec_id") >= 10)
-    books = pq_fit(c, "vec_id", "embedding", dim=64, m=8, k=16, max_iter=3)
+    books = pq_fit(c, "vec_id", "embedding", dim=64, m=8, k=16, max_iter=3, exact_mean=True)
     return pq_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, books=books,
         rerank_shortlist=40,

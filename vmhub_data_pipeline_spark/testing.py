@@ -13,6 +13,13 @@ exactly how the round-2 ``text_langid`` failure slipped through). HUGEINT /
 UHUGEINT oracle columns are therefore forbidden outright, and every other
 column must land in the same coarse type class (int / float / string / bool /
 date / timestamp / decimal) on both engines.
+
+Array/struct/map-typed output columns are likewise forbidden on BOTH sides
+for any oracle-backed query: the driver's pandas canonicalizer sorts the
+result frame before hashing and dies on unhashable list cells
+(``TypeError: unhashable type: 'list'`` — round 3's one driver failure,
+``vector_quantize_int8``). The repo convention is to serialize arrays with
+``concat_ws`` / ``array_to_string`` before returning them.
 """
 
 from __future__ import annotations
@@ -47,7 +54,9 @@ def _duck_type_class(t: str) -> str:
         return "date"
     if t.startswith("TIMESTAMP"):
         return "timestamp"
-    return "other"  # arrays/structs/etc — value comparison still applies
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY")):
+        return "nested"
+    return "other"
 
 
 def _spark_type_class(t: str) -> str:
@@ -66,6 +75,8 @@ def _spark_type_class(t: str) -> str:
         return "date"
     if t.startswith("timestamp"):
         return "timestamp"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
     return "other"
 
 
@@ -99,12 +110,25 @@ def oracle_type_violations(
     """
     out = []
     s_class = {c: _spark_type_class(t) for c, t in zip(s_cols, s_types)}
+    for c, st in s_class.items():
+        if st == "nested":
+            out.append(
+                f"column {c!r}: spark nested type is forbidden in oracle-checked "
+                f"output — serialize with concat_ws(',', ...) (driver canonicalizer "
+                f"cannot sort list cells)"
+            )
     for c, t in zip(o_cols, o_types):
         oc = _duck_type_class(t)
         if oc == "int128":
             out.append(
                 f"column {c!r}: oracle type {t} (int128) is forbidden — "
                 f"wrap the aggregate in CAST(... AS BIGINT)"
+            )
+            continue
+        if oc == "nested":
+            out.append(
+                f"column {c!r}: oracle type {t} (nested) is forbidden — "
+                f"serialize with array_to_string(...)"
             )
             continue
         sc = s_class.get(c)
