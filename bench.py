@@ -73,25 +73,13 @@ HEADLINE = [
     "stats_histogram_profile",
 ]
 
-# Queries whose single-run timing proved noisy round-over-round (knn moved
-# +6.5% in r2 on an unchanged plan; the two LSH entries swing ~2x on the
-# first run from cold columnar reads; the Arrow/mapInPandas and
-# heavy-codegen entries pay one-time python-worker spawn + compile on run 1
-# — measured 4-8x inflation vs steady state on the r3 host): run N times,
-# record the median.
-REPEATS = {
-    "knn_cosine_topk": 3,
-    "dedup_minhash_lsh": 3,
-    "dedup_cluster_lsh": 3,
-    "curation_global_shuffle": 3,
-    "text_perplexity_filter": 3,
-    "text_winnow_fingerprint": 3,
-    "text_pii_redact": 3,
-    "text_classifier_score": 3,
-    "dedup_semantic": 3,
-    "multimodal_pixel_stats": 3,
-    "text_langid": 3,
-}
+# Every headline entry runs 3 times, median recorded (r4; previously only
+# the entries that had PROVEN noisy got repeats, which made single-run blips
+# — e.g. text_pii_redact +58% in r3 on an unchanged zero-shuffle plan —
+# indistinguishable from regressions). First-run effects being amortized:
+# cold columnar reads (~2x on the LSH entries), one-time python-worker
+# spawn + codegen compile on Arrow/mapInPandas paths (4-8x measured).
+REPEATS_DEFAULT = 3
 
 # Iterative-graph tier tracked at sf0.01: the exact-pair stage both entries
 # share is fixture-pathological at sf0.1 (~30-word vocabulary makes every
@@ -142,7 +130,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        runs = [run_once(name, sf_dir) for _ in range(REPEATS.get(name, 1))]
+        runs = [run_once(name, sf_dir) for _ in range(REPEATS_DEFAULT)]
         dt = sorted(t for t, _ in runs)[len(runs) // 2]  # median
         timings[name] = round(dt, 3)
         total += dt
@@ -156,6 +144,35 @@ def main() -> None:
         secondary[name] = round(dt, 3)
         print(f"# [secondary sf{sec_sf}] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # sf-growth probe for the quadratic-adjacent candidate-pair tiers: the
+    # df/hot-gram caps argue the candidate volume (Σdf²) stays near-linear;
+    # one measured exponent per round PROVES it. e = log(t_hi/t_lo) /
+    # log(rows_hi/rows_lo) over the documents table — e ≈ 1 linear,
+    # e ≈ 2 quadratic. Median of 3 runs per scale (these run in 0.1-3 s,
+    # where single-run noise would swamp the exponent).
+    scaling: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        import math
+
+        rows_lo = spark.read.parquet(f"{sec_dir}/documents.parquet").count()
+        rows_hi = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name in ("dedup_jaccard_pairs", "dedup_winnow_pairs", "curation_decontaminate_ngram"):
+            t_lo = sorted(run_once(name, sec_dir)[0] for _ in range(3))[1]
+            t_hi = sorted(run_once(name, sf_dir)[0] for _ in range(3))[1]
+            e = math.log(t_hi / t_lo) / math.log(rows_hi / rows_lo)
+            scaling[name] = {
+                "t_lo": round(t_lo, 3),
+                "t_hi": round(t_hi, 3),
+                "rows_lo": rows_lo,
+                "rows_hi": rows_hi,
+                "exponent": round(e, 3),
+            }
+            print(
+                f"# [scaling] {name}: {t_lo:.3f}s @{rows_lo} -> {t_hi:.3f}s @{rows_hi}"
+                f" (e={e:.3f})",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
@@ -166,6 +183,7 @@ def main() -> None:
                 "sf": sf,
                 "secondary": secondary,
                 "secondary_sf": sec_sf,
+                "scaling": scaling,
             }
         )
     )

@@ -738,3 +738,178 @@ def curation_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("negative_id").isNotNull())
     )
+
+
+def _pca_oracle(dim: int = 64, iters: int = 48, topk: int = 20) -> str:
+    """Unrolled-CTE replay of the full power-iteration PCA: exact-integer
+    scatter matrix, then ``iters`` mat-vec + renormalize steps over ordered
+    arrays (``list_dot_product`` folds left-to-right, matching both the
+    Spark-side ``dot_expr`` fold and the driver-side Python loop)."""
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]::DOUBLE[]"
+    # every CTE in the iteration chain (and everything it references) is
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per *reference*, and each
+    # step references its predecessor twice (norm + divide), so an
+    # un-materialized chain re-evaluates upstream CTEs 2^iters times
+    steps = []
+    for t in range(1, iters + 1):
+        prev = f"p{t-1}"
+        steps.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT g.i, list_dot_product(g.grow, p.v) AS w FROM grows g CROSS JOIN {prev} p
+),
+wa{t} AS MATERIALIZED (SELECT array_agg(w ORDER BY i) AS wv FROM w{t}),
+p{t} AS MATERIALIZED (
+  SELECT list_transform(wv, x -> x / sqrt(list_dot_product(wv, wv))) AS v FROM wa{t}
+)""")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+x AS MATERIALIZED (
+  SELECT vec_id, GENERATE_SUBSCRIPTS(v, 1) - 1 AS pos, UNNEST(v) AS val FROM e
+),
+mu AS MATERIALIZED (
+  SELECT pos,
+         CAST(SUM(CAST(FLOOR(val*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS m
+  FROM x GROUP BY pos
+),
+cent AS MATERIALIZED (
+  SELECT x.vec_id, x.pos, x.val - mu.m AS c FROM x JOIN mu USING (pos)
+),
+g AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(FLOOR(a.c * b.c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e9 AS gv
+  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+),
+grows AS MATERIALIZED (
+  SELECT i, array_agg(gv ORDER BY j) AS grow FROM g GROUP BY i
+),
+p0 AS MATERIALIZED (SELECT {v0} AS v),{",".join(steps)},
+lam AS MATERIALIZED (SELECT sqrt(list_dot_product(wv, wv)) AS l FROM wa{iters}),
+centarr AS MATERIALIZED (
+  SELECT vec_id, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY vec_id
+),
+proj AS (
+  SELECT c.vec_id, list_dot_product(c.cv, p.v) AS pj
+  FROM centarr c CROSS JOIN p{iters} p
+)
+SELECT vec_id, proj_r, eigval_r, rank FROM (
+  SELECT proj.vec_id, ROUND(proj.pj, 6) AS proj_r, ROUND(lam.l, 4) AS eigval_r,
+         CAST(ROW_NUMBER() OVER (ORDER BY ABS(proj.pj) DESC, proj.vec_id) AS BIGINT) AS rank
+  FROM proj CROSS JOIN lam
+) WHERE rank <= {topk}
+"""
+
+
+@register("vector_pca_power", oracle=_pca_oracle(), tags=("vector", "spectral"))
+def vector_pca_power(
+    spark: SparkSession, sf_dir: str, dim: int = 64, iters: int = 48, topk: int = 20
+) -> DataFrame:
+    """Top principal component of the embedding corpus via power iteration,
+    with the ``topk`` most-extreme documents along it — the spectral
+    outlier/diversity probe of an embedding-curation pipeline (dominant
+    semantic axis + the docs that define it).
+
+    Scale shape: the only data-sized pass is the scatter-matrix
+    accumulation G = sum (x-mu)(x-mu)^T, computed as a SCAN-SIDE outer
+    product (flatten/transform of each row into its dim^2 cell
+    contributions — no self-join, no shuffle of vectors) followed by a
+    partial-aggregating groupBy onto dim^2 = 4,096 keys; mu is one
+    dim-sized exact-integer aggregate. Everything after G is O(dim^2)
+    DRIVER-side (collect of 4,096 doubles — O(model), not O(data), the
+    kmeans_fit precedent), so iteration count never touches the corpus.
+    The final projection pass is again one scan with the eigenvector
+    inlined as a literal.
+
+    Determinism/oracle: mu and G use the exact-integer convention (FLOOR
+    nano-quantized sums — engine-order-proof); the Python power iteration
+    accumulates left-to-right exactly like DuckDB's list_dot_product and
+    Spark's dot_expr fold, so eigenvector, eigenvalue, and projections are
+    bit-reproducible and the oracle replays the whole pipeline as
+    unrolled CTEs (the ann_pq_topk technique applied to spectral math)."""
+    import math
+
+    from ..operators.similarity import _as_double, dot_expr
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    mu_rows = (
+        x.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.count("val")
+                / F.lit(1e9)
+            ).alias("m")
+        )
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+
+    cent = e.select("vec_id", F.zip_with("v", mu_lit, lambda a, b: a - b).alias("cv"))
+    # scan-side outer product: each row contributes its dim^2 cells in one
+    # projection; map-side partial agg collapses to 4,096 keys per partition
+    pairs = cent.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "cv",
+                    lambda ci, i: F.transform(
+                        "cv", lambda cj, j: F.struct(i.alias("i"), j.alias("j"), (ci * cj).alias("p"))
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    g_rows = (
+        pairs.select("pr.i", "pr.j", "pr.p")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(F.floor(F.col("p") * F.lit(1e9) + F.lit(0.5)).cast("long")).cast("double")
+                / F.lit(1e9)
+            ).alias("gv")
+        )
+        .collect()
+    )
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in g_rows:
+        G[r["i"]][r["j"]] = float(r["gv"])
+
+    # power iteration, left-to-right accumulation (== list_dot_product)
+    v = [0.125] * dim
+    lam = 0.0
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + G[i][j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for i in range(dim):
+            acc = acc + w[i] * w[i]
+        lam = math.sqrt(acc)
+        v = [wi / lam for wi in w]
+
+    v_lit = F.array(*[F.lit(x_) for x_ in v])
+    proj = cent.select("vec_id", dot_expr(F.col("cv"), v_lit).alias("pj"))
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (distributed
+    # per-partition top-k, no single-task whole-corpus window sort); rank is
+    # assigned afterwards over the topk-row result only
+    top = proj.orderBy(F.abs(F.col("pj")).desc(), F.asc("vec_id")).limit(topk)
+    w_rank = Window.orderBy(F.abs(F.col("pj")).desc(), F.asc("vec_id"))
+    return top.select(
+        "vec_id",
+        F.round("pj", 6).alias("proj_r"),
+        F.round(F.lit(lam), 4).alias("eigval_r"),
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    )
