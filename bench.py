@@ -150,15 +150,44 @@ def main() -> None:
     # log(rows_hi/rows_lo) over the documents table — e ≈ 1 linear,
     # e ≈ 2 quadratic. Median of 3 runs per scale (these run in 0.1-3 s,
     # where single-run noise would swamp the exponent).
+    #
+    # dedup_jaccard_pairs (the registered query) runs UNCAPPED by design —
+    # the fixture's ~30-word vocabulary makes every token hot, so the exact
+    # full-recall variant IS Σdf²-quadratic there (measured e ≈ 1.7; that
+    # number is the fixture pathology the query's docstring documents, not
+    # the operator's scale story). The production configuration is probed
+    # alongside as jaccard_capped (max_token_doc_freq=100, candidates from
+    # sub-cap tokens only + exact re-verify): its exponent is the one that
+    # must stay ~1.
+    def _jaccard_capped(s, d):
+        from vmhub_data_pipeline_spark.operators.dedup import jaccard_similarity_pairs
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return jaccard_similarity_pairs(
+            docs, "doc_id", "text", threshold=0.9, group_col="lang",
+            max_token_doc_freq=100,
+        )
+
     scaling: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         import math
 
         rows_lo = spark.read.parquet(f"{sec_dir}/documents.parquet").count()
         rows_hi = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        for name in ("dedup_jaccard_pairs", "dedup_winnow_pairs", "curation_decontaminate_ngram"):
-            t_lo = sorted(run_once(name, sec_dir)[0] for _ in range(3))[1]
-            t_hi = sorted(run_once(name, sf_dir)[0] for _ in range(3))[1]
+        probes = [
+            ("dedup_jaccard_pairs", lambda s, d: qs["dedup_jaccard_pairs"](s, d)),
+            ("jaccard_capped_100", _jaccard_capped),
+            ("dedup_winnow_pairs", lambda s, d: qs["dedup_winnow_pairs"](s, d)),
+            ("curation_decontaminate_ngram", lambda s, d: qs["curation_decontaminate_ngram"](s, d)),
+        ]
+        for name, fn in probes:
+            def once(d):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                return time.perf_counter() - t0
+
+            t_lo = sorted(once(sec_dir) for _ in range(3))[1]
+            t_hi = sorted(once(sf_dir) for _ in range(3))[1]
             e = math.log(t_hi / t_lo) / math.log(rows_hi / rows_lo)
             scaling[name] = {
                 "t_lo": round(t_lo, 3),
