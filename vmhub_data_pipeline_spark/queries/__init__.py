@@ -139,8 +139,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # Remaining never-driver-checked (round-5 rotation): agg_mode,
     # agg_gini_concentration, agg_regression_trend, agg_bottomk_quantile_sketch,
     # case_bucketing, events_association_rules, multimodal_format_detect,
-    # vector_centroids, vector_norms, plus the r1-only greens
-    # (events_funnel, events_json_extract, events_pivot).
+    # vector_centroids, vector_norms, the r4 oracle additions (ann_pq_topk,
+    # vector_pca_power), plus the r1-only greens (events_funnel,
+    # events_json_extract, events_pivot).
 )
 
 
