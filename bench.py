@@ -71,6 +71,12 @@ HEADLINE = [
     # broadcast-bounds profiler — one entry per new tier
     "events_multitouch_attribution",
     "stats_histogram_profile",
+    # round 5: the PRODUCTION capped near-dup configuration (df<=100
+    # candidate gen + exact re-verify — the scale path, now oracle-checked)
+    # and the scan-side scatter-matrix PCA (dim^2 agg keys, O(model) driver
+    # math) — both newly registered/upgraded, neither had timing history
+    "dedup_jaccard_pairs_capped",
+    "vector_pca_power",
 ]
 
 # Every headline entry runs 3 times, median recorded (r4; previously only
@@ -100,6 +106,10 @@ SECONDARY = [
     # CC + cluster-grain survivorship: tracks the golden-record join cost
     # on top of the shared iterative closure
     "dedup_survivorship",
+    # r5: first timing history for the unrolled-oracle ANN pair — PQ encode
+    # + ADC scoring and the IVF Lloyd fit + probed-cell re-rank
+    "ann_pq_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -140,9 +150,16 @@ def main() -> None:
     sec_sf = float(sec_dir.rstrip("/").rsplit("sf", 1)[-1])
     secondary: dict[str, float] = {}
     for name in SECONDARY:
-        dt, n = run_once(name, sec_dir)
+        # 3-run median here too (r5; VERDICT r4 task 5): single runs made
+        # noise and regression indistinguishable on the 1-3 s iterative tier
+        runs = [run_once(name, sec_dir) for _ in range(REPEATS_DEFAULT)]
+        dt = sorted(t for t, _ in runs)[len(runs) // 2]
         secondary[name] = round(dt, 3)
-        print(f"# [secondary sf{sec_sf}] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# [secondary sf{sec_sf}] {name}: {dt:.3f}s "
+            f"({runs[0][1]} rows, {len(runs)} run(s))",
+            file=sys.stderr,
+        )
 
     # sf-growth probe for the quadratic-adjacent candidate-pair tiers: the
     # df/hot-gram caps argue the candidate volume (Σdf²) stays near-linear;

@@ -704,6 +704,21 @@ def test_mmr_select_k_one_returns_exactly_one(spark):
     assert out[0]["vec_id"] == 0 and out[0]["sel_rank"] == 1
 
 
+def test_mmr_select_k_below_one_raises(spark):
+    """select_k=0 must be an explicit error, not a silent 1-row seed
+    selection (ADVICE r4)."""
+    import pytest as _pytest
+
+    from vmhub_data_pipeline_spark.operators.similarity import mmr_diverse_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="select_k"):
+        mmr_diverse_topk(corpus, q, id_col="vec_id", vec_col="embedding", select_k=0)
+
+
 def test_pca_power_matches_numpy_top_eigenpair(spark, sf_dir):
     """The exact-integer power iteration must converge to numpy's top
     eigenpair of the centered scatter matrix: eigenvalue within 0.1%,

@@ -739,3 +739,14 @@ def test_perplexity_profile_cap_drops_broadcast(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_jaccard_capped_df_filter_is_broadcast(spark, sf_dir):
+    """The production capped config's rare-token filter must be a BROADCAST
+    semi-shape join (token-df table is |vocab| rows, never fact-sized), and
+    the candidate self-join must be an equi-join on token — no cartesian
+    anywhere. This is the configuration whose scaling exponent the bench
+    probe holds at ~0; the plan shape is what makes that hold at 100x."""
+    plan = explain_str(Q["dedup_jaccard_pairs_capped"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

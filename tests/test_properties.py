@@ -184,7 +184,8 @@ def test_int8_quantization_error_bound(spark, vecs):
     per_dim_max = [max(abs(v[j]) for v in vecs) for j in range(4)]
     bound = max(m / 254.0 for m in per_dim_max) + 1e-9
     for r in out:
-        assert all(abs(c) <= 127 for c in r["codes"])  # range by construction
+        codes = [int(x) for x in r["codes"].split(",")]  # r4: codes serialized via concat_ws
+        assert all(abs(c) <= 127 for c in codes)  # range by construction
         assert r["max_abs_err"] <= round(bound + 5e-7, 6)
 
 

@@ -206,7 +206,9 @@ def kmeans_fit(
         mean_expr = (
             F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
             .cast("double")
-            / F.count("col")
+            # COUNT(1) matches the oracle's COUNT(*) even if a vector ever
+            # carried a NULL component (ADVICE r4)
+            / F.count(F.lit(1))
             / F.lit(1e9)
         ).alias("m")
     else:
@@ -258,6 +260,8 @@ def ivf_knn(
     n_clusters: int = 16,
     nprobe: int = 4,
     query_id_col: str | None = None,
+    max_iter: int = 5,
+    exact_mean: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer -> corpus bucketed by
     nearest centroid (1 bucket each), queries probe their ``nprobe`` nearest
@@ -265,8 +269,13 @@ def ivf_knn(
 
     Per query the candidate set shrinks from |corpus| to ~nprobe/n_clusters
     of it; recall grows with nprobe. Output schema matches brute_force_knn.
+    ``exact_mean``/``max_iter`` pass through to :func:`kmeans_fit` — with
+    exact-integer means the whole pipeline (fit included) is replayable by
+    a SQL oracle, the ``ann_pq_topk`` technique.
     """
-    cents = kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
+    cents = kmeans_fit(
+        corpus, id_col, vec_col, k=n_clusters, max_iter=max_iter, exact_mean=exact_mean
+    )
     qid = query_id_col or id_col
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
@@ -485,6 +494,8 @@ def mmr_diverse_topk(
     the knn_cosine_topk precedent), and every argmax breaks ties by smaller
     id via a packed (score, -id) comparison key.
     """
+    if select_k < 1:
+        raise ValueError(f"mmr_diverse_topk: select_k must be >= 1, got {select_k}")
     qid = "query_id"
     short = brute_force_knn(corpus, queries, id_col=id_col, vec_col=vec_col, k=shortlist_k)
     short = short.filter(F.col("cosine").isNotNull())

@@ -80,6 +80,63 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_CAPPED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, UNNEST(ws) AS w FROM toks
+),
+rare_tok AS (
+  SELECT w FROM inv GROUP BY w HAVING COUNT(*) <= 100
+),
+rare AS (
+  SELECT inv.doc_id, inv.lang, inv.w FROM inv JOIN rare_tok USING (w)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b
+    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(LEN(LIST_INTERSECT(ta.ws, tb.ws)) AS DOUBLE)
+      / CAST(LEN(ta.ws) + LEN(tb.ws) - LEN(LIST_INTERSECT(ta.ws, tb.ws))
+             AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.9
+"""
+
+
+@register("dedup_jaccard_pairs_capped", oracle=_JACCARD_CAPPED_ORACLE, tags=("dedup", "join"))
+def dedup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup configuration: inverted-index Jaccard with
+    the df cap ON (``max_token_doc_freq=100``) — candidates come only from
+    tokens appearing in <= 100 documents, then every candidate pair is
+    re-verified with an exact intersection over the FULL token sets, so the
+    reported jaccard values are exact and only recall is capped.
+
+    This is the configuration a 100 TB corpus runs (candidate volume is
+    Σ df² over sub-cap tokens — near-linear; the bench scaling probe
+    measures exponent ≈ 0 for it vs ≈ 1.7 for the uncapped full-recall
+    variant on this hot-vocabulary fixture). The oracle replays the cap
+    deterministically: token-df CTE with ``HAVING COUNT(*) <= 100``,
+    candidate join over sub-cap tokens only, exact LIST_INTERSECT
+    re-verify — every stage is plain SQL, no approximation anywhere.
+
+    On the fixture the ~30-word vocabulary makes all but the rarest token
+    hot, so output is intentionally small (recall-capped) — the full-recall
+    twin ``dedup_jaccard_pairs`` keeps the exhaustive-evidence role."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=100,
+    )
+
+
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands x 4 rows) near-dup pairs with exact-Jaccard
@@ -284,7 +341,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DuckDB RECURSIVE CTE transitive closure — the per-round min-label
     fixpoint and the recursive reachability fixpoint must agree exactly.
     Transitivity makes the clusters strictly coarser than the pair list:
-    a~b and b~c land in one cluster even when jaccard(a,c) < 0.9."""
+    a~b and b~c land in one cluster even when jaccard(a,c) < 0.9.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     from ..operators.graph import connected_components
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -395,7 +458,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same zero-shuffle rule set as text_quality_filter; clustering is
     the same exact-pair + min-label CC as dedup_cluster_cc — this query is
     their join, which the oracle replays end-to-end in one recursive-CTE
-    SQL statement."""
+    SQL statement.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     from ..operators.graph import connected_components
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -567,7 +636,13 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy to min-id (keep the most-connected representative of each dup
     cluster). Second iterative DataFrame algorithm hash-matched against
     SQL: the oracle unrolls the same integer round arithmetic, so a single
-    off-by-one in any round's div/floor would break the hash."""
+    off-by-one in any round's div/floor would break the hash.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     (docs,) = load(spark, sf_dir, "documents")
     from ..operators.graph import pagerank_integer
 
@@ -711,7 +786,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded sparse graph); the per-node rollups shuffle ids and counts
     only. The edge relation is built once and reused by all three join
     legs — Catalyst reuses the exchange rather than recomputing the
-    inverted-index pair generation."""
+    inverted-index pair generation.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     (docs,) = load(spark, sf_dir, "documents")
     edges = (
         jaccard_similarity_pairs(
@@ -904,7 +985,13 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     and two mode windows all key on cluster_id (cardinality = number of
     dup groups, far below corpus size). The mode windows rank
     (cluster, value) count rows, never raw members. Hash-matched against
-    the recursive-CTE closure + ROW_NUMBER survivorship in DuckDB."""
+    the recursive-CTE closure + ROW_NUMBER survivorship in DuckDB.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     from ..operators.graph import connected_components
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -1093,7 +1180,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round: edge-to-label equi-join + (vertex, label) count + argmax
     window, all keyed on vertex id; lineage cut per round. Rounds are
     FIXED (not converge-tested) because synchronous LPA can oscillate —
-    determinism is the contract here."""
+    determinism is the contract here.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     from ..operators.graph import label_propagation
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -1170,7 +1263,13 @@ def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches one oracle statement. Pairs canonicalize to (min, max) id so
     sort-order and id-order pairings compare equal. Precision is 10000 by
     construction (SNM verifies with the same exact Jaccard); recall < 10000
-    quantifies exactly what the w=4 sort window misses."""
+    quantifies exactly what the w=4 sort window misses.
+
+    At 100x scale the pair stage here swaps to the capped production
+    configuration (``dedup_jaccard_pairs_capped``, max_token_doc_freq=100)
+    or the LSH path (``dedup_cluster_lsh``); uncapped full recall is a
+    fixture-only choice (tiny vocabulary; the oracle demands every pair).
+    """
     truth = jaccard_similarity_pairs(
         load(spark, sf_dir, "documents")[0], "doc_id", "text",
         threshold=0.9, group_col=None, max_token_doc_freq=None,

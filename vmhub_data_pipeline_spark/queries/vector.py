@@ -138,17 +138,129 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("vector", "ivf"))
+def _ivf_ann_oracle(
+    dim: int = 64, k_clusters: int = 16, nprobe: int = 4, max_iter: int = 3,
+    topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of the ENTIRE IVF pipeline — coarse-quantizer
+    k-means fit included — in plain SQL (the ``_pq_ann_oracle`` technique
+    with one dim-64 codebook instead of 8 dim-8 sub-codebooks).
+
+    Parity invariants mirror the PQ oracle's: exact-integer centroid means
+    (``kmeans_fit exact_mean=True``); sequential-fold dot products both
+    engines; assignment argmax ties by SMALLEST centroid index
+    (``array_position`` first-match == ``ROW_NUMBER ... ORDER BY score
+    DESC, cidx ASC``). One IVF-specific wrinkle: the query probe list is
+    built with ``reverse(array_sort(...))`` on (score, cidx) structs, so a
+    probe-score tie prefers the LARGEST centroid index — hence
+    ``ORDER BY score DESC, cidx DESC`` in the probes CTE, deliberately
+    opposite to the assignment tie."""
+    iters = []
+    for t in range(1, max_iter + 1):
+        prev = f"c{t-1}"
+        iters.append(f"""
+a{t} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.v[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM a{t} a
+  JOIN corp s USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {dim + 1})) AS pos) p
+  GROUP BY a.cidx, p.pos
+),
+c{t} AS (
+  SELECT p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT cidx, array_agg(comp ORDER BY pos) AS cv FROM m{t} GROUP BY cidx
+  ) n USING (cidx)
+)""")
+    final_c = f"c{max_iter}"
+    return f"""
+WITH corp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10
+),
+qry AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 10
+),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM corp QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k_clusters}
+),
+c0 AS (
+  SELECT i.cidx, s.v AS cv FROM corp s JOIN init_ids i USING (vec_id)
+),{",".join(iters)},
+bkt AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cidx AS bucket FROM (
+    SELECT q.query_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (list_dot_product(q.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx DESC) AS rn
+    FROM qry q CROSS JOIN {final_c} c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(s.v, s.v)) > 0
+              THEN list_dot_product(q.v, s.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(s.v, s.v)))
+         END AS cosine
+  FROM probes p
+  JOIN bkt b USING (bucket)
+  JOIN qry q USING (query_id)
+  JOIN corp s ON s.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC NULLS LAST, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_ann_oracle(), tags=("vector", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF: distributed k-means coarse quantizer,
     corpus bucketed once, queries probe 4 of 16 cells, exact re-rank of
-    ~25% of the corpus per query. Rows-only (approximate recall; measured
-    against brute force in tests/test_operators.py)."""
+    ~25% of the corpus per query. FULLY oracle-checked (upgraded from
+    rows-only in r5, the ``ann_pq_topk`` technique): the coarse quantizer
+    fits with exact-integer means, so a DuckDB oracle replays the Lloyd
+    fit, bucket assignment, probe selection and exact cosine re-rank as
+    unrolled CTEs (``_ivf_ann_oracle``). Recall vs brute force stays
+    pinned in tests/test_operators.py. At 100 TB the inverted lists are
+    the point: each query streams ~nprobe/n_clusters of the corpus, and
+    the bucket equi-join shuffles only the probed cells."""
     (emb,) = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return ivf_knn(
-        c, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, nprobe=4
+    out = ivf_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, nprobe=4,
+        max_iter=3, exact_mean=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine_r"), "rank"
     )
 
 
@@ -843,7 +955,10 @@ def vector_pca_power(
             (
                 F.sum(F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("long"))
                 .cast("double")
-                / F.count("val")
+                # COUNT(1), not COUNT(val): the oracle divides by COUNT(*);
+                # counting non-nulls would silently diverge if a vector ever
+                # carried a NULL component (ADVICE r4)
+                / F.count(F.lit(1))
                 / F.lit(1e9)
             ).alias("m")
         )
