@@ -15,13 +15,16 @@ WINDOW = 50
 # Every capability tier must have at least one entry in the first-50 window.
 # Round-5 composition (VERDICT r4 tasks 1+3): first driver contact for the
 # round's additions/oracle upgrades (dedup_jaccard_pairs_capped, ann_pq_topk,
-# vector_pca_power, ann_ivf_topk) and the never-checked tail; re-proof for
-# the stale r1/r2-only greens; guards for the r5-touched queries; the rest
-# regression guards over the r4-green tier. dedup_cluster_lsh is the single
+# vector_pca_power, ann_ivf_topk, and the six NEW r5 queries — cluster-aware
+# split, exact-substring audit, bigram LM, drift report, Lorenz curve, PCM
+# energy) and the never-checked tail; re-proof for the stale r1/r2-only
+# greens; guards for the r5-touched queries; the rest regression guards over
+# the r4-green tier (displaced guards all hold fresh r4 driver greens). dedup_cluster_lsh is the single
 # rows-only entry by design (probabilistic LSH recall — the driver records
 # the weaker rows/schema check).
 REQUIRED_IN_WINDOW = {
     "vector": [
+        "vector_drift_report",
         "ann_pq_topk",
         "vector_pca_power",
         "ann_ivf_topk",
@@ -31,12 +34,12 @@ REQUIRED_IN_WINDOW = {
         "knn_mmr_diverse",
         "ann_lsh_topk",
     ],
-    "graph": ["graph_label_propagation", "graph_triangle_count"],
+    "graph": ["graph_label_propagation"],
     "dedup": [
         "dedup_jaccard_pairs_capped",
+        "dedup_exact_substring",
         "dedup_cluster_lsh",
         "dedup_survivorship",
-        "dedup_overlap_matrix",
         "dedup_levenshtein_pairs",
         "dedup_blocking_eval",
     ],
@@ -44,9 +47,10 @@ REQUIRED_IN_WINDOW = {
     "multimodal": [
         "multimodal_format_detect",
         "multimodal_audio_stats",
+        "multimodal_audio_energy",
         "multimodal_video_frames",
     ],
-    "text": ["text_perplexity_filter", "text_bm25_topk"],
+    "text": ["text_perplexity_filter", "text_bm25_topk", "text_bigram_lm_score"],
     "events": [
         "events_association_rules",
         "events_funnel",
@@ -55,8 +59,8 @@ REQUIRED_IN_WINDOW = {
         "events_cdc_apply",
         "events_gapfill_hourly",
         "events_ordered_funnel",
-        "events_markov_eval",
         "events_ab_experiment",
+        "events_lorenz_curve",
     ],
     "stats": [
         "agg_gini_concentration",
@@ -67,16 +71,14 @@ REQUIRED_IN_WINDOW = {
         "case_bucketing",
     ],
     "pipeline": [
-        "pipeline_incremental_aggregate",
         "pipeline_fk_integrity",
         "pipeline_quality_audit",
         "pipeline_rag_manifest",
     ],
-    "curation": ["curation_temperature_mix", "curation_dataset_card"],
+    "curation": ["curation_temperature_mix", "curation_cluster_split"],
     "window": ["window_cumulative_distinct", "window_period_over_period"],
     "sketch": [
         "agg_bottomk_quantile_sketch",
-        "agg_cms_heavy_hitters",
         "agg_kmv_merge",
     ],
     "streaming": ["streaming_cms_fold"],

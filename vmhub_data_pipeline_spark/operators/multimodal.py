@@ -601,3 +601,67 @@ def count_mjpeg_frames(media: DataFrame, payload_col: str = "payload") -> DataFr
         ).alias("frame_bytes"),
         F.length(F.col(payload_col)).cast("long").alias("total_bytes"),
     )
+
+
+def pcm_window_energy(
+    media: DataFrame,
+    window: int = 16,
+    silence_threshold: int = 8000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Windowed PCM energy / silence detection parsed from WAV payload
+    BYTES — the frame-level signal-analysis step after `decode_wav_header`'s
+    parameter parse: the data chunk (offset 45, length = le32@41) is
+    re-extracted from the payload, each byte read as an unsigned 8-bit
+    sample, and per-window sum-of-squares energy around the u8 midpoint
+    (s-128)² computed for every non-overlapping ``window``-sample frame.
+    A frame with energy below ``silence_threshold`` counts as silent — the
+    trim-leading/trailing-silence and voice-activity primitive.
+
+    Pure JVM end-to-end: the data chunk is hexed ONCE per row into a
+    projection column, then nested higher-order functions (transform over
+    frames, aggregate over samples) fold the energies — no Python, no
+    audio library, zero shuffle, O(data bytes) per row. Multi-byte-depth
+    payloads are analysed at byte grain deliberately (a 16-bit stream's
+    byte energy is a monotone proxy; production branches on
+    bits_per_sample with the same plan shape). Rows with fewer than one
+    full frame are dropped (nothing to analyse).
+    """
+    p = payload_col
+    data_size = _le_bytes_to_long(F.col(p), 41, 4)
+    w = int(window)
+    stage = media.select(
+        "doc_id",
+        F.hex(F.expr(f"substring({p}, 45, {_le_expr(p, 41, 4)})")).alias("hx"),
+        (data_size / w).cast("long").alias("n_windows"),
+    ).where(F.col("n_windows") >= 1)
+    samples = F.transform(
+        F.sequence(F.lit(1), (F.col("n_windows") * w).cast("int")),
+        lambda i: F.conv(
+            F.substring(F.col("hx"), ((i - 1) * 2 + 1).cast("int"), 2), 16, 10
+        ).cast("long")
+        - 128,
+    )
+    energies = F.transform(
+        F.sequence(F.lit(0), (F.col("n_windows") - 1).cast("int")),
+        lambda win: F.aggregate(
+            F.slice(F.col("ss"), (win * w + 1).cast("int"), w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    st = F.lit(int(silence_threshold)).cast("long")
+    out = stage.select("doc_id", "n_windows", samples.alias("ss")).select(
+        "doc_id", "n_windows", energies.alias("es")
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        F.aggregate("es", F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "total_energy"
+        ),
+        F.array_max("es").cast("long").alias("max_window_energy"),
+        F.size(F.filter("es", lambda e: e < st)).cast("long").alias("n_silent"),
+    ).withColumn(
+        "silence_bp", F.expr("CAST(10000 * n_silent div n_windows AS BIGINT)")
+    )

@@ -98,20 +98,23 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_format_detect",
     "vector_centroids",
     "vector_norms",
+    # -- r5 NEW queries (first driver contact) --
+    "curation_cluster_split",       # leakage-free cluster-aware split
+    "dedup_exact_substring",        # ExactSubstr-style passage audit
+    "text_bigram_lm_score",         # bigram-LM fluency (KenLM shape)
+    "vector_drift_report",          # embedding centroid drift monitor
+    "events_lorenz_curve",          # revenue-concentration deciles
+    "multimodal_audio_energy",      # PCM windowed energy / silence
     # -- r5-touched regression guards --
     "text_perplexity_filter",       # cached broadcast-guard probe (r5)
     "knn_mmr_diverse",              # select_k<1 guard (r5)
     "vector_quantize_int8",
     # -- regression guards over the r4-green tier --
     "graph_label_propagation",
-    "graph_triangle_count",
     "events_cdc_apply",
-    "pipeline_incremental_aggregate",
     "streaming_cms_fold",
-    "agg_cms_heavy_hitters",
     "agg_kmv_merge",
     "dedup_survivorship",
-    "dedup_overlap_matrix",
     "dedup_levenshtein_pairs",
     "dedup_blocking_eval",
     "join_feature_store_pit",
@@ -121,7 +124,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_bm25_topk",
     "events_gapfill_hourly",
     "events_ordered_funnel",
-    "events_markov_eval",
     "events_ab_experiment",
     "stats_chi2_drift",
     "stats_kanonymity_audit",
@@ -129,7 +131,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_quality_audit",
     "pipeline_rag_manifest",
     "curation_temperature_mix",
-    "curation_dataset_card",
     "window_cumulative_distinct",
     "window_period_over_period",
     "ann_lsh_topk",

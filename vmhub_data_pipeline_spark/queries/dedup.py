@@ -1303,3 +1303,96 @@ def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(s_mark) AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+# ExactSubstr-style duplicated-passage audit (r5): Lee et al. ("Deduplicating
+# Training Data Makes Language Models Better") remove exact substrings
+# repeated across the corpus. The distributed approximation at passage
+# granularity: every K=10-token sliding window (stride 1) is fingerprinted,
+# a window is "duplicated" when its fingerprint occurs >= 2 times anywhere
+# in the corpus (cross-doc or within-doc), and each document reports its
+# duplicated-window fraction plus a keep verdict. Windows are md5'd
+# scan-side so the two shuffles move 32-char digests, never passage text;
+# the oracle joins on the window text itself — identical counts (collision
+# probability ~n²·2⁻¹²⁸), which the hash match then verifies end-to-end.
+_EXACT_SUBSTR_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id,
+    array_to_string(list_slice(w, i, i + 9), ' ') AS win
+  FROM ws, UNNEST(RANGE(1, LEN(w) - 8)) AS t(i)
+  WHERE LEN(w) >= 10
+),
+dwc AS (
+  SELECT doc_id, win, CAST(COUNT(*) AS BIGINT) AS cnt FROM wins GROUP BY doc_id, win
+),
+gwin AS (
+  SELECT win, CAST(SUM(cnt) AS BIGINT) AS tot FROM dwc GROUP BY win
+),
+per_doc AS (
+  SELECT d.doc_id,
+    CAST(SUM(d.cnt) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN g.tot >= 2 THEN d.cnt ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM dwc d JOIN gwin g ON d.win = g.win
+  GROUP BY d.doc_id
+)
+SELECT
+  doc_id,
+  n_windows,
+  n_dup_windows,
+  ROUND(CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE), 6) AS dup_frac,
+  (CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE) <= 0.8) AS keep
+FROM per_doc
+"""
+
+
+@register("dedup_exact_substring", oracle=_EXACT_SUBSTR_ORACLE, tags=("dedup", "text"))
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage audit at exact-substring granularity (the
+    ExactSubstr dedup family): fraction of each document's 10-token sliding
+    windows that occur elsewhere in the corpus (any doc, or repeated within
+    this one), with a keep verdict at dup_frac <= 0.8. Complements the
+    doc-level families — `dedup_exact` (whole doc), `dedup_jaccard_pairs*`
+    (token-set), `text_line_dedup` (line) — at the passage level where
+    boilerplate and licence blocks hide inside otherwise-unique pages.
+
+    Scale shape: windows are generated by a zero-shuffle array projection
+    (LINEAR in token volume: n_tokens - 9 windows per doc) and md5'd
+    scan-side, so the (doc, digest)-grain combine and the digest-grain
+    global count — the only two shuffles — carry fixed-width digests, never
+    passage text. No self-join anywhere: duplication is detected by a
+    digest-grain COUNT, so worst-case cost is corpus token volume, not
+    pairs. Docs under 10 tokens emit no windows and drop (nothing to
+    audit), matching the oracle's WHERE LEN >= 10."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    win_arr = F.when(
+        F.size("w") >= 10,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 9),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 10))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = ws.select("doc_id", F.explode(win_arr).alias("dig"))
+    dwc = wins.groupBy("doc_id", "dig").agg(F.count(F.lit(1)).alias("cnt"))
+    glob = dwc.groupBy("dig").agg(F.sum("cnt").alias("tot"))
+    per_doc = (
+        dwc.join(glob, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac <= 0.8).alias("keep"),
+    )

@@ -283,3 +283,59 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = attach_mjpeg_payload(docs, "doc_id", "text")
     return count_mjpeg_frames(media)
+
+
+# Frame-level audio analysis (r5): after multimodal_audio_stats proved the
+# WAV header round-trip, this one analyses the SAMPLES — windowed PCM
+# energy + silence detection parsed out of the data-chunk bytes with nested
+# JVM higher-order functions (hex once per row, transform over frames,
+# integer fold over samples). The fixture's PCM stand-in is the UTF-8 text,
+# so the oracle recomputes every window energy from ord() over the same
+# characters — all integers, so the hash proves the byte-extraction path
+# (offset/stride arithmetic included) is exact.
+_AUDIO_ENERGY_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, (i - 1) // 16 AS w,
+    ord(substr(text, CAST(i AS INT), 1)) - 128 AS s
+  FROM b, UNNEST(RANGE(1, (n // 16) * 16 + 1)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, w, CAST(SUM(s * s) AS BIGINT) AS e
+  FROM pos GROUP BY doc_id, w
+)
+SELECT
+  doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(e) AS BIGINT) AS total_energy,
+  CAST(MAX(e) AS BIGINT) AS max_window_energy,
+  CAST(SUM(CASE WHEN e < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+  CAST(10000 * SUM(CASE WHEN e < 8000 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+    AS silence_bp
+FROM wins
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_audio_energy", oracle=_AUDIO_ENERGY_ORACLE, tags=("multimodal",))
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio analysis: windowed PCM energy and silence
+    detection computed from the WAV payload's data-chunk BYTES
+    (operators/multimodal.py:pcm_window_energy) — byte extraction via the
+    le32 data-size field, per-16-sample sum-of-squares energy around the u8
+    midpoint, silent-frame count under an 8000 threshold, all in exact
+    integer arithmetic. The voice-activity / silence-trim primitive that
+    follows header decode in any real audio ingest.
+
+    Scale shape: one hex projection per row then nested higher-order
+    folds — no Python, no shuffle, O(bytes) per row; the driver sees 6
+    scalars per clip. The oracle recomputes every window from the
+    construction rule (PCM stand-in = text bytes, ord() per char), so the
+    hash match proves the offset/stride byte math end-to-end."""
+    from ..operators.multimodal import attach_wav_payload, pcm_window_energy
+
+    (docs,) = load(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id", "text")
+    return pcm_window_energy(media, window=16, silence_threshold=8000)

@@ -1321,3 +1321,109 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr("CAST(10000 * n_exact_dups div n_docs AS BIGINT)").alias("dup_rate_bp"),
     )
+
+
+# Cluster-aware (leakage-free) split (r5): a hash split keyed on doc_id
+# sends two near-duplicate documents to DIFFERENT splits with probability
+# ~2·p·(1−p) — train/test leakage that inflates eval scores. The fix every
+# serious pretraining pipeline ships: split on the near-dup CLUSTER id, so
+# a whole duplicate family lands in one split. The oracle replays the full
+# composition — inverted-index Jaccard pairs, RECURSIVE-CTE transitive
+# closure, singleton fill-in, md5-threshold split on the cluster id.
+_CLUSTER_SPLIT_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, LIST_DISTINCT(string_split(text, ' ')) AS ws FROM documents
+),
+inv AS (
+  SELECT doc_id, lang, LEN(ws) AS n, UNNEST(ws) AS w FROM toks
+),
+inter AS (
+  SELECT
+    a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+    COUNT(*) AS n_common
+  FROM inv a
+  JOIN inv b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM alldocs GROUP BY cluster_id
+)
+SELECT
+  a.doc_id,
+  a.cluster_id,
+  s.cluster_size,
+  CASE
+    WHEN substr(md5(concat('split-v1:', CAST(a.cluster_id AS VARCHAR))), 1, 4) < 'cccc'
+      THEN 'train'
+    WHEN substr(md5(concat('split-v1:', CAST(a.cluster_id AS VARCHAR))), 1, 4) < 'e666'
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM alldocs a JOIN sizes s ON a.cluster_id = s.cluster_id
+"""
+
+
+@register("curation_cluster_split", oracle=_CLUSTER_SPLIT_ORACLE, tags=("curation", "dedup"))
+def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: near-dup clusters (exact Jaccard
+    pairs -> iterative connected components) are assigned to splits as whole
+    units by hashing the CLUSTER id — a duplicate family can never straddle
+    the train/eval boundary, the contamination mode a per-document hash
+    split permits by construction (`curation_hash_split` keeps the
+    per-doc-key role for corpora already deduplicated).
+
+    Still growth-stable: cluster id is the family's min doc_id, so adding
+    unrelated documents never reassigns an existing family (merging two
+    families can — exactly when leaving them separate would have leaked).
+
+    Scale shape: the pair stage here is the uncapped fixture configuration
+    (tiny ~30-word vocabulary; the oracle demands every pair) — at 100x the
+    pair stage swaps to `dedup_jaccard_pairs_capped` (df<=100) or the
+    LSH path (`dedup_cluster_lsh`) with this exact downstream unchanged.
+    CC is 2 shuffles/round on the edge list; the split itself stays a
+    zero-shuffle projection on the cluster id; cluster_size is one
+    cluster-grain aggregate joined back."""
+    from ..operators.dedup import jaccard_similarity_pairs
+    from ..operators.graph import connected_components
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang",
+        max_token_doc_freq=None,
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    clustered = docs.select("doc_id").join(
+        cc.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        assign_split(clustered, "cluster_id", seed="split-v1")
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size", "split")
+    )

@@ -906,3 +906,83 @@ def stats_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price_c").cast("long").alias("max_c"),
         F.expr("CAST(10000 * COUNT(*) div ANY_VALUE(n) AS BIGINT)").alias("share_bp"),
     )
+
+
+# Lorenz curve / power-user concentration (r5): the decile-resolved
+# companion of agg_gini_concentration — "the top decile of users drives M%
+# of purchase revenue". Per-user totals accumulate in exact integer cents;
+# decile shares and the cumulative curve are integer basis points (10000 *
+# cents div total), so every emitted number is a BIGINT and the hash cannot
+# drift with summation order. NTILE runs over |users| rows (post-aggregate
+# grain, bounded by distinct purchasers, never event volume) with a unique
+# (cents, user_id) total order so tile assignment is deterministic.
+_LORENZ_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS cents
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+tiled AS (
+  SELECT user_id, cents,
+    NTILE(10) OVER (ORDER BY cents, user_id) AS decile
+  FROM per_user
+),
+per_decile AS (
+  SELECT decile,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM tiled
+  GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_user)
+SELECT
+  CAST(decile AS BIGINT) AS decile,
+  n_users,
+  revenue_cents,
+  CAST(revenue_cents * 10000 // total AS BIGINT) AS share_bp,
+  CAST(SUM(revenue_cents * 10000 // total)
+       OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_share_bp
+FROM per_decile CROSS JOIN tot
+"""
+
+
+@register("events_lorenz_curve", oracle=_LORENZ_ORACLE, tags=("events", "stats"))
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) curve over purchasers: users ranked by
+    purchase revenue, cut into deciles, each decile's share of total revenue
+    plus the cumulative curve — the "whales" diagnostic behind sampling /
+    capacity decisions, and the decile-resolved complement of
+    ``agg_gini_concentration``.
+
+    Scale shape: events collapse to per-user cents in one map-side-combinable
+    aggregate, so the only data-sized shuffle is user-grain. The NTILE and
+    the 10-row cumulative window run post-aggregate (|users|, then 10 rows);
+    the 1-row grand total broadcasts. All shares are integer basis points
+    (exact int division), so output is pure BIGINT."""
+    (events,) = load(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+    )
+    tiled = per_user.select(
+        "user_id",
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "user_id")).alias("decile"),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    tot = per_user.agg(F.sum("cents").cast("long").alias("total"))
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    share = F.expr("revenue_cents * 10000 div total")
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "revenue_cents",
+        share.cast("long").alias("share_bp"),
+        F.sum(share).over(cum).cast("long").alias("cum_share_bp"),
+    )

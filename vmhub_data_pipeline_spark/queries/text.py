@@ -1851,3 +1851,111 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / var_x, 6).alias("zipf_slope"),
         F.round(cov * cov / (var_x * var_y), 6).alias("r2"),
     )
+
+
+# Bigram language-model scoring (r5): the KenLM-shaped upgrade of the
+# unigram perplexity filter — fluency under a 2-gram LM with add-one
+# smoothing, P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V). Per-bigram log-probs
+# quantize to integer micro-nats BEFORE the per-doc sum (the langid
+# determinism trick), so the cross-entropy total — and therefore the hash —
+# is identical at any partitioning. The LM here trains on the corpus
+# itself; production swaps in counts from a trusted reference corpus
+# (fixed, bounded vocab -> profile broadcasts), identical join topology.
+_BIGRAM_LM_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    w[i] AS w1, w[i + 1] AS w2
+  FROM ws, UNNEST(RANGE(1, LEN(w))) AS t(i)
+),
+dbc AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY doc_id, w1, w2
+),
+bprof AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+),
+uprof AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+)
+SELECT
+  dbc.doc_id,
+  CAST(SUM(dbc.cnt) AS BIGINT) AS n_bigrams,
+  CAST(-SUM(dbc.cnt * CAST(ROUND(LN(
+    CAST(bprof.c2 + 1 AS DOUBLE) / CAST(uprof.c1 + vocab.v AS DOUBLE)
+  ) * 1000000.0) AS BIGINT)) AS BIGINT) AS xent_q,
+  CAST(-SUM(dbc.cnt * CAST(ROUND(LN(
+    CAST(bprof.c2 + 1 AS DOUBLE) / CAST(uprof.c1 + vocab.v AS DOUBLE)
+  ) * 1000000.0) AS BIGINT)) // SUM(dbc.cnt) AS BIGINT) AS mean_xent_q
+FROM dbc
+JOIN bprof ON bprof.w1 = dbc.w1 AND bprof.w2 = dbc.w2
+JOIN uprof ON uprof.w1 = dbc.w1
+CROSS JOIN vocab
+GROUP BY dbc.doc_id
+"""
+
+
+@register("text_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE, tags=("text", "curation"))
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring under a corpus-trained BIGRAM LM with add-one
+    smoothing — the KenLM-shaped step up from `text_perplexity_filter`'s
+    unigram model: word-order scrambles that a unigram LM scores identically
+    rank as disfluent here. Output is per-document cross-entropy in exact
+    integer micro-nats plus its per-bigram mean (integer division), the
+    quantity a CCNet-style pipeline thresholds or terciles on.
+
+    Scale shape: the fact side collapses to per-(doc, bigram) counts before
+    any join, so the joins move count rows, never text. The bigram profile
+    is vocab²-bounded (here corpus-trained, so the (w1,w2) equi-join runs as
+    a shuffle join; the production fixed-reference-LM variant is
+    broadcast-size by construction — same guard discipline as
+    `text_perplexity_filter`). Single-word docs emit no bigram rows and are
+    excluded (no sequence to score), matching the oracle's empty RANGE."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bigram_struct = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = ws.select("doc_id", F.explode(bigram_struct).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bprof = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).withColumnsRenamed(
+        {"w1": "p_w1", "w2": "p_w2"}
+    )
+    uprof = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed(
+        "w1", "u_w1"
+    )
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).agg(F.countDistinct("word").alias("v"))
+    q = F.round(
+        F.log(
+            (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+        )
+        * 1000000.0
+    ).cast("long")
+    scored = (
+        dbc.join(bprof, (dbc.w1 == F.col("p_w1")) & (dbc.w2 == F.col("p_w2")))
+        .join(uprof, dbc.w1 == F.col("u_w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "cnt", q.alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("cnt") * F.col("q"))).cast("long").alias("xent_q"),
+        F.expr("CAST(-SUM(cnt * q) div SUM(cnt) AS BIGINT)").alias("mean_xent_q"),
+    )

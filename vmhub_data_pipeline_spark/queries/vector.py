@@ -1028,3 +1028,101 @@ def vector_pca_power(
         F.round(F.lit(lam), 4).alias("eigval_r"),
         F.row_number().over(w_rank).cast("long").alias("rank"),
     )
+
+
+# Embedding-distribution drift monitor (r5): per-label centroid agreement
+# between two corpus batches (vec_id parity stands in for "last month vs
+# this month" — production keys this on an ingest-date column, same plan).
+# The drift statistic is the cosine between the two batch centroids.
+# Determinism: components quantize to integer units of 2^-20 scan-side, the
+# per-(label, batch, dim) sums are exact BIGINTs, and the dot/norm products
+# accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — all exact — so
+# the only floating-point op is the final one-shot cosine division, rounded
+# to 4 dp on both engines. Centroid cosine is scale-invariant, so dividing
+# by counts is skipped entirely (sums ARE the centroids up to scale).
+_DRIFT_ORACLE = """
+WITH q AS (
+  SELECT label, vec_id % 2 AS batch,
+    generate_subscripts(embedding, 1) AS dim,
+    CAST(ROUND(UNNEST(embedding::DOUBLE[]) * 1048576.0) AS BIGINT) AS qx
+  FROM embeddings
+),
+sums AS (
+  SELECT label, batch, dim, CAST(SUM(qx) AS BIGINT) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, batch, dim
+),
+piv AS (
+  SELECT label, dim,
+    MAX(CASE WHEN batch = 0 THEN s END) AS sa,
+    MAX(CASE WHEN batch = 1 THEN s END) AS sb,
+    MAX(CASE WHEN batch = 0 THEN n END) AS na,
+    MAX(CASE WHEN batch = 1 THEN n END) AS nb
+  FROM sums GROUP BY label, dim
+),
+folded AS (
+  SELECT label,
+    MAX(na) AS n_a, MAX(nb) AS n_b,
+    SUM(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS dot,
+    SUM(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)) AS na2,
+    SUM(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS nb2
+  FROM piv GROUP BY label
+)
+SELECT
+  CAST(label AS BIGINT) AS label,
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))), 4)
+    AS centroid_cosine
+FROM folded
+"""
+
+
+@register("vector_drift_report", oracle=_DRIFT_ORACLE, tags=("vector", "stats"))
+def vector_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift report: per-label cosine between the centroids of two
+    corpus batches — the monitor that catches encoder regressions / domain
+    shift before a retrieval index or dedup threshold silently degrades.
+
+    Scale shape: one posexplode pass collapses the fact table to
+    (label, batch, dim) exact-integer sums — |labels| x 2 x 64 rows — and
+    everything after runs at model grain (O(labels·dim), never O(rows)).
+    Quantized components make the sums exact; dot and norm products fold in
+    DECIMAL(38,0) so no intermediate overflows or reorders; cosine is one
+    double division at the end (scale-invariant, so counts never divide).
+    """
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "label", "batch", "dim",
+        F.round(F.col("x") * 1048576.0).cast("long").alias("qx"),
+    )
+    sums = q.groupBy("label", "batch", "dim").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    piv = sums.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("batch") == 0, F.col("s"))).cast("decimal(38,0)").alias("sa"),
+        F.max(F.when(F.col("batch") == 1, F.col("s"))).cast("decimal(38,0)").alias("sb"),
+        F.max(F.when(F.col("batch") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("batch") == 1, F.col("n"))).alias("nb"),
+    )
+    folded = piv.groupBy("label").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return folded.select(
+        F.col("label").cast("long").alias("label"),
+        "n_a",
+        "n_b",
+        F.round(cos, 4).alias("centroid_cosine"),
+    )
