@@ -927,11 +927,13 @@ def vector_pca_power(
 
     Scale shape: the only data-sized pass is the scatter-matrix
     accumulation G = sum (x-mu)(x-mu)^T, computed as a SCAN-SIDE outer
-    product (flatten/transform of each row into its dim^2 cell
-    contributions — no self-join, no shuffle of vectors) followed by a
-    partial-aggregating groupBy onto dim^2 = 4,096 keys; mu is one
-    dim-sized exact-integer aggregate. Everything after G is O(dim^2)
-    DRIVER-side (collect of 4,096 doubles — O(model), not O(data), the
+    product over the UPPER TRIANGLE only (G is symmetric — dim*(dim+1)/2
+    = 2,080 cells per row instead of 4,096, emitted as a flat array of
+    already-quantized longs: no self-join, no struct per cell, no shuffle
+    of vectors) followed by a partial-aggregating groupBy onto the 2,080
+    linearized cell keys; mu is one dim-sized exact-integer aggregate.
+    Everything after G is O(dim^2) DRIVER-side (collect of 2,080 doubles,
+    mirrored into the full matrix — O(model), not O(data), the
     kmeans_fit precedent), so iteration count never touches the corpus.
     The final projection pass is again one scan with the eigenvector
     inlined as a literal.
@@ -970,35 +972,39 @@ def vector_pca_power(
     mu_lit = F.array(*[F.lit(m) for m in mu])
 
     cent = e.select("vec_id", F.zip_with("v", mu_lit, lambda a, b: a - b).alias("cv"))
-    # scan-side outer product: each row contributes its dim^2 cells in one
-    # projection; map-side partial agg collapses to 4,096 keys per partition
-    pairs = cent.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "cv",
-                    lambda ci, i: F.transform(
-                        "cv", lambda cj, j: F.struct(i.alias("i"), j.alias("j"), (ci * cj).alias("p"))
-                    ),
-                )
-            )
-        ).alias("pr")
-    )
-    g_rows = (
-        pairs.select("pr.i", "pr.j", "pr.p")
-        .groupBy("i", "j")
-        .agg(
-            (
-                F.sum(F.floor(F.col("p") * F.lit(1e9) + F.lit(0.5)).cast("long")).cast("double")
-                / F.lit(1e9)
-            ).alias("gv")
+    # scan-side outer product, UPPER TRIANGLE only (G is symmetric; the
+    # (j,i) cell is the same exact product, so mirroring driver-side is
+    # bit-free): each row contributes its dim*(dim+1)/2 = 2,080 cells as a
+    # flat array of ALREADY-quantized longs — half the explode volume of
+    # the full matrix and no struct allocation per cell — then one
+    # map-side-combinable groupBy onto the linearized cell index. The
+    # quantization (floor nano-units) moves inside the scan projection:
+    # identical per-product values, identical integer sums.
+    tri = F.flatten(
+        F.transform(
+            "cv",
+            lambda ci, i: F.transform(
+                F.slice(F.col("cv"), i + 1, F.lit(dim) - i),
+                lambda cj: F.floor(ci * cj * F.lit(1e9) + F.lit(0.5)).cast("long"),
+            ),
         )
+    )
+    pairs = cent.select(F.posexplode(tri).alias("pos", "q"))
+    g_rows = (
+        pairs.groupBy("pos")
+        .agg((F.sum("q").cast("double") / F.lit(1e9)).alias("gv"))
         .collect()
     )
+    # linear cell index -> (i, j>=i), row-major over the upper triangle
+    cell = []
+    for i in range(dim):
+        for j in range(i, dim):
+            cell.append((i, j))
     G = [[0.0] * dim for _ in range(dim)]
     for r in g_rows:
-        G[r["i"]][r["j"]] = float(r["gv"])
-
+        i, j = cell[r["pos"]]
+        G[i][j] = float(r["gv"])
+        G[j][i] = float(r["gv"])
     # power iteration, left-to-right accumulation (== list_dot_product)
     v = [0.125] * dim
     lam = 0.0
