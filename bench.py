@@ -77,6 +77,12 @@ HEADLINE = [
     # math) — both newly registered/upgraded, neither had timing history
     "dedup_jaccard_pairs_capped",
     "vector_pca_power",
+    # round 5 additions: passage-grain exact-substring audit (digest-only
+    # shuffles), bigram-LM scoring (vocab^2 profile join), and the
+    # scan-stage PCM energy fold — one entry per new tier
+    "dedup_exact_substring",
+    "text_bigram_lm_score",
+    "multimodal_audio_energy",
 ]
 
 # Every headline entry runs 3 times, median recorded (r4; previously only
@@ -110,6 +116,9 @@ SECONDARY = [
     # + ADC scoring and the IVF Lloyd fit + probed-cell re-rank
     "ann_pq_topk",
     "ann_ivf_topk",
+    # r5: cluster-aware split = CC + cluster-size join + hash assignment;
+    # tracked at sf0.01 with the rest of the iterative exact-pair tier
+    "curation_cluster_split",
 ]
 
 
