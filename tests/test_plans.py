@@ -750,3 +750,58 @@ def test_jaccard_capped_df_filter_is_broadcast(spark, sf_dir):
     plan = explain_str(Q["dedup_jaccard_pairs_capped"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_energy_is_scan_stage(spark, sf_dir):
+    """PCM windowed-energy analysis (r5) is one projection per row: the hex
+    extraction + nested higher-order folds must stay JVM-side in the scan
+    stage — no exchange, no Python worker."""
+    df = Q["multimodal_audio_energy"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "Python" not in explain_str(df)
+
+
+def test_exact_substring_no_cartesian_and_digest_shuffles(spark, sf_dir):
+    """The passage audit detects duplication by digest-grain COUNT, never a
+    self-join: no cartesian/BNLJ anywhere, and the shuffles carry md5
+    digests, not passage text (window text never appears as an exchange
+    attribute)."""
+    df = Q["dedup_exact_substring"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lorenz_broadcasts_grand_total(spark, sf_dir):
+    """The 1-row grand total must broadcast; the only data-sized shuffle is
+    the user-grain aggregate."""
+    assert has_broadcast_join(Q["events_lorenz_curve"].fn(spark, sf_dir))
+
+
+def test_drift_report_no_join(spark, sf_dir):
+    """The drift monitor is aggregation-only (posexplode -> three
+    aggregates): any join/cartesian in the plan means the model-grain
+    design regressed."""
+    plan = explain_str(Q["vector_drift_report"].fn(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_cluster_split_assignment_is_projection(spark, sf_dir):
+    """The split CASE itself must not add a shuffle on top of the CC +
+    cluster-size machinery: the plan's exchange count equals the composed
+    pair-stage/CC/size budget with zero extra for the md5 assignment."""
+    from vmhub_data_pipeline_spark.operators.dedup import jaccard_similarity_pairs
+    from vmhub_data_pipeline_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_similarity_pairs(
+        docs, "doc_id", "text", threshold=0.9, group_col="lang", max_token_doc_freq=None
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    clustered = docs.select("doc_id").join(
+        cc.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id"))
+    sizes = clustered.groupBy("cluster_id").count()
+    base = count_exchanges(clustered.join(sizes, "cluster_id"))
+    full = count_exchanges(Q["curation_cluster_split"].fn(spark, sf_dir))
+    assert full == base

@@ -133,3 +133,66 @@ def test_drift_report_identical_batches_have_cosine_one(spark, tmp_path):
     [r] = Q["vector_drift_report"](spark, str(tmp_path)).collect()
     assert r["label"] == 3 and r["n_a"] == 2 and r["n_b"] == 2
     assert r["centroid_cosine"] == 1.0
+
+
+def test_rfm_scores_are_quintiles(spark, sf_dir):
+    rows = Q["events_rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # quintile sizes differ by at most 1
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[dim] for r in rows).values()
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_benford_covers_digits_and_shares_sum(spark, sf_dir):
+    rows = {r["digit"]: r for r in Q["stats_benford_audit"](spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert sum(r["n_rows"] for r in rows.values()) > 0
+    # Benford expectation is fixed: digit 1 ~ 3010 bp, digit 9 ~ 458 bp
+    assert rows[1]["benford_bp"] == 3010
+    for r in rows.values():
+        assert r["delta_bp"] == r["share_bp"] - r["benford_bp"]
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    out = Q["text_ngram_novelty"](spark, sf_dir)
+    first = out.orderBy("doc_id").first()
+    # the earliest document can only contain first-occurrence n-grams
+    assert first["novelty_bp"] == 10000 and first["n_novel"] == first["n_distinct_ngrams"]
+
+
+def test_shard_manifest_is_balanced(spark, sf_dir):
+    rows = Q["curation_shard_manifest"](spark, sf_dir).collect()
+    assert len(rows) == 16 and {r["shard"] for r in rows} == set(range(16))
+    totals = [r["total_tokens"] for r in rows]
+    # round-robin over the size-desc rank keeps shards within one max-doc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F2
+
+    max_doc = docs.select(F2.max(F2.size(F2.split("text", " ")))).first()[0]
+    assert max(totals) - min(totals) <= max_doc
+    # share metric: ideal is 10000 per shard (16 shards x sum = 160000)
+    assert all(abs(r["share_permyriad16"] - 10000) < 1000 for r in rows)
+
+
+def test_dbscan_grid_labels_partition_points(spark, sf_dir):
+    rows = Q["dedup_dbscan_grid"](spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == emb_n
+    core = [r for r in rows if r["is_core"]]
+    noise = [r for r in rows if not r["is_core"]]
+    # fixture-tuned scale must produce BOTH dense structure and noise
+    assert core and noise
+    for r in core:
+        assert r["cluster_id"] is not None
+    for r in noise:
+        assert r["cluster_id"] is None
+    # cluster ids are canonical min cell keys: every cluster id must be the
+    # key of one of its own member cells
+    keys = {(r["cx"] + 1000) * 100000 + (r["cy"] + 1000) for r in core}
+    assert {r["cluster_id"] for r in core} <= keys

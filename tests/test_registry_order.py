@@ -38,6 +38,7 @@ REQUIRED_IN_WINDOW = {
     "dedup": [
         "dedup_jaccard_pairs_capped",
         "dedup_exact_substring",
+        "dedup_dbscan_grid",
         "dedup_cluster_lsh",
         "dedup_survivorship",
         "dedup_levenshtein_pairs",
@@ -50,33 +51,31 @@ REQUIRED_IN_WINDOW = {
         "multimodal_audio_energy",
         "multimodal_video_frames",
     ],
-    "text": ["text_perplexity_filter", "text_bm25_topk", "text_bigram_lm_score"],
+    "text": ["text_perplexity_filter", "text_bm25_topk", "text_bigram_lm_score", "text_ngram_novelty"],
     "events": [
         "events_association_rules",
         "events_funnel",
         "events_json_extract",
         "events_pivot",
         "events_cdc_apply",
-        "events_gapfill_hourly",
-        "events_ordered_funnel",
         "events_ab_experiment",
         "events_lorenz_curve",
+        "events_rfm_segmentation",
     ],
     "stats": [
         "agg_gini_concentration",
         "agg_mode",
         "agg_regression_trend",
-        "stats_chi2_drift",
         "stats_kanonymity_audit",
+        "stats_benford_audit",
         "case_bucketing",
     ],
     "pipeline": [
         "pipeline_fk_integrity",
-        "pipeline_quality_audit",
         "pipeline_rag_manifest",
     ],
-    "curation": ["curation_temperature_mix", "curation_cluster_split"],
-    "window": ["window_cumulative_distinct", "window_period_over_period"],
+    "curation": ["curation_temperature_mix", "curation_cluster_split", "curation_shard_manifest"],
+    "window": ["window_period_over_period"],
     "sketch": [
         "agg_bottomk_quantile_sketch",
         "agg_kmv_merge",

@@ -105,6 +105,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "vector_drift_report",          # embedding centroid drift monitor
     "events_lorenz_curve",          # revenue-concentration deciles
     "multimodal_audio_energy",      # PCM windowed energy / silence
+    "events_rfm_segmentation",      # RFM quintile segmentation
+    "stats_benford_audit",          # first-digit law audit
+    "text_ngram_novelty",           # crawl-increment novelty attribution
+    "curation_shard_manifest",      # balanced output sharding
+    "dedup_dbscan_grid",            # grid-DBSCAN density clustering
     # -- r5-touched regression guards --
     "text_perplexity_filter",       # cached broadcast-guard probe (r5)
     "knn_mmr_diverse",              # select_k<1 guard (r5)
@@ -122,16 +127,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_audio_stats",
     "multimodal_video_frames",
     "text_bm25_topk",
-    "events_gapfill_hourly",
-    "events_ordered_funnel",
     "events_ab_experiment",
-    "stats_chi2_drift",
     "stats_kanonymity_audit",
     "pipeline_fk_integrity",
-    "pipeline_quality_audit",
     "pipeline_rag_manifest",
     "curation_temperature_mix",
-    "window_cumulative_distinct",
     "window_period_over_period",
     "ann_lsh_topk",
 )

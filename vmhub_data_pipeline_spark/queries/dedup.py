@@ -1396,3 +1396,138 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("dup_frac"),
         (frac <= 0.8).alias("keep"),
     )
+
+
+# Grid-DBSCAN embedding clustering (r5): density-based structure discovery
+# over the embedding space — the clustering family k-means can't express
+# (arbitrary-shape clusters + explicit noise). Distributed DBSCAN's
+# standard scalable form is the GRID variant: project, bucket into eps
+# cells, mark dense ("core") cells, union ADJACENT core cells — neighbor
+# candidates come from an equi-join on enumerated neighbor cell keys, so
+# there is no point-to-point epsilon join anywhere. The 2-D projection
+# uses md5-derived hyperplanes (deterministic, inlined into the oracle)
+# exactly like dedup_semantic's bucketing.
+_DBSCAN_DIM = 64
+_DBSCAN_SCALE = 4.0  # eps = 0.25 in projection units (fixture-tuned: ~40 core cells / ~26% noise at sf0.01)
+_DBSCAN_MIN_PTS = 5
+_DBSCAN_SALT = 7  # distinct plane family from dedup_semantic's
+
+
+def _dbscan_planes() -> list[list[float]]:
+    from ..operators.similarity import _hyperplane
+
+    return [_hyperplane(_DBSCAN_DIM, i, _DBSCAN_SALT) for i in range(2)]
+
+
+def _dbscan_oracle() -> str:
+    p0, p1 = _dbscan_planes()
+    l0 = "[" + ", ".join(repr(x) for x in p0) + "]"
+    l1 = "[" + ", ".join(repr(x) for x in p1) + "]"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pts AS (
+  SELECT vec_id,
+    CAST(FLOOR(list_dot_product(v, {l0}) * {_DBSCAN_SCALE}) AS BIGINT) AS cx,
+    CAST(FLOOR(list_dot_product(v, {l1}) * {_DBSCAN_SCALE}) AS BIGINT) AS cy
+  FROM e
+),
+cells AS (
+  SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY cx, cy
+),
+core AS (
+  SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS key
+  FROM cells WHERE n >= {_DBSCAN_MIN_PTS}
+),
+edges0 AS (
+  SELECT a.key AS a, b.key AS b
+  FROM core a JOIN core b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.key < b.key
+),
+edges AS (
+  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+),
+verts AS (SELECT DISTINCT a AS vx FROM edges),
+reach(src, dst) AS (
+  SELECT vx, vx FROM verts
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+),
+comp AS (SELECT src AS key, MIN(dst) AS component FROM reach GROUP BY src),
+core_lab AS (
+  SELECT c.cx, c.cy, COALESCE(m.component, c.key) AS cluster_id
+  FROM core c LEFT JOIN comp m ON m.key = c.key
+)
+SELECT
+  p.vec_id, p.cx, p.cy,
+  (l.cluster_id IS NOT NULL) AS is_core,
+  l.cluster_id
+FROM pts p LEFT JOIN core_lab l ON l.cx = p.cx AND l.cy = p.cy
+"""
+
+
+@register("dedup_dbscan_grid", oracle=_dbscan_oracle(), tags=("dedup", "vector"))
+def dedup_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN over embeddings: deterministic 2-D hyperplane projection,
+    eps-cell bucketing (floor at scale 4 = eps 0.25), cells holding >= 5
+    points are CORE, and adjacent core cells (8-neighborhood) merge into
+    one cluster via the iterative connected-components operator; points in
+    non-core cells report NULL cluster (noise). Arbitrary-shape cluster
+    discovery + explicit noise labeling — the density complement of
+    k-means IVF and SemDeDup bucketing.
+
+    Scale shape: the data-sized work is one projection + one cell-grain
+    count (map-side combinable). Everything after runs at CELL grain:
+    neighbor edges come from exploding <= 9 neighbor keys per core cell
+    and equi-joining on the key — never a point-level epsilon join, never
+    a cross join; CC is 2 shuffles/round over the (tiny) core-cell graph.
+    Membership is a pure function of the vector (md5-derived planes inlined
+    in the oracle), so the full pipeline hash-matches a RECURSIVE-CTE
+    replay."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import _as_double, dot_expr
+
+    p0, p1 = _dbscan_planes()
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    pts = emb.select(
+        "vec_id",
+        F.floor(dot_expr(v, F.array(*[F.lit(x) for x in p0])) * _DBSCAN_SCALE)
+        .cast("long")
+        .alias("cx"),
+        F.floor(dot_expr(v, F.array(*[F.lit(x) for x in p1])) * _DBSCAN_SCALE)
+        .cast("long")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    key = (F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)
+    core = cells.where(F.col("n") >= _DBSCAN_MIN_PTS).select(
+        "cx", "cy", key.alias("key")
+    )
+    nbr_keys = F.array(
+        *[
+            (F.col("cx") + dx + 1000) * 100000 + (F.col("cy") + dy + 1000)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    edges = (
+        core.select("key", F.explode(nbr_keys).alias("nk"))
+        .join(core.select(F.col("key").alias("nk")), "nk")
+        .where(F.col("key") < F.col("nk"))
+        .select(F.col("key").alias("a"), F.col("nk").alias("b"))
+    )
+    cc = connected_components(edges, "a", "b")
+    core_lab = core.join(
+        cc.select(F.col("v").alias("key"), "component"), "key", "left"
+    ).select("cx", "cy", F.coalesce("component", F.col("key")).alias("cluster_id"))
+    return pts.join(core_lab, ["cx", "cy"], "left").select(
+        "vec_id",
+        "cx",
+        "cy",
+        F.col("cluster_id").isNotNull().alias("is_core"),
+        "cluster_id",
+    )

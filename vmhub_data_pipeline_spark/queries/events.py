@@ -1243,3 +1243,79 @@ def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ok").cast("long").alias("n_correct"),
         F.expr("CAST(10000 * SUM(ok) div COUNT(*) AS BIGINT)").alias("accuracy_bp"),
     )
+
+
+# RFM segmentation (r5): the classic recency/frequency/monetary customer
+# scoring behind retention and campaign targeting. Each dimension quintiles
+# independently via NTILE(5) over the post-aggregate user grain with a
+# unique (metric, user_id) total order, so tile assignment is deterministic
+# on both engines; the corpus max timestamp (the "as of" anchor) is one
+# 1-row broadcast. Monetary accumulates in exact integer cents.
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT MAX(ts) AS mx FROM p),
+per_user AS (
+  SELECT user_id,
+    CAST(date_diff('day', MAX(ts), (SELECT mx FROM anchor)) AS BIGINT) AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+)
+SELECT
+  user_id, recency_days, frequency, monetary_cents,
+  CAST(6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+  CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+  CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_score,
+  CONCAT(
+    CAST(6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR),
+    CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR),
+    CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS VARCHAR)
+  ) AS segment
+FROM per_user
+"""
+
+
+@register("events_rfm_segmentation", oracle=_RFM_ORACLE, tags=("events", "stats"))
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-purchaser recency (days since last
+    purchase, anchored at the corpus max timestamp), frequency (purchase
+    count) and monetary (exact integer cents), each scored 1-5 by quintile
+    — recency inverted so 5 always means "best" — and concatenated into
+    the classic 3-digit segment label ("555" = champions).
+
+    Scale shape: events collapse to user grain in one map-side-combinable
+    aggregate (the only data-sized shuffle); the anchor is a 1-row
+    broadcast; the three NTILE windows run over |purchasers| post-aggregate
+    rows with unique tiebreaks. All outputs integer/text — hash-exact."""
+    (events,) = load(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100.0).cast("long").alias("cents")
+    )
+    anchor = p.agg(F.max("ts").alias("mx"))
+    per_user = (
+        p.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("mx"), F.max("ts")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    r = (6 - F.ntile(5).over(Window.orderBy("recency_days", "user_id"))).cast("long")
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id")).cast("long")
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "user_id")).cast("long")
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )

@@ -1427,3 +1427,75 @@ def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size", "split")
     )
+
+
+# Balanced shard manifest (r5): the write-side counterpart of
+# pack_sequences — assign documents to a FIXED number of output shards so
+# shard token totals stay near-equal (downstream data-loader workers then
+# finish together instead of straggling on one fat shard). Longest-
+# processing-time heuristic approximated deterministically: docs ranked by
+# (tokens DESC, doc_id) via the distributed zip_with_global_index (never a
+# one-partition window), then dealt round-robin — rank r -> shard r mod N,
+# which interleaves big and small docs across shards.
+_SHARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rnk
+  FROM t
+),
+assigned AS (
+  SELECT doc_id, n_tokens, CAST(rnk % 16 AS BIGINT) AS shard FROM ranked
+),
+per_shard AS (
+  SELECT shard,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM assigned GROUP BY shard
+),
+ideal AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand FROM per_shard)
+SELECT
+  shard, n_docs, total_tokens,
+  CAST(total_tokens * 160000 // grand AS BIGINT) AS share_permyriad16
+FROM per_shard CROSS JOIN ideal
+"""
+
+
+@register("curation_shard_manifest", oracle=_SHARD_ORACLE, tags=("curation",))
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: documents dealt into 16 shards by
+    round-robin over the (tokens DESC, doc_id) rank, so every shard's token
+    total lands within one document of ideal — the manifest a distributed
+    tokenizer/writer consumes, sized so training data-loader workers finish
+    together. share_permyriad16 is each shard's share of the corpus scaled
+    to 16 shards x 10000 (ideal = 10000 exactly).
+
+    Scale shape: the global rank comes from ``zip_with_global_index``
+    (range repartition + per-partition prefix-sum enumerate — the audited
+    distributed zipWithIndex, never a single-partition window); assignment
+    is a scan-side mod; the manifest rollup is one 16-key aggregate with a
+    1-row broadcast grand total. All outputs BIGINT."""
+    (docs,) = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).withColumn("neg_tokens", -F.col("n_tokens"))
+    ranked = zip_with_global_index(t, "neg_tokens", "doc_id", num_partitions=16)
+    assigned = ranked.select(
+        "doc_id", "n_tokens", (F.col("global_index") % 16).cast("long").alias("shard")
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    ideal = per_shard.agg(F.sum("total_tokens").cast("long").alias("grand"))
+    return per_shard.crossJoin(F.broadcast(ideal)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST(total_tokens * 160000 div grand AS BIGINT)").alias(
+            "share_permyriad16"
+        ),
+    )

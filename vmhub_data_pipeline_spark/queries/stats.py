@@ -986,3 +986,67 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.cast("long").alias("share_bp"),
         F.sum(share).over(cum).cast("long").alias("cum_share_bp"),
     )
+
+
+# Benford first-digit audit (r5): fabricated or systematically-corrupted
+# numeric columns deviate from Benford's law (P(d) = log10(1 + 1/d)); the
+# fraud/data-quality screen that costs one scan. The leading digit is taken
+# from the exact integer cents via BIGINT->string (engine-safe — no float
+# log10 at power-of-ten boundaries); expected shares are computed by the
+# SAME ROUND(LOG10(..)*10000) expression on both engines over constant
+# rationals, so every emitted number is an exact integer.
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM obs)
+SELECT
+  digit,
+  n_rows,
+  CAST(n_rows * 10000 // n AS BIGINT) AS share_bp,
+  CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 10000) AS BIGINT) AS benford_bp,
+  CAST(n_rows * 10000 // n
+       - CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 10000) AS BIGINT) AS BIGINT) AS delta_bp
+FROM obs CROSS JOIN tot
+"""
+
+
+@register("stats_benford_audit", oracle=_BENFORD_ORACLE, tags=("stats", "quality"))
+def stats_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed leading-
+    digit shares vs the log10(1+1/d) expectation, per digit, in integer
+    basis points — the one-scan anomaly screen for fabricated amounts,
+    unit-mixups, or truncated feeds (a synthetic uniform fixture shows the
+    signature heavy-1 deficit immediately).
+
+    Scale shape: leading digit extracted from exact integer cents (BIGINT
+    string, no float log at boundaries) in the scan projection; one 9-key
+    map-side-combinable aggregate; the grand total is a 1-row broadcast.
+    Expected shares evaluate the identical ROUND(LOG10) expression on both
+    engines over constants, so output is all-BIGINT."""
+    (orders,) = load(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100.0).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    tot = obs.agg(F.sum("n_rows").cast("long").alias("n"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 10000).cast("long")
+    share = F.expr("CAST(n_rows * 10000 div n AS BIGINT)")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_rows",
+        share.alias("share_bp"),
+        benford.alias("benford_bp"),
+        (share - benford).cast("long").alias("delta_bp"),
+    )

@@ -1959,3 +1959,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.sum(F.col("cnt") * F.col("q"))).cast("long").alias("xent_q"),
         F.expr("CAST(-SUM(cnt * q) div SUM(cnt) AS BIGINT)").alias("mean_xent_q"),
     )
+
+
+# N-gram novelty attribution (r5): "how much NEW text does each document
+# add, given everything ingested before it" — the temporal complement of
+# dedup_exact_substring's global duplication audit, and the signal behind
+# crawl-increment valuation (a dump whose novelty curve collapses isn't
+# worth processing). A distinct 8-gram is NOVEL in the earliest doc_id
+# that contains it (ingestion order) and repeated everywhere later.
+_NOVELTY_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(w, i, i + 7), ' ') AS win
+  FROM ws, UNNEST(RANGE(1, LEN(w) - 6)) AS t(i)
+  WHERE LEN(w) >= 8
+),
+first_seen AS (
+  SELECT win, MIN(doc_id) AS first_doc FROM wins GROUP BY win
+)
+SELECT
+  w.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+  CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(10000 * SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) // COUNT(*)
+       AS BIGINT) AS novelty_bp
+FROM wins w JOIN first_seen f ON w.win = f.win
+GROUP BY w.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "dedup"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty under ingestion order (doc_id): the
+    fraction of a doc's distinct 8-grams whose FIRST corpus occurrence is
+    this doc. Novelty near 10000 bp = genuinely new content; near 0 =
+    the document restates what the corpus already holds — the
+    keep/skip economics of incremental crawls, at n-gram resolution.
+
+    Scale shape: windows are a zero-shuffle array projection md5'd
+    scan-side (the shuffles move digests); first-occurrence attribution is
+    one digest-grain MIN — no self-join, no pair generation, linear in
+    token volume. Same window machinery as ``dedup_exact_substring``
+    (K=8 here) with MIN-attribution instead of a global count."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    win_arr = F.when(
+        F.size("w") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 8))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = ws.select("doc_id", F.explode(win_arr).alias("dig"))
+    first_seen = wins.groupBy("dig").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        wins.join(first_seen, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_ngrams"),
+            novel.alias("n_novel"),
+            F.expr(
+                "CAST(10000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )
