@@ -196,3 +196,28 @@ def test_dbscan_grid_labels_partition_points(spark, sf_dir):
     # key of one of its own member cells
     keys = {(r["cx"] + 1000) * 100000 + (r["cy"] + 1000) for r in core}
     assert {r["cluster_id"] for r in core} <= keys
+
+
+def test_bloom_prefilter_never_false_negative(spark, sf_dir):
+    rows = Q["pipeline_bloom_prefilter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every true member passes (Bloom invariant), so passes partition
+        # exactly into members + false positives
+        assert r["n_bloom_pass"] == r["n_members"] + r["n_false_pos"]
+        assert 0 <= r["fpr_bp"] <= 10000
+        assert r["n_probed"] >= r["n_bloom_pass"]
+
+
+def test_kmv_intersection_estimates_track_exact(spark, sf_dir):
+    rows = Q["agg_kmv_intersection"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common"] <= 64
+        assert r["est_intersection"] >= 0.0
+    # aggregate accuracy: summed estimates within 50% of summed exacts
+    # (k=64 registers -> ~12.5% per-pair std error; the sum tightens it)
+    tot_exact = sum(r["n_exact"] for r in rows)
+    tot_est = sum(r["est_intersection"] for r in rows)
+    assert tot_exact > 0
+    assert abs(tot_est - tot_exact) / tot_exact < 0.5

@@ -44,10 +44,9 @@ REQUIRED_IN_WINDOW = {
         "dedup_levenshtein_pairs",
         "dedup_blocking_eval",
     ],
-    "join": ["join_feature_store_pit", "join_q9_product_profit"],
+    "join": ["join_feature_store_pit", "pipeline_bloom_prefilter"],
     "multimodal": [
         "multimodal_format_detect",
-        "multimodal_audio_stats",
         "multimodal_audio_energy",
         "multimodal_video_frames",
     ],
@@ -79,6 +78,7 @@ REQUIRED_IN_WINDOW = {
     "sketch": [
         "agg_bottomk_quantile_sketch",
         "agg_kmv_merge",
+        "agg_kmv_intersection",
     ],
     "streaming": ["streaming_cms_fold"],
 }

@@ -110,6 +110,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_ngram_novelty",           # crawl-increment novelty attribution
     "curation_shard_manifest",      # balanced output sharding
     "dedup_dbscan_grid",            # grid-DBSCAN density clustering
+    "agg_kmv_intersection",         # theta-sketch set algebra
+    "pipeline_bloom_prefilter",     # bloom semi-join prefilter audit
     # -- r5-touched regression guards --
     "text_perplexity_filter",       # cached broadcast-guard probe (r5)
     "knn_mmr_diverse",              # select_k<1 guard (r5)
@@ -123,8 +125,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_levenshtein_pairs",
     "dedup_blocking_eval",
     "join_feature_store_pit",
-    "join_q9_product_profit",
-    "multimodal_audio_stats",
     "multimodal_video_frames",
     "text_bm25_topk",
     "events_ab_experiment",

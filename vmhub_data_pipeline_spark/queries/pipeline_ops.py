@@ -657,3 +657,147 @@ def pipeline_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("revenue_c").cast("long").alias("revenue_c"),
         )
     )
+
+
+# Deterministic Bloom-filter prefilter audit (r5): the runtime-filter /
+# semi-join-pruning pattern measured honestly. A Bloom filter over the
+# build side's keys (urgent orders' customers) is materialized as a
+# BIT-POSITION TABLE (m = 16384 possible rows — constant-size, broadcast-
+# joinable at any corpus size) rather than a driver bitmap; the probe side
+# (all customers) passes when ALL k=3 of its md5-derived bit positions are
+# set. The report quantifies exactly what a production runtime filter
+# would buy per segment: true members, Bloom passes, false positives, FPR.
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x',
+      substr(md5(concat('bloom-v1:', CAST(j AS VARCHAR), ':', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) % {_BLOOM_M} AS bit
+  FROM build, UNNEST(RANGE(1, {_BLOOM_K} + 1)) AS t(j)
+),
+probe AS (
+  SELECT c_custkey, c_mktsegment, j,
+    CAST(concat('0x',
+      substr(md5(concat('bloom-v1:', CAST(j AS VARCHAR), ':', CAST(c_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) % {_BLOOM_M} AS bit
+  FROM customer, UNNEST(RANGE(1, {_BLOOM_K} + 1)) AS t(j)
+),
+hits AS (
+  -- count distinct hash INDICES (j) with their bit set, not distinct bit
+  -- values: a key whose k hashes collide onto one bit must still pass
+  -- (no false negatives — the Bloom invariant)
+  SELECT p.c_custkey, p.c_mktsegment,
+    CAST(COUNT(DISTINCT CASE WHEN b.bit IS NOT NULL THEN p.j END) AS BIGINT) AS n_set
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.c_custkey, p.c_mktsegment
+),
+labeled AS (
+  SELECT h.c_custkey, h.c_mktsegment,
+    (h.n_set = {_BLOOM_K}) AS bloom_pass,
+    (bu.o_custkey IS NOT NULL) AS is_member
+  FROM hits h LEFT JOIN build bu ON bu.o_custkey = h.c_custkey
+)
+SELECT
+  c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_probed,
+  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+  CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos,
+  CAST(10000 * SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+       // GREATEST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 1) AS BIGINT)
+    AS fpr_bp
+FROM labeled
+GROUP BY c_mktsegment
+"""
+
+
+@register("pipeline_bloom_prefilter", oracle=_BLOOM_ORACLE, tags=("pipeline", "join"))
+def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter with an exact false-positive audit:
+    build a deterministic m=16384-bit / k=3-hash Bloom filter over urgent-
+    order customers, probe every customer through it, and report per market
+    segment how many probes pass vs true membership — the measured version
+    of the runtime-filter pruning a 100 TB fact-dim join relies on (ship
+    the constant-size filter to the fact scan, drop non-matching rows
+    before the shuffle). Zero Bloom false NEGATIVES by construction; the
+    fpr_bp column prices the false-positive traffic the filter lets
+    through.
+
+    Scale shape: the bit table is bounded at m rows regardless of build
+    cardinality (the Bloom property) and BROADCASTS to the probe side; the
+    probe explodes exactly k bit rows per key (linear), folds back to key
+    grain counting distinct SET positions, and the exact audit is one
+    key-grain left join. All md5-derived positions — both engines compute
+    identical bits, so the report is hash-exact."""
+    (orders, customer) = load(spark, sf_dir, "orders", "customer")
+
+    def bloom_bit(key: F.Column, j: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bloom-v1:"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        key.cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long") % _BLOOM_M
+
+    js = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("j")
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    bits = (
+        build.select("o_custkey", js)
+        .select(bloom_bit(F.col("o_custkey"), F.col("j")).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probe = customer.select("c_custkey", "c_mktsegment", js).select(
+        "c_custkey", "c_mktsegment", "j", bloom_bit(F.col("c_custkey"), F.col("j")).alias("bit")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            # distinct hash indices (j), not bit values: self-colliding
+            # keys must still pass — the Bloom no-false-negative invariant
+            F.countDistinct(F.when(F.col("set_").isNotNull(), F.col("j")))
+            .cast("long")
+            .alias("n_set")
+        )
+    )
+    labeled = hits.join(
+        F.broadcast(build.withColumn("member_", F.lit(1))),
+        hits.c_custkey == build.o_custkey,
+        "left",
+    ).select(
+        "c_mktsegment",
+        (F.col("n_set") == _BLOOM_K).alias("bloom_pass"),
+        F.col("member_").isNotNull().alias("is_member"),
+    )
+    return labeled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.expr(
+            "CAST(10000 * SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)"
+            " div GREATEST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("fpr_bp"),
+    )

@@ -1050,3 +1050,135 @@ def stats_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_bp"),
         (share - benford).cast("long").alias("delta_bp"),
     )
+
+
+# Theta-sketch intersection (r5): the set-ALGEBRA step that makes KMV/theta
+# sketches more than distinct counters — estimate |A n B| for every group
+# pair from the k-minimum-value registers alone (Dasgupta et al., the
+# DataSketches theta model): theta = min(theta_A, theta_B), matches =
+# common register hashes below theta, est = matches * 2^52 / theta. At
+# 100 TB the sketches are the only thing that moves — k hashes per group —
+# while the exact-intersection audit column here quantifies the error.
+_KMV_INT_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x',
+      substr(md5(concat('kmv-v1:', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS hv
+  FROM d
+),
+r AS (
+  SELECT o_orderpriority, hv,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT o_orderpriority, hv FROM r WHERE rn <= {_KMV_K}),
+theta AS (
+  SELECT o_orderpriority, CAST(MAX(hv) AS BIGINT) AS th
+  FROM sk GROUP BY o_orderpriority
+),
+common AS (
+  SELECT a.o_orderpriority AS grp_a, b.o_orderpriority AS grp_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sk a
+  JOIN sk b ON a.hv = b.hv AND a.o_orderpriority < b.o_orderpriority
+  JOIN theta ta ON ta.o_orderpriority = a.o_orderpriority
+  JOIN theta tb ON tb.o_orderpriority = b.o_orderpriority
+  WHERE a.hv < LEAST(ta.th, tb.th)
+  GROUP BY a.o_orderpriority, b.o_orderpriority
+),
+pairs AS (
+  SELECT ta.o_orderpriority AS grp_a, tb.o_orderpriority AS grp_b,
+    LEAST(ta.th, tb.th) AS min_th
+  FROM theta ta JOIN theta tb ON ta.o_orderpriority < tb.o_orderpriority
+),
+exact AS (
+  SELECT a.o_orderpriority AS grp_a, b.o_orderpriority AS grp_b,
+    CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM d a JOIN d b
+    ON a.o_custkey = b.o_custkey AND a.o_orderpriority < b.o_orderpriority
+  GROUP BY a.o_orderpriority, b.o_orderpriority
+)
+SELECT
+  p.grp_a, p.grp_b,
+  COALESCE(e.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+  COALESCE(c.n_common, CAST(0 AS BIGINT)) AS n_common,
+  ROUND(COALESCE(c.n_common, 0) * {_KMV_DENOM!r} / CAST(p.min_th AS DOUBLE), 4)
+    AS est_intersection
+FROM pairs p
+LEFT JOIN common c ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b
+LEFT JOIN exact e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
+"""
+
+
+@register("agg_kmv_intersection", oracle=_KMV_INT_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set-intersection estimates from KMV/theta sketches: for
+    every priority-group pair, |A n B| is estimated purely from the two
+    k=64 minimum-hash registers (theta = min of the two k-th hashes,
+    matching register hashes below theta scaled by 2^52/theta) and audited
+    against the exact intersection — the sketch-algebra primitive that
+    answers "how much do these corpora overlap" without comoving the data.
+
+    Scale shape: registers are WindowGroupLimit-bounded (k hashes per
+    group forwarded from each map task); everything after the sketch build
+    runs at k x |groups| grain — the pair join is over 64-row sketches,
+    never members. The exact audit column is fixture-affordable; at 100 TB
+    it drops and the sketches alone ship. All join keys are 52-bit
+    hashes; output counts BIGINT, estimate rounded 4 dp identically."""
+    (orders,) = load(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv-v1:"), F.col("o_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select("o_orderpriority", hv.alias("hv"))
+    w = Window.partitionBy("o_orderpriority").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    theta = sk.groupBy("o_orderpriority").agg(F.max("hv").cast("long").alias("th"))
+    ta = theta.select(F.col("o_orderpriority").alias("grp_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("o_orderpriority").alias("grp_b"), F.col("th").alias("th_b"))
+    pairs = ta.join(tb, F.col("grp_a") < F.col("grp_b")).select(
+        "grp_a", "grp_b", F.least("th_a", "th_b").alias("min_th")
+    )
+    sa = sk.select(F.col("o_orderpriority").alias("grp_a"), "hv")
+    sb = sk.select(F.col("o_orderpriority").alias("grp_b"), F.col("hv").alias("hv_b"))
+    common = (
+        sa.join(sb, (F.col("hv") == F.col("hv_b")) & (F.col("grp_a") < F.col("grp_b")))
+        .join(ta, "grp_a")
+        .join(tb, "grp_b")
+        .where(F.col("hv") < F.least("th_a", "th_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = d.select(F.col("o_orderpriority").alias("grp_a"), "o_custkey")
+    db = d.select(F.col("o_orderpriority").alias("grp_b"), F.col("o_custkey").alias("ck_b"))
+    exact = (
+        da.join(db, (F.col("o_custkey") == F.col("ck_b")) & (F.col("grp_a") < F.col("grp_b")))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        pairs.join(common, ["grp_a", "grp_b"], "left")
+        .join(exact, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * F.lit(_KMV_DENOM)
+                / F.col("min_th").cast("double"),
+                4,
+            ).alias("est_intersection"),
+        )
+    )
