@@ -805,3 +805,17 @@ def test_cluster_split_assignment_is_projection(spark, sf_dir):
     base = count_exchanges(clustered.join(sizes, "cluster_id"))
     full = count_exchanges(Q["curation_cluster_split"].fn(spark, sf_dir))
     assert full == base
+
+
+def test_bloom_bits_broadcast_to_probe(spark, sf_dir):
+    """The Bloom bit table is m-bounded and must BROADCAST to the probe
+    side — if it ever plans as a shuffle join the runtime-filter economics
+    are gone."""
+    assert has_broadcast_join(Q["pipeline_bloom_prefilter"].fn(spark, sf_dir))
+
+
+def test_kmv_intersection_sketch_state_is_bounded(spark, sf_dir):
+    """The register build must plan as WindowGroupLimit (k hashes per
+    group forwarded from each map task) — the property that keeps sketch
+    state constant at any corpus size."""
+    assert has_window_group_limit(Q["agg_kmv_intersection"].fn(spark, sf_dir))
