@@ -819,3 +819,44 @@ def test_kmv_intersection_sketch_state_is_bounded(spark, sf_dir):
     group forwarded from each map task) — the property that keeps sketch
     state constant at any corpus size."""
     assert has_window_group_limit(Q["agg_kmv_intersection"].fn(spark, sf_dir))
+
+
+# Queries allowed to keep a Window fed by Exchange SinglePartition, each at
+# a BOUNDED post-aggregate grain (never data grain). A new query that adds
+# one must be consciously added here with its grain argument — that is the
+# gate. (VERDICT r5 task 1: events_rfm_segmentation / events_lorenz_curve
+# ranked users through a single-partition NTILE; both now rank via
+# operators.sampling.distributed_ntile instead.)
+SINGLE_PARTITION_WINDOW_ALLOWLIST = {
+    "events_lorenz_curve": "cumulative share over exactly 10 decile rows",
+    "window_period_over_period": "lag over post-rollup day grain (|days|)",
+    "window_moving_avg": "frame over post-rollup day grain (|days|)",
+    "window_cumulative_distinct": "running sum over post-agg day grain",
+    "join_q15_top_supplier": "global max over supplier-grain revenue agg",
+    "curation_budget_apportion": "largest-remainder rank over |sources| rows",
+    "events_anomaly_zscore": "z-score frame over post-rollup day grain",
+}
+
+
+def test_no_data_grain_single_partition_windows(spark, sf_dir):
+    """Catalog-wide: no query may plan a Window fed by Exchange
+    SinglePartition unless pinned (with a bounded-grain justification) in
+    the allowlist above. This is the gate that keeps the 100 TB posture:
+    a global OVER (ORDER BY ...) at data grain is a one-task sort of the
+    whole key space."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+    from vmhub_data_pipeline_spark.queries.streaming_queries import _landed_events
+
+    _landed_events(spark, sf_dir)
+    offenders = {}
+    for name, q in Q.items():
+        n = single_partition_window_count(q.fn(spark, sf_dir))
+        if n and name not in SINGLE_PARTITION_WINDOW_ALLOWLIST:
+            offenders[name] = n
+    assert not offenders, (
+        f"data-grain single-partition windows (add a distributed rank or an "
+        f"explicit allowlist entry): {offenders}"
+    )
+    # the two r6 rewrites stay fixed at their intended shapes
+    assert single_partition_window_count(Q["events_rfm_segmentation"].fn(spark, sf_dir)) == 0
+    assert single_partition_window_count(Q["events_lorenz_curve"].fn(spark, sf_dir)) == 1

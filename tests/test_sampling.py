@@ -249,3 +249,40 @@ def test_temperature_mix_isqrt_exact_over_range(spark):
           & ((F.col("wgt") + 1) * (F.col("wgt") + 1) > F.col("n_total")))
     ).count()
     assert bad == 0
+
+
+def test_distributed_ntile_matches_builtin_ntile(spark):
+    """distributed_ntile must reproduce SQL-standard NTILE exactly across
+    remainder shapes: n % k == 0, n % k != 0, n < k, and k == 1."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vmhub_data_pipeline_spark.operators.sampling import distributed_ntile
+
+    for n, k in [(10, 4), (12, 5), (3, 5), (7, 1), (100, 7)]:
+        df = spark.range(n).select(
+            F.col("id").alias("key"),
+            # non-monotone order column with ties to exercise the tiebreak
+            (F.col("id") * 37 % 11).alias("metric"),
+        )
+        expect = {
+            r["key"]: r["t"]
+            for r in df.select(
+                "key", F.ntile(k).over(Window.orderBy("metric", "key")).alias("t")
+            ).collect()
+        }
+        got = {
+            r["key"]: r["tile"]
+            for r in distributed_ntile(df, k, "metric", "key", num_partitions=4).collect()
+        }
+        assert got == expect, f"mismatch at n={n} k={k}"
+
+
+def test_distributed_ntile_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from vmhub_data_pipeline_spark.operators.sampling import distributed_ntile
+
+    df = spark.range(3).selectExpr("id as key", "id as metric")
+    with _pytest.raises(ValueError):
+        distributed_ntile(df, 0, "metric", "key")

@@ -172,7 +172,18 @@ def jaccard_similarity_pairs(
     )
 
 
-def _minhash_signatures(tok_sets: DataFrame, num_hashes: int) -> DataFrame:
+def _md5_int48(c: Column, salt: str = "") -> Column:
+    """48-bit integer from an md5 hex prefix — the cross-engine portable
+    hash primitive (DuckDB: ``('0x' || substr(md5(...), 1, 12))::BIGINT``,
+    verified bit-identical). 12 hex chars keep ``h1 + 31*h2`` far below
+    BIGINT overflow under ANSI mode."""
+    s = F.concat(F.lit(salt), c) if salt else c
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def _minhash_signatures(
+    tok_sets: DataFrame, num_hashes: int, portable: bool = False
+) -> DataFrame:
     """(id, sig array<long>) as a ZERO-SHUFFLE projection: hash each token
     once into (h1, h2) arrays, then each permutation minimum is an
     ``array_min(zip_with(...))`` over the row's own arrays.
@@ -185,13 +196,28 @@ def _minhash_signatures(tok_sets: DataFrame, num_hashes: int) -> DataFrame:
     state), and no exchange at all where the agg shape shuffled a
     per-doc-per-partition partial row — at 100 TB the signature stage now
     rides the document scan untouched.
+
+    ``portable=True`` derives (h1, h2) from md5 hex prefixes instead of
+    xxhash64 — statistically identical universal hashing, but computable
+    verbatim in DuckDB, which makes the WHOLE approximate pipeline
+    (signatures -> bands -> candidates -> verify) SQL-replayable (the
+    ``ann_lsh_topk`` oracle technique applied to MinHash). Cost: md5 is a
+    few times slower than xxhash64 per token; still two real hash
+    evaluations total, the other ``num_hashes - 2`` are multiply-adds.
     """
     p = 2147483647  # 2^31-1; keeps i*h2+h1 far below long overflow (ANSI mode)
-    hashed = tok_sets.select(
-        "id",
-        F.transform("ws", lambda w: F.pmod(F.xxhash64(w), F.lit(p))).alias("h1s"),
-        F.transform("ws", lambda w: F.pmod(F.xxhash64(F.lit("salt"), w), F.lit(p))).alias("h2s"),
-    )
+    if portable:
+        hashed = tok_sets.select(
+            "id",
+            F.transform("ws", lambda w: F.pmod(_md5_int48(w), F.lit(p))).alias("h1s"),
+            F.transform("ws", lambda w: F.pmod(_md5_int48(w, "salt:"), F.lit(p))).alias("h2s"),
+        )
+    else:
+        hashed = tok_sets.select(
+            "id",
+            F.transform("ws", lambda w: F.pmod(F.xxhash64(w), F.lit(p))).alias("h1s"),
+            F.transform("ws", lambda w: F.pmod(F.xxhash64(F.lit("salt"), w), F.lit(p))).alias("h2s"),
+        )
     sig = F.array(
         *[
             F.array_min(
@@ -216,6 +242,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-signature in >=1 of ``bands`` bands.
 
@@ -226,9 +253,24 @@ def minhash_lsh_candidates(
     below 0.5, so the mid-similarity band is sparse in practice). Measured
     vs 64/8 on the fixture corpus: identical output, half the cost.
     Output: (doc_a, doc_b) distinct.
+
+    ``portable=True``: md5-derived signature mins (see
+    ``_minhash_signatures``) and a concat-of-mins band key instead of
+    xxhash64-of-mins — the band equi-join carries a short string key
+    instead of a long, in exchange for DuckDB being able to replay the
+    candidate set exactly.
     """
     rows_per_band = num_hashes // bands
-    sig = _minhash_signatures(token_set_df(df, id_col, text_col, shingle_size), num_hashes)
+    sig = _minhash_signatures(
+        token_set_df(df, id_col, text_col, shingle_size), num_hashes, portable=portable
+    )
+
+    def band_key(b: int) -> Column:
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws("-", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "id",
         F.explode(
@@ -236,9 +278,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
+                        band_key(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -271,21 +311,29 @@ def minhash_neardup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification of the
     candidate set (the standard candidates -> verify topology; verification
     joins shingle sets back in, so output pairs are exact-correct and only
     recall is approximate). Jaccard is over ``shingle_size``-gram shingle
-    sets (the standard web-dedup formulation)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
-    # verify on 64-bit shingle hashes, not shingle strings: set cardinality
-    # and intersections are preserved (xxhash64 collisions are ~2^-64 per
-    # pair — far below fixture or production materiality), while the verify
-    # join moves 8-byte longs instead of multi-word shingle text and
-    # array_intersect compares longs instead of strings
+    sets (the standard web-dedup formulation). ``portable=True`` swaps
+    every engine-native hash for the md5-derived twin so a DuckDB oracle
+    replays candidates AND verification exactly."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, portable=portable
+    )
+    # verify on hashed shingles, not shingle strings: set cardinality and
+    # intersections are preserved (collisions ~2^-64 / ~16^-13 per pair —
+    # far below fixture or production materiality; in portable mode BOTH
+    # engines truncate md5 identically, so even a collision agrees), while
+    # the verify join moves fixed-width hashes instead of multi-word text
+    shingle_hash = (
+        (lambda t: F.substring(F.md5(t), 1, 13)) if portable else (lambda t: F.xxhash64(t))
+    )
     toks = (
         token_set_df(df, id_col, text_col, shingle_size)
-        .select("id", F.array_distinct(F.transform("ws", lambda t: F.xxhash64(t))).alias("ws"))
+        .select("id", F.array_distinct(F.transform("ws", shingle_hash)).alias("ws"))
         # same ReusedExchange trick as _minhash_signatures: doc_a and doc_b
         # verify legs otherwise re-tokenize the corpus once each
         .repartition(F.col("id"))
@@ -302,24 +350,37 @@ def minhash_neardup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token hashes.
+def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:
+    """SimHash per document: per-bit majority vote over token hashes.
 
-    Expressed as explode -> 64 conditional sums -> bit reassembly; all
+    Expressed as explode -> per-bit conditional sums -> bit reassembly; all
     integer arithmetic, one shuffle on id. Output: (id, simhash long).
+
+    ``portable=False``: 64-bit signature from xxhash64 (fastest).
+    ``portable=True``: 60-bit signature from a 15-hex-char md5 prefix —
+    the SAME integer both engines compute, so a DuckDB oracle can replay
+    the signature, the pigeonhole bands, and the hamming verify exactly.
+    60 vs 64 bits changes nothing structural (4 x 15-bit chunks instead of
+    4 x 16-bit; hamming<=3 still implies >=1 equal chunk).
     """
+    nbits = 60 if portable else 64
     tok = df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("w"))
-    h = tok.select("id", F.xxhash64("w").alias("h"))
+    if portable:
+        h = tok.select(
+            "id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+        )
+    else:
+        h = tok.select("id", F.xxhash64("w").alias("h"))
     votes = h.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(nbits)
         ]
     )
     sig = None
-    for j in range(64):
+    for j in range(nbits):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)
@@ -327,12 +388,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, portable: bool = False
 ) -> DataFrame:
-    """SimHash near-dups: pigeonhole banding (4 x 16-bit chunks; hamming<=3
-    implies >=1 equal chunk) -> equi-join candidates -> exact hamming check
-    via bit_count(xor)."""
-    sig = simhash(df, id_col, text_col)
+    """SimHash near-dups: pigeonhole banding (4 chunks; hamming<=3 implies
+    >=1 equal chunk) -> equi-join candidates -> exact hamming check via
+    bit_count(xor). ``portable=True`` uses the 60-bit md5-derived
+    signature (4 x 15-bit chunks) for cross-engine determinism."""
+    chunk_bits = 15 if portable else 16
+    chunk_mask = (1 << chunk_bits) - 1
+    sig = simhash(df, id_col, text_col, portable=portable)
     chunks = sig.select(
         "id",
         "simhash",
@@ -341,8 +405,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("chunk"),
                     )
                     for c in range(4)

@@ -200,3 +200,57 @@ def zip_with_global_index(
             yield out
 
     return ranged.mapInPandas(enumerate_partition, out_schema)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    order_col: str,
+    tiebreak_col: str,
+    out_col: str = "tile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY order_col, tiebreak_col)`` without the
+    single-partition global window.
+
+    A bare ``F.ntile(k).over(Window.orderBy(...))`` forces every row through
+    ONE task — fine at fixture scale, a single-executor sort of the whole
+    key space at 100 TB. Instead: the 0-based dense global rank comes from
+    :func:`zip_with_global_index` (range repartition + per-partition prefix
+    sums — fully distributed), the total row count ``n`` is a 1-row
+    broadcast, and the tile is SQL-standard NTILE arithmetic on ``(rank, n,
+    k)``: with ``q = n div k`` and ``rem = n mod k``, the first ``rem``
+    tiles hold ``q+1`` rows and the rest hold ``q``::
+
+        tile(r) = r div (q+1) + 1                      if r < rem*(q+1)
+                = rem + (r - rem*(q+1)) div q + 1      otherwise
+
+    (``rem = 0`` degenerates to ``r div q + 1``; ``n < k`` puts every row in
+    the first branch, one row per tile — both exactly NTILE's behavior, so
+    the DuckDB oracle can keep its plain ``NTILE(k) OVER (ORDER BY ...)``.)
+
+    Requires ``tiebreak_col`` to be a unique key of ``df`` (it is the join
+    key for attaching the tile back, and NTILE determinism needs the total
+    order anyway). Only the two key columns ride through the index path;
+    the tile attaches with one ``tiebreak_col``-keyed equi-join — same
+    grain as ``df`` itself, no data-grain global sort anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    idx = zip_with_global_index(
+        df.select(tiebreak_col, order_col), order_col, tiebreak_col, num_partitions
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # pure BIGINT arithmetic (div, %) — no float floor, exact at any n
+    tile = F.expr(
+        f"CASE WHEN __n % {k} = 0 THEN global_index div (__n div {k}) + 1 "
+        f"WHEN global_index < (__n % {k}) * (__n div {k} + 1) "
+        f"THEN global_index div (__n div {k} + 1) + 1 "
+        f"ELSE __n % {k} + (global_index - (__n % {k}) * (__n div {k} + 1)) "
+        f"div (__n div {k}) + 1 END"
+    )
+    tiles = (
+        idx.crossJoin(F.broadcast(n))
+        .select(tiebreak_col, tile.cast("long").alias(out_col))
+    )
+    return df.join(tiles, tiebreak_col)

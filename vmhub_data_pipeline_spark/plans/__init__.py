@@ -4,5 +4,6 @@ from .introspect import (  # noqa: F401
     has_broadcast_join,
     has_pushed_filters,
     has_window_group_limit,
+    single_partition_window_count,
     codegen_coverage,
 )

@@ -55,6 +55,36 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
 
 
+def single_partition_window_count(df: DataFrame) -> int:
+    """Window operators fed by an ``Exchange SinglePartition`` — the global
+    ``OVER (ORDER BY ...)`` sort bottleneck (ALL rows through one task).
+
+    Counted in simple mode where the feed chain prints inline as::
+
+        Window [...], [x ASC NULLS FIRST]
+        +- Sort [x ASC NULLS FIRST], false, 0
+           +- Exchange SinglePartition, ...
+
+    i.e. a ``Window`` whose nearest non-``Sort`` descendant line is the
+    single-partition exchange. Bounded-grain windows (decile/day/top-k
+    rollups) are allowed per-query via the pinned allowlist in
+    ``tests/test_plans.py:test_no_data_grain_single_partition_windows`` —
+    any NEW query introducing one must be consciously added there."""
+    plan = explain_str(df, "simple")
+    lines = [ln.strip().lstrip("*+-: ()0123456789") for ln in plan.splitlines()]
+    hits = 0
+    for i, ln in enumerate(lines):
+        if not ln.startswith("Window"):
+            continue
+        for nxt in lines[i + 1 :]:
+            if nxt.startswith("Sort"):
+                continue
+            if "Exchange SinglePartition" in nxt:
+                hits += 1
+            break
+    return hits
+
+
 def codegen_coverage(df: DataFrame) -> tuple[int, int]:
     """(wholestage_codegen_spans, total_nodes-ish) — a coarse signal that
     the hot path stays inside generated code."""

@@ -137,22 +137,203 @@ def dedup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
+def _minhash_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3, threshold: float = 0.9
+) -> str:
+    """Full-pipeline DuckDB replay of the md5-portable MinHash-LSH:
+    shingling, the 32 universal-hash minima (h_i = (h1 + i*h2) mod 2^31-1
+    with h1/h2 from md5 hex prefixes — verified bit-identical across
+    engines), band keys as concat-of-mins, the band self-join, and the
+    exact hashed-shingle verification. The approximate pipeline is
+    DETERMINISTIC, so the oracle reproduces recall and precision exactly —
+    the ``ann_lsh_topk``/``ann_pq_topk`` technique applied to MinHash
+    (VERDICT r5 task 3)."""
+    p = 2147483647
+    r = num_hashes // bands
+    k = shingle_size
+    mins = ",\n    ".join(
+        f"MIN((h1 + {i} * h2) % {p}) AS m{i}" for i in range(num_hashes)
+    )
+    band_legs = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('-', {cols}) AS band_hash FROM sigs".format(
+            b=b, cols=", ".join(f"m{b * r + i}" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_minhash_pair_ctes(num_hashes, bands, shingle_size, threshold)}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+"""
+
+
+def _minhash_pair_ctes(
+    num_hashes: int, bands: int, shingle_size: int, threshold: float
+) -> str:
+    """CTE chain ending in ``lsh_pairs(doc_a, doc_b, jaccard)`` — shared by
+    the pair oracle and the cluster (recursive-CC) oracle."""
+    p = 2147483647
+    r = num_hashes // bands
+    k = shingle_size
+    mins = ",\n    ".join(
+        f"MIN((h1 + {i} * h2) % {p}) AS m{i}" for i in range(num_hashes)
+    )
+    band_legs = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('-', {cols}) AS band_hash FROM sigs".format(
+            b=b, cols=", ".join(f"m{b * r + i}" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""sh AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(w) - {k - 1}, 1) + 1),
+      i -> array_to_string(w[i:i + {k - 1}], ' ')
+    )) AS ws
+  FROM sh
+),
+ex AS (
+  SELECT doc_id, UNNEST(ws) AS s FROM shingled
+),
+hx AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(s), 1, 12))::BIGINT % {p} AS h1,
+    ('0x' || substr(md5('salt:' || s), 1, 12))::BIGINT % {p} AS h2
+  FROM ex
+),
+sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id
+),
+banded AS (
+  {band_legs}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+),
+t13 AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(ws, s -> substr(md5(s), 1, 13))) AS hs
+  FROM shingled
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN t13 ta ON ta.doc_id = c.doc_a
+  JOIN t13 tb ON tb.doc_id = c.doc_b
+),
+lsh_pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+)"""
+
+
+def _minhash_cluster_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3, threshold: float = 0.9
+) -> str:
+    """LSH pair pipeline (``_minhash_pair_ctes``) + the repo's recursive-CTE
+    transitive closure — the full ``dedup_cluster_lsh`` replay: because the
+    portable MinHash candidate set is deterministic, the CLUSTERS it induces
+    are too (VERDICT r5 task 3, final step)."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes(num_hashes, bands, shingle_size, threshold)},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM cc
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands x 4 rows) near-dup pairs with exact-Jaccard
-    verification at 0.9. Rows-only: LSH recall is probabilistic; precision
-    is exact (every output pair truly has jaccard >= 0.9 — verified
-    against dedup_jaccard_pairs in tests/test_operators.py)."""
+    verification at 0.9. FULLY oracle-checked since r6 (was rows-only):
+    the signature hashes are md5-derived (``portable=True``), so the
+    candidate set, the verification, and therefore recall itself are
+    deterministic and SQL-replayable — ``_minhash_oracle`` reproduces the
+    whole approximate pipeline in DuckDB. Precision was always exact
+    (every output pair truly has shingle-jaccard >= 0.9, pinned vs
+    dedup_jaccard_pairs in tests/test_operators.py); now the recall set is
+    pinned too. Scale shape unchanged: zero-shuffle signatures riding the
+    scan, band equi-join (never all-pairs), hashed-shingle verify join."""
     (docs,) = load(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9)
+    return minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9, portable=True)
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB replay of the portable 60-bit SimHash: per-token md5-derived
+    integer, 60 majority-vote sums, bit reassembly, 4 x 15-bit pigeonhole
+    chunks, candidate self-join, exact bit_count(xor) hamming — integer-
+    exact end to end (VERDICT r5 task 3, step 2)."""
+    nbits, chunk_bits = 60, 15
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(nbits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(nbits)
+    )
+    chunk_legs = "\n  UNION ALL ".join(
+        f"SELECT id, {c} AS chunk_id, (simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1} AS chunk, simhash FROM sigs"
+        for c in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, UNNEST(LIST_DISTINCT(string_split(text, ' '))) AS w
+  FROM documents
+),
+hx AS (
+  SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT id,
+    {votes}
+  FROM hx GROUP BY id
+),
+sigs AS (
+  SELECT id, {sig} AS simhash FROM votes
+),
+chunks AS (
+  {chunk_legs}
+),
+cand AS (
+  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b, l.simhash AS sig_a, r.simhash AS sig_b
+  FROM chunks l JOIN chunks r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.id < r.id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs at hamming<=3 via pigeonhole banding.
-    Rows-only: signature is hash-defined, not SQL-portable."""
+    """SimHash near-dup pairs at hamming<=3 via pigeonhole banding. FULLY
+    oracle-checked since r6 (was rows-only): the portable 60-bit signature
+    derives every per-token hash from an md5 hex prefix — an integer both
+    engines compute bit-identically — so the majority vote, the 4 x 15-bit
+    pigeonhole candidate join, and the exact hamming verify are all
+    replayed in SQL by ``_simhash_oracle``. Scale shape unchanged: one
+    id-keyed shuffle for the vote, chunk equi-join (never all-pairs)."""
     (docs,) = load(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
 
 
 _EMB_COSINE_ORACLE = """
@@ -363,7 +544,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_lsh", oracle=None, tags=("dedup", "lsh", "iterative"))
+@register("dedup_cluster_lsh", oracle=_minhash_cluster_oracle(), tags=("dedup", "lsh", "iterative"))
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale clustering path: MinHash-LSH candidate pairs
     (exact-verified >= 0.9) -> connected components. Same output contract
@@ -371,14 +552,19 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exact inverted index — at corpus scale the exact index is
     O(sum df^2) on hot tokens while LSH stays near-linear in documents.
 
-    Rows-only: LSH recall is probabilistic, so clusters can SPLIT relative
-    to the exact ones (never merge wrongly within the shingle measure —
-    every surviving edge is exact-verified). Refinement vs the exact
-    token-Jaccard clusters is pinned in tests/test_operators.py."""
+    FULLY oracle-checked since r6 (was the catalog's last LSH rows-only
+    entry): the portable md5-derived MinHash makes the candidate set — and
+    therefore the cluster structure — deterministic, so the DuckDB oracle
+    replays pair generation AND the recursive-CTE transitive closure.
+    Clusters can still SPLIT relative to the exact token-Jaccard ones
+    (recall is a property of the banding, faithfully reproduced by the
+    oracle; never a wrong merge within the shingle measure — every
+    surviving edge is exact-verified). Refinement vs the exact clusters
+    stays pinned in tests/test_operators.py."""
     from ..operators.graph import connected_components
 
     (docs,) = load(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.9, portable=True)
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(
         F.col("v").alias("doc_id"),

@@ -1245,12 +1245,16 @@ def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# RFM segmentation (r5): the classic recency/frequency/monetary customer
-# scoring behind retention and campaign targeting. Each dimension quintiles
-# independently via NTILE(5) over the post-aggregate user grain with a
-# unique (metric, user_id) total order, so tile assignment is deterministic
-# on both engines; the corpus max timestamp (the "as of" anchor) is one
-# 1-row broadcast. Monetary accumulates in exact integer cents.
+# RFM segmentation (r5; r6 de-bottlenecked): the classic recency/frequency/
+# monetary customer scoring behind retention and campaign targeting. Each
+# dimension quintiles independently over the post-aggregate user grain with
+# a unique (metric, user_id) total order, so tile assignment is
+# deterministic on both engines; the corpus max timestamp (the "as of"
+# anchor) is one 1-row broadcast. Monetary accumulates in exact integer
+# cents. The oracle keeps plain NTILE(5) — the Spark side computes the
+# SAME tiling via operators.sampling.distributed_ntile (range-repartition
+# rank + integer NTILE arithmetic), because a bare ntile().over(orderBy)
+# is a single-partition sort of every purchaser at 100 TB.
 _RFM_ORACLE = """
 WITH p AS (
   SELECT user_id, ts, CAST(ROUND(value * 100.0) AS BIGINT) AS cents
@@ -1288,8 +1292,15 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: events collapse to user grain in one map-side-combinable
     aggregate (the only data-sized shuffle); the anchor is a 1-row
-    broadcast; the three NTILE windows run over |purchasers| post-aggregate
-    rows with unique tiebreaks. All outputs integer/text — hash-exact."""
+    broadcast. Each quintile is computed by ``distributed_ntile`` — a
+    range-repartitioned global rank plus exact integer NTILE arithmetic —
+    never a single-partition window, so the tiling scales with executors
+    while matching the oracle's NTILE(5) bit-for-bit. The three tile maps
+    join back on user_id (user-grain equi-joins). The aggregated user
+    frame is localCheckpointed so the three rank paths and the join spine
+    share one computation. All outputs integer/text — hash-exact."""
+    from ..operators.sampling import distributed_ntile
+
     (events,) = load(spark, sf_dir, "events")
     p = events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.round(F.col("value") * 100.0).cast("long").alias("cents")
@@ -1303,11 +1314,19 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.sum("cents").cast("long").alias("monetary_cents"),
         )
+        .localCheckpoint(eager=True)
     )
-    r = (6 - F.ntile(5).over(Window.orderBy("recency_days", "user_id"))).cast("long")
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id")).cast("long")
-    m = F.ntile(5).over(Window.orderBy("monetary_cents", "user_id")).cast("long")
-    return per_user.select(
+    scored = per_user
+    for metric, out in (
+        ("recency_days", "r_tile"),
+        ("frequency", "f_tile"),
+        ("monetary_cents", "m_tile"),
+    ):
+        scored = distributed_ntile(scored, 5, metric, "user_id", out_col=out)
+    r = (6 - F.col("r_tile")).cast("long")
+    f = F.col("f_tile").cast("long")
+    m = F.col("m_tile").cast("long")
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",

@@ -913,9 +913,11 @@ def stats_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of purchase revenue". Per-user totals accumulate in exact integer cents;
 # decile shares and the cumulative curve are integer basis points (10000 *
 # cents div total), so every emitted number is a BIGINT and the hash cannot
-# drift with summation order. NTILE runs over |users| rows (post-aggregate
-# grain, bounded by distinct purchasers, never event volume) with a unique
-# (cents, user_id) total order so tile assignment is deterministic.
+# drift with summation order. The decile runs over |users| rows (post-
+# aggregate grain, bounded by distinct purchasers, never event volume) with
+# a unique (cents, user_id) total order so tile assignment is deterministic;
+# the oracle keeps plain NTILE(10) while the Spark side uses the
+# distributed_ntile rank (no single-partition user-grain window).
 _LORENZ_ORACLE = """
 WITH per_user AS (
   SELECT user_id,
@@ -957,21 +959,22 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_gini_concentration``.
 
     Scale shape: events collapse to per-user cents in one map-side-combinable
-    aggregate, so the only data-sized shuffle is user-grain. The NTILE and
-    the 10-row cumulative window run post-aggregate (|users|, then 10 rows);
-    the 1-row grand total broadcasts. All shares are integer basis points
+    aggregate, so the only data-sized shuffle is user-grain. The decile
+    comes from ``distributed_ntile`` (range-repartitioned rank + integer
+    NTILE arithmetic — no single-partition window at user grain); the
+    10-row cumulative window runs post-aggregate at decile grain, and the
+    1-row grand total broadcasts. All shares are integer basis points
     (exact int division), so output is pure BIGINT."""
+    from ..operators.sampling import distributed_ntile
+
     (events,) = load(spark, sf_dir, "events")
     per_user = (
         events.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
     )
-    tiled = per_user.select(
-        "user_id",
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "user_id")).alias("decile"),
-    )
+    tiled = distributed_ntile(per_user, 10, "cents", "user_id", out_col="decile")
     per_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("revenue_cents"),
