@@ -83,6 +83,13 @@ HEADLINE = [
     "dedup_exact_substring",
     "text_bigram_lm_score",
     "multimodal_audio_energy",
+    # round 6: the pseudo-partsupp correlated-min star join (broadcast dims
+    # + partitioned min window + TakeOrderedAndProject), the distributed-
+    # NTILE PSI drift monitor, and the DSIR token-explode scoring pass —
+    # one entry per new tier
+    "join_q2_min_cost_supplier",
+    "stats_psi_drift",
+    "curation_dsir_weights",
 ]
 
 # Every headline entry runs 3 times, median recorded (r4; previously only
@@ -220,15 +227,31 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         import math
 
-        rows_lo = spark.read.parquet(f"{sec_dir}/documents.parquet").count()
-        rows_hi = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        row_counts: dict[tuple[str, str], int] = {}
+
+        def nrows(d: str, table: str) -> int:
+            key = (d, table)
+            if key not in row_counts:
+                row_counts[key] = spark.read.parquet(f"{d}/{table}.parquet").count()
+            return row_counts[key]
+
+        # (probe, fn, table whose row count defines the scale ratio).
+        # r6 additions (VERDICT r5 task 6): the r5 queries with
+        # super-linear potential — exact-substring's digest-grain counts
+        # under boilerplate skew, grid-DBSCAN's cell-graph CC rounds vs
+        # density, and the Bloom prefilter's k-bit explode.
         probes = [
-            ("dedup_jaccard_pairs", lambda s, d: qs["dedup_jaccard_pairs"](s, d)),
-            ("jaccard_capped_100", _jaccard_capped),
-            ("dedup_winnow_pairs", lambda s, d: qs["dedup_winnow_pairs"](s, d)),
-            ("curation_decontaminate_ngram", lambda s, d: qs["curation_decontaminate_ngram"](s, d)),
+            ("dedup_jaccard_pairs", lambda s, d: qs["dedup_jaccard_pairs"](s, d), "documents"),
+            ("jaccard_capped_100", _jaccard_capped, "documents"),
+            ("dedup_winnow_pairs", lambda s, d: qs["dedup_winnow_pairs"](s, d), "documents"),
+            ("curation_decontaminate_ngram", lambda s, d: qs["curation_decontaminate_ngram"](s, d), "documents"),
+            ("dedup_exact_substring", lambda s, d: qs["dedup_exact_substring"](s, d), "documents"),
+            ("dedup_dbscan_grid", lambda s, d: qs["dedup_dbscan_grid"](s, d), "embeddings"),
+            ("pipeline_bloom_prefilter", lambda s, d: qs["pipeline_bloom_prefilter"](s, d), "orders"),
         ]
-        for name, fn in probes:
+        for name, fn, table in probes:
+            rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
+
             def once(d):
                 t0 = time.perf_counter()
                 fn(spark, d).count()

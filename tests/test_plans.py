@@ -860,3 +860,16 @@ def test_no_data_grain_single_partition_windows(spark, sf_dir):
     # the two r6 rewrites stay fixed at their intended shapes
     assert single_partition_window_count(Q["events_rfm_segmentation"].fn(spark, sf_dir)) == 0
     assert single_partition_window_count(Q["events_lorenz_curve"].fn(spark, sf_dir)) == 1
+
+
+def test_q2_broadcasts_dims_and_takeordered(spark, sf_dir):
+    """Q2 analog: the region-qualified supplier dim must broadcast into the
+    offer stream, the top-100 must plan as TakeOrderedAndProject, and the
+    correlated min must be a p_partkey-partitioned window (never global)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["join_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert single_partition_window_count(df) == 0

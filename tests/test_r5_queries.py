@@ -194,7 +194,15 @@ def test_dbscan_grid_labels_partition_points(spark, sf_dir):
         assert r["cluster_id"] is None
     # cluster ids are canonical min cell keys: every cluster id must be the
     # key of one of its own member cells
-    keys = {(r["cx"] + 1000) * 100000 + (r["cy"] + 1000) for r in core}
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _DBSCAN_KEY_OFF,
+        _DBSCAN_KEY_SHIFT,
+    )
+
+    keys = {
+        (r["cx"] + _DBSCAN_KEY_OFF) * _DBSCAN_KEY_SHIFT + (r["cy"] + _DBSCAN_KEY_OFF)
+        for r in core
+    }
     assert {r["cluster_id"] for r in core} <= keys
 
 

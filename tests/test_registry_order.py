@@ -12,75 +12,38 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Every capability tier must have at least one entry in the first-50 window.
-# Round-5 composition (VERDICT r4 tasks 1+3): first driver contact for the
-# round's additions/oracle upgrades (dedup_jaccard_pairs_capped, ann_pq_topk,
-# vector_pca_power, ann_ivf_topk, and the six NEW r5 queries — cluster-aware
-# split, exact-substring audit, bigram LM, drift report, Lorenz curve, PCM
-# energy) and the never-checked tail; re-proof for the stale r1/r2-only
-# greens; guards for the r5-touched queries; the rest regression guards over
-# the r4-green tier (displaced guards all hold fresh r4 driver greens). dedup_cluster_lsh is the single
-# rows-only entry by design (probabilistic LSH recall — the driver records
-# the weaker rows/schema check).
+# Round-6 composition (VERDICT r5 task 2): the window rotates onto the 38
+# queries whose ONLY driver evidence was round-1, plus 12 slots for the
+# round's changes (NTILE rewrites + capped-Jaccard guards, the three LSH /
+# SimHash oracle upgrades, six new queries). The class-coverage requirement
+# below reflects THIS composition: the vector / multimodal / streaming /
+# pipeline / graph tiers deliberately sit the round out — every entry of
+# theirs holds an r4/r5 driver green, the freshest evidence in the catalog,
+# while the r1 tier's rows were five fixture/canonicalizer generations old.
 REQUIRED_IN_WINDOW = {
-    "vector": [
-        "vector_drift_report",
-        "ann_pq_topk",
-        "vector_pca_power",
-        "ann_ivf_topk",
-        "vector_centroids",
-        "vector_norms",
-        "vector_quantize_int8",
-        "knn_mmr_diverse",
-        "ann_lsh_topk",
+    "agg": ["agg_rollup", "agg_cube", "agg_grouping_sets", "agg_count_distinct"],
+    "join": [
+        "join_q2_min_cost_supplier",
+        "join_q11_important_stock",
+        "join_q16_supplier_variety",
+        "join_q5_region_revenue",
+        "join_semi",
+        "join_anti",
     ],
-    "graph": ["graph_label_propagation"],
+    "window": ["window_rank", "window_ntile", "window_running_sum"],
+    "setops": ["set_intersect", "set_except", "set_union_distinct"],
+    "scan-agg": ["daily_revenue", "q6_forecast_revenue"],
+    "events": ["events_sliding_2h", "events_rfm_segmentation", "events_lorenz_curve"],
+    "text": ["text_stats", "text_token_count"],
     "dedup": [
-        "dedup_jaccard_pairs_capped",
-        "dedup_exact_substring",
-        "dedup_dbscan_grid",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
         "dedup_cluster_lsh",
-        "dedup_survivorship",
-        "dedup_levenshtein_pairs",
-        "dedup_blocking_eval",
+        "dedup_jaccard_pairs_capped",
     ],
-    "join": ["join_feature_store_pit", "pipeline_bloom_prefilter"],
-    "multimodal": [
-        "multimodal_format_detect",
-        "multimodal_audio_energy",
-        "multimodal_video_frames",
-    ],
-    "text": ["text_perplexity_filter", "text_bm25_topk", "text_bigram_lm_score", "text_ngram_novelty"],
-    "events": [
-        "events_association_rules",
-        "events_funnel",
-        "events_json_extract",
-        "events_pivot",
-        "events_cdc_apply",
-        "events_ab_experiment",
-        "events_lorenz_curve",
-        "events_rfm_segmentation",
-    ],
-    "stats": [
-        "agg_gini_concentration",
-        "agg_mode",
-        "agg_regression_trend",
-        "stats_kanonymity_audit",
-        "stats_benford_audit",
-        "case_bucketing",
-    ],
-    "pipeline": [
-        "pipeline_fk_integrity",
-        "pipeline_rag_manifest",
-    ],
-    "curation": ["curation_temperature_mix", "curation_cluster_split", "curation_shard_manifest"],
-    "window": ["window_period_over_period"],
-    "sketch": [
-        "agg_bottomk_quantile_sketch",
-        "agg_kmv_merge",
-        "agg_kmv_intersection",
-    ],
-    "streaming": ["streaming_cms_fold"],
+    "stats": ["stats_psi_drift", "agg_stats_by_segment"],
+    "sketch": ["agg_theta_difference"],
+    "curation": ["curation_dsir_weights"],
 }
 
 
@@ -104,9 +67,31 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # dedup_cluster_lsh rotates in per VERDICT r4 task 3 — it is rows-only
-    # BY DESIGN (LSH recall is probabilistic; precision pinned in
-    # tests/test_operators.py), and it has never had a driver row of any
-    # kind. Everything else in the window is oracle-backed.
+    # Since r6 every window member is oracle-backed: the md5-portable
+    # MinHash/SimHash rework upgraded the last LSH rows-only entries
+    # (dedup_minhash_lsh, dedup_simhash, dedup_cluster_lsh) to full DuckDB
+    # replays; the two remaining catalog rows-only entries
+    # (agg_approx_sketches, multimodal_features) are engine/Python-bound
+    # by design and stay outside the window.
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}
-    assert rows_only == {"dedup_cluster_lsh"}
+    assert rows_only == set()
+
+
+def test_readme_counts_match_registry():
+    """README's catalog counts must track the registry (VERDICT r5 task 5:
+    r4's 'totals in lockstep' fix reached COVERAGE.md but not README — this
+    makes the README numbers un-stale-able)."""
+    import os
+    import re
+
+    from vmhub_data_pipeline_spark import queries as catalog
+
+    catalog._load_all()
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    m = re.search(r"(\d+) named queries, (\d+) with DuckDB oracle", readme)
+    assert m, "README no longer states catalog counts"
+    n_q, n_o = int(m.group(1)), int(m.group(2))
+    assert n_q == len(catalog.REGISTRY), (n_q, len(catalog.REGISTRY))
+    assert n_o == sum(1 for q in catalog.REGISTRY.values() if q.oracle), n_o

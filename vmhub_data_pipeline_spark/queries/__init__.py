@@ -68,72 +68,75 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-5 composition (VERDICT r4 tasks 1+3): (a) first driver contact
-    # for the round's additions/oracle-upgrades and the 8 never-checked
-    # entries, (b) re-proof for the 7 stale r1/r2-only greens that predate
-    # fixture regenerations, (c) guards for the queries this round's diffs
-    # touched, (d) regression guards over the r4-green tier, one per class
-    # family. dedup_cluster_lsh is the window's single rows-only entry
-    # (LSH recall is probabilistic by design; the driver records the weaker
-    # check and the judge sees which). Displaced entries all hold >=1 driver
-    # hash-green row and stay covered by the full-catalog local mirror.
+    # Round-6 composition (VERDICT r5 task 2): rotate the window onto the
+    # OLDEST evidence — the 38 queries whose only driver row is round-1
+    # (every other registered query holds a fresher r2-r5 driver green and
+    # remains covered by the full-catalog local mirror at sf0.001) — plus
+    # 12 slots for this round's changes: the two NTILE->distributed-rank
+    # rewrites and the capped-Jaccard production config as regression
+    # guards (task 1), the three LSH/SimHash rows-only->oracle upgrades
+    # (task 3), and first driver contact for the six NEW r6 queries
+    # (Q2/Q11/Q16 pseudo-partsupp analogs, PSI drift, theta-sketch
+    # difference, DSIR importance weights). 38 + 12 = the 50-slot window
+    # exactly; after this round no registered query's latest driver
+    # evidence predates round 2. The vector/multimodal/streaming/pipeline/
+    # graph tiers sit this window out deliberately — all their entries
+    # hold r4/r5 driver greens, the freshest in the catalog.
     #
-    # -- r5 additions & oracle upgrades (first driver contact) --
-    "dedup_jaccard_pairs_capped",   # NEW: production capped config (r4 task 1)
-    "ann_pq_topk",                  # r4 oracle upgrade, never driver-checked
-    "vector_pca_power",             # r4 addition, never driver-checked
-    "ann_ivf_topk",                 # r5 oracle upgrade (Lloyd-fit replay)
-    # -- never-driver-checked tail --
-    "agg_bottomk_quantile_sketch",
-    "agg_gini_concentration",
-    "agg_mode",
-    "agg_regression_trend",
-    "events_association_rules",
-    "dedup_cluster_lsh",            # rows-only by design (LSH recall)
-    # -- stale r1/r2-only greens (re-proof) --
-    "events_funnel",
-    "events_json_extract",
-    "events_pivot",
-    "case_bucketing",
-    "multimodal_format_detect",
-    "vector_centroids",
-    "vector_norms",
-    # -- r5 NEW queries (first driver contact) --
-    "curation_cluster_split",       # leakage-free cluster-aware split
-    "dedup_exact_substring",        # ExactSubstr-style passage audit
-    "text_bigram_lm_score",         # bigram-LM fluency (KenLM shape)
-    "vector_drift_report",          # embedding centroid drift monitor
-    "events_lorenz_curve",          # revenue-concentration deciles
-    "multimodal_audio_energy",      # PCM windowed energy / silence
-    "events_rfm_segmentation",      # RFM quintile segmentation
-    "stats_benford_audit",          # first-digit law audit
-    "text_ngram_novelty",           # crawl-increment novelty attribution
-    "curation_shard_manifest",      # balanced output sharding
-    "dedup_dbscan_grid",            # grid-DBSCAN density clustering
-    "agg_kmv_intersection",         # theta-sketch set algebra
-    "pipeline_bloom_prefilter",     # bloom semi-join prefilter audit
-    # -- r5-touched regression guards --
-    "text_perplexity_filter",       # cached broadcast-guard probe (r5)
-    "knn_mmr_diverse",              # select_k<1 guard (r5)
-    "vector_quantize_int8",
-    # -- regression guards over the r4-green tier --
-    "graph_label_propagation",
-    "events_cdc_apply",
-    "streaming_cms_fold",
-    "agg_kmv_merge",
-    "dedup_survivorship",
-    "dedup_levenshtein_pairs",
-    "dedup_blocking_eval",
-    "join_feature_store_pit",
-    "multimodal_video_frames",
-    "text_bm25_topk",
-    "events_ab_experiment",
-    "stats_kanonymity_audit",
-    "pipeline_fk_integrity",
-    "pipeline_rag_manifest",
-    "curation_temperature_mix",
-    "window_period_over_period",
-    "ann_lsh_topk",
+    # -- r6 NEW queries (first driver contact) --
+    "join_q2_min_cost_supplier",    # TPC-H Q2 correlated-min, pseudo-partsupp
+    "join_q11_important_stock",     # TPC-H Q11 value-concentration HAVING
+    "join_q16_supplier_variety",    # TPC-H Q16 distinct-supplier rollup
+    "stats_psi_drift",              # PSI distribution-drift monitor
+    "agg_theta_difference",         # theta-sketch union / A-not-B
+    "curation_dsir_weights",        # DSIR importance-resampling weights
+    # -- r6 oracle upgrades (rows-only -> full DuckDB replay) --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_lsh",
+    # -- r6-touched regression guards (VERDICT r5 task 1) --
+    "events_rfm_segmentation",      # NTILE -> distributed rank rewrite
+    "events_lorenz_curve",          # NTILE -> distributed rank rewrite
+    "dedup_jaccard_pairs_capped",   # production near-dup config
+    # -- oldest-evidence rotation: the 38 round-1-only greens --
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_stats_by_segment",
+    "daily_revenue",
+    "events_sliding_2h",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_full_outer",
+    "join_left_outer_agg",
+    "join_q10_returned",
+    "join_q12_priority_class",
+    "join_q14_promo_share",
+    "join_q19_disjunctive",
+    "join_q4_priority",
+    "join_q5_region_revenue",
+    "join_q7_nation_volume",
+    "join_range_banded",
+    "join_semi",
+    "q6_forecast_revenue",
+    "set_distinct",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "text_stats",
+    "text_token_count",
+    "window_first_value",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile",
+    "window_percent_rank",
+    "window_range_interval",
+    "window_rank",
+    "window_running_sum",
 )
 
 

@@ -1597,6 +1597,15 @@ _DBSCAN_DIM = 64
 _DBSCAN_SCALE = 4.0  # eps = 0.25 in projection units (fixture-tuned: ~40 core cells / ~26% noise at sf0.01)
 _DBSCAN_MIN_PTS = 5
 _DBSCAN_SALT = 7  # distinct plane family from dedup_semantic's
+# Collision-free cell-key packing (ADVICE r5): (cx+OFF)*SHIFT + (cy+OFF)
+# is injective iff cx, cy land in [-OFF, SHIFT-OFF); with OFF = 2^20 and
+# SHIFT = 2^21 the key tops out at ~2^42 (BIGINT-safe) and covers any
+# coordinate up to ~1M cells from the origin — projections of unit-norm
+# embeddings at scale 4 sit within +-10 of it. Out-of-range coordinates
+# RAISE on both engines (CASE ... ELSE error/raise_error) instead of
+# silently aliasing distinct cells into one cluster.
+_DBSCAN_KEY_OFF = 1 << 20
+_DBSCAN_KEY_SHIFT = 1 << 21
 
 
 def _dbscan_planes() -> list[list[float]]:
@@ -1623,7 +1632,10 @@ cells AS (
   SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY cx, cy
 ),
 core AS (
-  SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS key
+  SELECT cx, cy,
+    CASE WHEN abs(cx) < {_DBSCAN_KEY_OFF} AND abs(cy) < {_DBSCAN_KEY_OFF}
+         THEN (cx + {_DBSCAN_KEY_OFF}) * {_DBSCAN_KEY_SHIFT} + (cy + {_DBSCAN_KEY_OFF})
+         ELSE error('dbscan cell coordinate outside packing range') END AS key
   FROM cells WHERE n >= {_DBSCAN_MIN_PTS}
 ),
 edges0 AS (
@@ -1689,13 +1701,27 @@ def dedup_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cy"),
     )
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
-    key = (F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)
+
+    def cell_key(cx, cy):
+        # guarded injective packing (see _DBSCAN_KEY_OFF note): raises on
+        # coordinates the packing cannot represent rather than aliasing
+        packed = (cx + _DBSCAN_KEY_OFF) * _DBSCAN_KEY_SHIFT + (cy + _DBSCAN_KEY_OFF)
+        in_range = (F.abs(cx) < _DBSCAN_KEY_OFF) & (F.abs(cy) < _DBSCAN_KEY_OFF)
+        return F.when(in_range, packed).otherwise(
+            F.raise_error("dbscan cell coordinate outside packing range")
+        )
+
     core = cells.where(F.col("n") >= _DBSCAN_MIN_PTS).select(
-        "cx", "cy", key.alias("key")
+        "cx", "cy", cell_key(F.col("cx"), F.col("cy")).alias("key")
     )
+    # neighbor PROBES pack unguarded: a probe one step past the range (a
+    # boundary cell's nonexistent neighbor) lands on a key no guarded core
+    # key can hold — real keys keep both packed components in [1, SHIFT-1],
+    # so the overflowed multiplier / zero remainder cannot false-join
     nbr_keys = F.array(
         *[
-            (F.col("cx") + dx + 1000) * 100000 + (F.col("cy") + dy + 1000)
+            (F.col("cx") + dx + _DBSCAN_KEY_OFF) * _DBSCAN_KEY_SHIFT
+            + (F.col("cy") + dy + _DBSCAN_KEY_OFF)
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
         ]

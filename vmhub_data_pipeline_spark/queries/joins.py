@@ -1133,3 +1133,264 @@ def join_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((unix_micros(ts) - unix_micros(v_ts)) div 1000000 AS BIGINT)").alias("view_age_s"),
         (F.row_number().over(w) - 1).cast("long").alias("prior_purchases"),
     )
+
+
+# TPC-H Q2 shape (r6; VERDICT r5 task 7): min-cost-supplier — the classic
+# correlated-scalar-min star join — over a SYNTHESIZED partsupp, since the
+# fixture ships none. The pseudo-partsupp follows dbgen's own association
+# rule (each part offered by 4 suppliers at keys
+# ((p_partkey + i*(S/4 + (p_partkey-1)/S)) % S) + 1, i in 0..3 — the
+# public TPC-H spec's partsupp generator), with a deterministic integer
+# supply cost (p_partkey*7 + s_suppkey*13) % 100000 + 100 cents — the Q9
+# pseudo-cost precedent. Everything is a pure function of (part, supplier
+# count), so both engines derive the identical table.
+_Q2_ORACLE = """
+WITH sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier),
+ps AS (
+  SELECT p.p_partkey, p.p_brand,
+    ((p.p_partkey + i * (sc.s // 4 + (p.p_partkey - 1) // sc.s)) % sc.s) + 1
+      AS ps_suppkey
+  FROM part p CROSS JOIN sc CROSS JOIN UNNEST(RANGE(0, 4)) AS t(i)
+  WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT ps.p_partkey, ps.p_brand, eu.s_name, eu.s_acctbal, eu.n_name,
+    CAST((ps.p_partkey * 7 + ps.ps_suppkey * 13) % 100000 + 100 AS BIGINT)
+      AS cost_cents
+  FROM ps JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+),
+best AS (
+  SELECT *, MIN(cost_cents) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM offers
+)
+SELECT p_partkey, p_brand, n_name, s_name,
+  ROUND(s_acctbal, 2) AS s_acctbal_r, cost_cents
+FROM best WHERE cost_cents = min_cost
+ORDER BY s_acctbal_r DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("join_q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "tpch"))
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: for the ECONOMY small parts, the EUROPE supplier(s)
+    offering the minimum supply cost — the correlated-min star-schema shape
+    (the one classic TPC-H join family previously absent: the min is per
+    part over only the region-qualified offers, then the offer must equal
+    it). partsupp is synthesized in-query by dbgen's public association
+    rule + a deterministic integer cost (see _Q2_ORACLE note), so the
+    query is a pure function of the fixture.
+
+    Scale shape: part is filtered before the 4-way offer explode (linear);
+    the region-qualified supplier dim is dim-sized and BROADCASTS into the
+    offer stream; the correlated min is a frame-less window over
+    p_partkey partitions (one hash shuffle, no sort — never a global
+    window); the final top-100 plans as TakeOrderedAndProject. At 100 TB
+    the only data-sized exchange is the p_partkey hash — exactly the
+    textbook Q2 plan."""
+    part, supplier, nation, region = load(spark, sf_dir, "part", "supplier", "nation", "region")
+    s_count = supplier.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    ps = (
+        part.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+        .crossJoin(F.broadcast(s_count))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "s",
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.expr(
+                "((p_partkey + i * (s div 4 + (p_partkey - 1) div s)) % s) + 1"
+            ).alias("ps_suppkey"),
+        )
+    )
+    eu = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(
+        F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "s_name",
+        "s_acctbal",
+        "n_name",
+        F.expr(
+            "CAST((p_partkey * 7 + ps_suppkey * 13) % 100000 + 100 AS BIGINT)"
+        ).alias("cost_cents"),
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("cost_cents").over(w))
+        .where(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "n_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal_r"),
+            "cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal_r"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _pseudo_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The synthesized partsupp bridge shared by the Q2/Q11/Q16 analogs:
+    dbgen's public association rule (4 suppliers per part at
+    ((p_partkey + i*(S/4 + (p_partkey-1)/S)) % S) + 1), a deterministic
+    integer supply cost ((p_partkey*7 + suppkey*13) % 100000 + 100 cents)
+    and availability ((p_partkey*11 + suppkey*17) % 9999 + 1) — a pure
+    function of (part, |supplier|), so the DuckDB oracles derive the
+    identical table from the same CTE (``_PS_SQL``)."""
+    s_count = supplier.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    return (
+        part.crossJoin(F.broadcast(s_count))
+        .select(
+            "p_partkey", "p_brand", "p_type", "p_size",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "s",
+        )
+        .select(
+            "p_partkey", "p_brand", "p_type", "p_size",
+            F.expr(
+                "((p_partkey + i * (s div 4 + (p_partkey - 1) div s)) % s) + 1"
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((p_partkey * 7 + ps_suppkey * 13) % 100000 + 100 AS BIGINT)"
+            ).alias("ps_cost_cents"),
+            F.expr(
+                "CAST((p_partkey * 11 + ps_suppkey * 17) % 9999 + 1 AS BIGINT)"
+            ).alias("ps_availqty"),
+        )
+    )
+
+
+_PS_SQL = """
+sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier),
+pseudo_ps AS (
+  SELECT p.p_partkey, p.p_brand, p.p_type, p.p_size,
+    ((p.p_partkey + i * (sc.s // 4 + (p.p_partkey - 1) // sc.s)) % sc.s) + 1
+      AS ps_suppkey,
+    CAST((p.p_partkey * 7
+          + (((p.p_partkey + i * (sc.s // 4 + (p.p_partkey - 1) // sc.s)) % sc.s) + 1) * 13
+         ) % 100000 + 100 AS BIGINT) AS ps_cost_cents,
+    CAST((p.p_partkey * 11
+          + (((p.p_partkey + i * (sc.s // 4 + (p.p_partkey - 1) // sc.s)) % sc.s) + 1) * 17
+         ) % 9999 + 1 AS BIGINT) AS ps_availqty
+  FROM part p CROSS JOIN sc CROSS JOIN UNNEST(RANGE(0, 4)) AS t(i)
+)
+"""
+
+
+_Q16_ORACLE = f"""
+WITH {_PS_SQL.strip()},
+ok_supp AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM pseudo_ps ps
+JOIN ok_supp s ON s.s_suppkey = ps.ps_suppkey
+WHERE ps.p_type <> 'ECONOMY' AND ps.p_size <= 8
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("join_q16_supplier_variety", oracle=_Q16_ORACLE, tags=("join", "tpch"))
+def join_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT qualified suppliers can source
+    each (brand, type, size) part family — supplier-diversity sourcing
+    analytics. The classic pieces: a bridge-table distinct-count rollup
+    plus an exclusion anti-join (here: suppliers in deficit, the fixture's
+    analog of dbgen's 'Customer Complaints' comment filter), over the
+    synthesized partsupp (``_pseudo_partsupp``).
+
+    Scale shape: part filters apply before the 4-way offer explode; the
+    exclusion list is dim-sized and broadcast (semi-join form); the only
+    data-sized exchange is the (brand, type, size, suppkey) distinct-agg
+    hash — Spark plans partial distinct map-side. No window, no sort."""
+    part, supplier = load(spark, sf_dir, "part", "supplier")
+    ps = _pseudo_partsupp(
+        part.where((F.col("p_type") != "ECONOMY") & (F.col("p_size") <= 8)),
+        supplier,
+    )
+    ok = supplier.where(F.col("s_acctbal") >= 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(ok), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q11_ORACLE = f"""
+WITH {_PS_SQL.strip()},
+eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+stock AS (
+  SELECT ps.p_partkey,
+    CAST(SUM(ps.ps_cost_cents * ps.ps_availqty) AS BIGINT) AS value_cents
+  FROM pseudo_ps ps JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+  GROUP BY ps.p_partkey
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM stock)
+SELECT p_partkey, value_cents
+FROM stock CROSS JOIN tot
+WHERE value_cents * 1000 > total
+"""
+
+
+@register("join_q11_important_stock", oracle=_Q11_ORACLE, tags=("join", "tpch"))
+def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose EUROPE-held inventory value exceeds
+    0.1% of the total — the correlated-scalar HAVING over a grouped
+    bridge-table rollup (the 'important stock' concentration screen).
+    Inventory value is exact integer cents x integral quantity from the
+    synthesized partsupp, and the threshold compare is integer
+    (value * 1000 > total), so the result is hash-exact.
+
+    Scale shape: the region-qualified supplier list broadcasts; the only
+    data-sized exchange is the p_partkey value rollup (map-side
+    combinable); the grand total is a 1-row broadcast back into the
+    part-grain stream — never a second scan."""
+    part, supplier, nation, region = load(spark, sf_dir, "part", "supplier", "nation", "region")
+    eu = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    stock = (
+        _pseudo_partsupp(part, supplier)
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).cast("long").alias("value_cents"))
+    )
+    tot = stock.agg(F.sum("value_cents").cast("long").alias("total"))
+    return (
+        stock.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("total"))
+        .select("p_partkey", "value_cents")
+    )

@@ -290,16 +290,19 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # energy + silence detection parsed out of the data-chunk bytes with nested
 # JVM higher-order functions (hex once per row, transform over frames,
 # integer fold over samples). The fixture's PCM stand-in is the UTF-8 text,
-# so the oracle recomputes every window energy from ord() over the same
-# characters — all integers, so the hash proves the byte-extraction path
-# (offset/stride arithmetic included) is exact.
+# so the oracle recomputes every window energy from the ENCODEd BYTES (hex
+# slice per byte — NOT ord() over characters, which would diverge from the
+# Spark byte parser on any non-ASCII text; ADVICE r5) — all integers, so
+# the hash proves the byte-extraction path (offset/stride arithmetic
+# included) is exact.
 _AUDIO_ENERGY_ORACLE = """
 WITH b AS (
-  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+  SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents
 ),
 pos AS (
   SELECT doc_id, (i - 1) // 16 AS w,
-    ord(substr(text, CAST(i AS INT), 1)) - 128 AS s
+    ('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2))::INT - 128 AS s
   FROM b, UNNEST(RANGE(1, (n // 16) * 16 + 1)) AS t(i)
 ),
 wins AS (

@@ -1499,3 +1499,107 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_permyriad16"
         ),
     )
+
+
+# DSIR-style importance weights (r6): Data Selection via Importance
+# Resampling (Xie et al., NeurIPS'23) — score every raw document by how
+# much its hashed n-gram profile looks like a TARGET domain vs the RAW
+# pool: score(doc) = sum over tokens of [ln p_target(bucket) - ln
+# p_raw(bucket)], with tokens hashed into 256 md5-derived buckets and
+# add-one smoothing per bucket. High scores select target-like documents
+# when assembling a pretraining mix. Target here = the 'en' slice; raw =
+# the whole corpus. Log-ratios are quantized to integer micro-nats per
+# bucket BEFORE the per-doc sum (the langid/PMI determinism convention),
+# so every output is BIGINT and hash-exact.
+_DSIR_BUCKETS = 256
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('dsir-v1:' || w), 1, 12))::BIGINT % {_DSIR_BUCKETS} AS bkt
+  FROM tok
+),
+prof AS (
+  SELECT bkt,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM b GROUP BY bkt
+),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS tt, CAST(SUM(n_r) AS BIGINT) AS tr FROM prof
+),
+lr AS (
+  SELECT bkt,
+    CAST(ROUND(LN(
+      (CAST(n_t + 1 AS DOUBLE) / (tt + {_DSIR_BUCKETS}))
+      / (CAST(n_r + 1 AS DOUBLE) / (tr + {_DSIR_BUCKETS}))
+    ) * 1000000.0) AS BIGINT) AS lr_micro
+  FROM prof CROSS JOIN tot
+)
+SELECT
+  b.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_score_micro,
+  CAST(SUM(lr.lr_micro) AS BIGINT) > 0 AS target_like
+FROM b JOIN lr ON lr.bkt = b.bkt
+GROUP BY b.doc_id
+"""
+
+
+@register("curation_dsir_weights", oracle=_DSIR_ORACLE, tags=("curation", "sampling", "text"))
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score per document: hashed-unigram log-likelihood
+    ratio of a target domain (the 'en' slice) against the raw pool, the
+    importance-resampling selection signal for assembling pretraining
+    mixtures from heterogeneous crawls (select where score ranks high /
+    exceeds 0). Completes the curation tier's selection family: hash
+    split, stratified, weighted A-ES, temperature mix — and now
+    distribution-matching selection.
+
+    Scale shape: the bucket profile is a {B}-row aggregate (map-side
+    combinable, bounded state) broadcast back into the token stream; the
+    per-doc score is one doc-grain sum — the only data-sized shuffle.
+    Bucket log-ratios are quantized to integer micro-nats BEFORE
+    summation, so the result is BIGINT-exact on both engines.""".replace(
+        "{B}", str(_DSIR_BUCKETS)
+    )
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir-v1:"), F.col("w"))), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    prof = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+    )
+    tot = prof.agg(
+        F.sum("n_t").cast("long").alias("tt"), F.sum("n_r").cast("long").alias("tr")
+    )
+    p_t = (F.col("n_t") + 1).cast("double") / (F.col("tt") + _DSIR_BUCKETS)
+    p_r = (F.col("n_r") + 1).cast("double") / (F.col("tr") + _DSIR_BUCKETS)
+    lr = prof.crossJoin(F.broadcast(tot)).select(
+        "bkt", F.round(F.log(p_t / p_r) * 1000000.0).cast("long").alias("lr_micro")
+    )
+    score = F.sum("lr_micro").cast("long")
+    return (
+        b.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            score.alias("dsir_score_micro"),
+            (score > 0).alias("target_like"),
+        )
+    )

@@ -1185,3 +1185,295 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# PSI drift monitor (r6): the Population Stability Index — THE standard
+# production screen for "has this feature's distribution moved since the
+# model was trained". Bins are the BASELINE period's deciles; both periods
+# are counted into those fixed bins; psi_term = (p - q) * ln(p / q) with
+# add-one smoothing so empty bins stay finite. Decile boundaries come from
+# the distributed NTILE (range-repartitioned rank — never a global
+# one-task window); the oracle replays them with plain NTILE(10). The ln
+# is quantized to integer micro-nats (ROUND(LN(..)*1e6) — the langid/PMI
+# determinism convention), shares to integer basis points, so every output
+# is BIGINT.
+_PSI_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+    o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+  FROM orders
+),
+base AS (SELECT * FROM c WHERE is_base),
+tiled AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_orderkey) AS tile FROM base
+),
+bounds AS (
+  SELECT LIST(ub ORDER BY ub) AS bs
+  FROM (SELECT MAX(cents) AS ub FROM tiled WHERE tile <= 9 GROUP BY tile)
+),
+binned AS (
+  SELECT is_base,
+    1 + LEN(LIST_FILTER(bounds.bs, b -> c.cents > b)) AS bin
+  FROM c CROSS JOIN bounds
+),
+cnt AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+    CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM cnt
+)
+SELECT
+  CAST(bin AS BIGINT) AS bin, n_base, n_cur,
+  CAST(n_base * 10000 // tb AS BIGINT) AS base_bp,
+  CAST(n_cur * 10000 // tc AS BIGINT) AS cur_bp,
+  CAST(ROUND(
+    (CAST(n_base + 1 AS DOUBLE) / (tb + 10) - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+    * CAST(ROUND(LN(
+        (CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+        / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+      ) * 1000000.0) AS BIGINT) ) AS BIGINT) AS psi_term_micro
+FROM cnt CROSS JOIN tot
+"""
+
+
+@register("stats_psi_drift", oracle=_PSI_ORACLE, tags=("stats", "quality", "drift"))
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over order totals: baseline (pre-1998)
+    decile bins, both periods counted into them, per-bin smoothed
+    (p - q) * ln(p / q) drift terms in integer micro-nat scale — sum the
+    column and compare against the classic 0.1 / 0.25 thresholds. The
+    drift screen that gates model retraining in production scoring
+    pipelines; complements stats_chi2_drift (category shift) with a
+    numeric-distribution monitor.
+
+    Scale shape: one scan splits periods; baseline deciles come from
+    ``distributed_ntile`` (range-repartitioned rank + integer NTILE
+    arithmetic, matching the oracle's NTILE(10) exactly — never a
+    one-task global sort); the 9 boundary values collapse to a single
+    broadcast array row and bin assignment is a scan-side
+    filter-count over it; the only other shuffle is the 10-bin count
+    rollup. Micro-nat ln quantization keeps every output BIGINT."""
+    from ..operators.sampling import distributed_ntile
+
+    (orders,) = load(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias("is_base"),
+    )
+    base = c.where("is_base").localCheckpoint(eager=True)
+    tiled = distributed_ntile(base, 10, "cents", "o_orderkey", out_col="tile")
+    bounds = (
+        tiled.where(F.col("tile") <= 9)
+        .groupBy("tile")
+        .agg(F.max("cents").alias("ub"))
+        .agg(F.sort_array(F.collect_list("ub")).alias("bs"))
+    )
+    binned = c.crossJoin(F.broadcast(bounds)).select(
+        "is_base",
+        (
+            1
+            + F.size(F.filter("bs", lambda b: F.col("cents") > b))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_base").cast("long").alias("tb"), F.sum("n_cur").cast("long").alias("tc")
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    ln_q = F.round(F.log(p / q) * 1000000.0).cast("long")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_base",
+        "n_cur",
+        F.expr("CAST(n_base * 10000 div tb AS BIGINT)").alias("base_bp"),
+        F.expr("CAST(n_cur * 10000 div tc AS BIGINT)").alias("cur_bp"),
+        F.round((p - q) * ln_q).cast("long").alias("psi_term_micro"),
+    )
+
+
+# Theta-sketch union / difference (r6): completes the sketch set algebra
+# started by agg_kmv_intersection — |A u B| and |A \ B| estimated from the
+# same k=64 minimum-hash registers. Under the pair threshold
+# theta = least(th_a, th_b), sk_x holds EVERY x-hash below theta (th_x is
+# the k-th smallest of x), so "register below theta absent from the other
+# sketch" IS the theta-sketch A-not-B, and distinct registers below theta
+# across both sketches give the union estimate — both scaled by
+# 2^52/theta. Exact audit columns ride along at fixture scale.
+_KMV_DIFF_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+),
+h AS (
+  SELECT o_orderpriority,
+    CAST(concat('0x',
+      substr(md5(concat('kmv-v1:', CAST(o_custkey AS VARCHAR))), 1, 13)
+    ) AS BIGINT) AS hv
+  FROM d
+),
+r AS (
+  SELECT o_orderpriority, hv,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT o_orderpriority, hv FROM r WHERE rn <= {_KMV_K}),
+theta AS (
+  SELECT o_orderpriority, CAST(MAX(hv) AS BIGINT) AS th
+  FROM sk GROUP BY o_orderpriority
+),
+pairs AS (
+  SELECT ta.o_orderpriority AS grp_a, tb.o_orderpriority AS grp_b,
+    LEAST(ta.th, tb.th) AS min_th
+  FROM theta ta JOIN theta tb ON ta.o_orderpriority < tb.o_orderpriority
+),
+uni AS (
+  SELECT p.grp_a, p.grp_b, CAST(COUNT(DISTINCT s.hv) AS BIGINT) AS n_union_reg
+  FROM pairs p
+  JOIN sk s ON s.o_orderpriority IN (p.grp_a, p.grp_b) AND s.hv < p.min_th
+  GROUP BY p.grp_a, p.grp_b
+),
+anotb AS (
+  SELECT p.grp_a, p.grp_b, CAST(COUNT(*) AS BIGINT) AS n_anotb_reg
+  FROM pairs p
+  JOIN sk a ON a.o_orderpriority = p.grp_a AND a.hv < p.min_th
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sk b WHERE b.o_orderpriority = p.grp_b AND b.hv = a.hv
+  )
+  GROUP BY p.grp_a, p.grp_b
+),
+gc AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY o_orderpriority
+),
+ex_int AS (
+  SELECT a.o_orderpriority AS grp_a, b.o_orderpriority AS grp_b,
+    CAST(COUNT(*) AS BIGINT) AS n_int
+  FROM d a JOIN d b
+    ON a.o_custkey = b.o_custkey AND a.o_orderpriority < b.o_orderpriority
+  GROUP BY 1, 2
+)
+SELECT
+  p.grp_a, p.grp_b,
+  ga.n + gb.n - COALESCE(e.n_int, 0) AS n_exact_union,
+  ga.n - COALESCE(e.n_int, 0) AS n_exact_anotb,
+  COALESCE(u.n_union_reg, CAST(0 AS BIGINT)) AS n_union_reg,
+  COALESCE(x.n_anotb_reg, CAST(0 AS BIGINT)) AS n_anotb_reg,
+  ROUND(COALESCE(u.n_union_reg, 0) * {_KMV_DENOM!r} / CAST(p.min_th AS DOUBLE), 4)
+    AS est_union,
+  ROUND(COALESCE(x.n_anotb_reg, 0) * {_KMV_DENOM!r} / CAST(p.min_th AS DOUBLE), 4)
+    AS est_anotb
+FROM pairs p
+JOIN gc ga ON ga.o_orderpriority = p.grp_a
+JOIN gc gb ON gb.o_orderpriority = p.grp_b
+LEFT JOIN uni u ON u.grp_a = p.grp_a AND u.grp_b = p.grp_b
+LEFT JOIN anotb x ON x.grp_a = p.grp_a AND x.grp_b = p.grp_b
+LEFT JOIN ex_int e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
+"""
+
+
+@register("agg_theta_difference", oracle=_KMV_DIFF_ORACLE, tags=("agg", "approx", "sketch"))
+def agg_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch union and A-not-B estimates for every priority-group
+    pair, from the k=64 minimum-hash registers alone, with exact audit
+    columns — together with agg_kmv_intersection this closes the sketch
+    set algebra (union / intersect / difference), the primitive behind
+    "how many NEW users did this source add" at 100 TB without comoving
+    members.
+
+    Scale shape: the register build is the same WindowGroupLimit-bounded
+    k-per-group pass the other sketch queries share; union counting and
+    the A-not-B anti-join run at k x |group-pairs| grain (64-row sketch
+    frames, never member sets). Exact audits are fixture-affordable and
+    drop at scale. Estimates scale registers by 2^52/theta, rounded 4 dp
+    identically on both engines."""
+    (orders,) = load(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv-v1:"), F.col("o_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    h = d.select("o_orderpriority", hv.alias("hv"))
+    w = Window.partitionBy("o_orderpriority").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    theta = sk.groupBy("o_orderpriority").agg(F.max("hv").cast("long").alias("th"))
+    ta = theta.select(F.col("o_orderpriority").alias("grp_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("o_orderpriority").alias("grp_b"), F.col("th").alias("th_b"))
+    pairs = ta.join(tb, F.col("grp_a") < F.col("grp_b")).select(
+        "grp_a", "grp_b", F.least("th_a", "th_b").alias("min_th")
+    )
+    sa = sk.select(F.col("o_orderpriority").alias("grp_a"), "hv")
+    sb = sk.select(F.col("o_orderpriority").alias("grp_b"), F.col("hv").alias("hv_b"))
+    # union registers: distinct hv below the pair threshold across both legs
+    uni = (
+        pairs.join(sa, "grp_a")
+        .where(F.col("hv") < F.col("min_th"))
+        .select("grp_a", "grp_b", "hv")
+        .unionByName(
+            pairs.join(
+                sk.select(F.col("o_orderpriority").alias("grp_b"), "hv"), "grp_b"
+            )
+            .where(F.col("hv") < F.col("min_th"))
+            .select("grp_a", "grp_b", "hv")
+        )
+        .distinct()
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union_reg"))
+    )
+    # A-not-B registers: a-leg hashes below threshold absent from sketch B
+    sb2 = sk.select(
+        F.col("o_orderpriority").alias("grp_b2"), F.col("hv").alias("hv_b")
+    )
+    anotb = (
+        pairs.join(sa, "grp_a")
+        .where(F.col("hv") < F.col("min_th"))
+        .withColumnRenamed("hv", "hv_a")
+        .join(
+            sb2,
+            (F.col("hv_b") == F.col("hv_a")) & (F.col("grp_b2") == F.col("grp_b")),
+            "left_anti",
+        )
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anotb_reg"))
+    )
+    gc = d.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ga = gc.select(F.col("o_orderpriority").alias("grp_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("o_orderpriority").alias("grp_b"), F.col("n").alias("nb"))
+    da = d.select(F.col("o_orderpriority").alias("grp_a"), "o_custkey")
+    db = d.select(F.col("o_orderpriority").alias("grp_b"), F.col("o_custkey").alias("ck_b"))
+    ex_int = (
+        da.join(db, (F.col("o_custkey") == F.col("ck_b")) & (F.col("grp_a") < F.col("grp_b")))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_int"))
+    )
+    est = lambda c: F.round(
+        F.coalesce(c, F.lit(0)).cast("double") * F.lit(_KMV_DENOM) / F.col("min_th").cast("double"), 4
+    )
+    return (
+        pairs.join(F.broadcast(ga), "grp_a")
+        .join(F.broadcast(gb), "grp_b")
+        .join(uni, ["grp_a", "grp_b"], "left")
+        .join(anotb, ["grp_a", "grp_b"], "left")
+        .join(ex_int, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            (F.col("na") + F.col("nb") - F.coalesce("n_int", F.lit(0))).cast("long").alias("n_exact_union"),
+            (F.col("na") - F.coalesce("n_int", F.lit(0))).cast("long").alias("n_exact_anotb"),
+            F.coalesce("n_union_reg", F.lit(0).cast("long")).alias("n_union_reg"),
+            F.coalesce("n_anotb_reg", F.lit(0).cast("long")).alias("n_anotb_reg"),
+            est(F.col("n_union_reg")).alias("est_union"),
+            est(F.col("n_anotb_reg")).alias("est_anotb"),
+        )
+    )
