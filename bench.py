@@ -182,11 +182,11 @@ def main() -> None:
     # PQ fit vs probe, reported apart (VERDICT r5 task 4): the codebook fit
     # is a train-once cost (O(corpus x iter) distributed, O(model) driver),
     # the probe is what a query actually pays against the resident index.
-    from vmhub_data_pipeline_spark.queries.vector import _PQ_FIT_CACHE, pq_books_cached
+    from vmhub_data_pipeline_spark.queries.vector import _PQ_FIT_CACHE, pq_index_cached
 
     _PQ_FIT_CACHE.clear()
     t0 = time.perf_counter()
-    pq_books_cached(spark, sec_dir)
+    pq_index_cached(spark, sec_dir)
     secondary["ann_pq_fit"] = round(time.perf_counter() - t0, 3)
     probe_runs = [run_once("ann_pq_topk", sec_dir) for _ in range(REPEATS_DEFAULT)]
     secondary["ann_pq_probe"] = round(

@@ -475,6 +475,7 @@ def pq_knn(
     dim: int,
     books: list[list[list[float]]],
     rerank_shortlist: int | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric PQ distance: the corpus is encoded
     to m small codes ONCE (storage-resident at scale), each query scores a
@@ -484,12 +485,18 @@ def pq_knn(
     Plan shape: encode = scan-stage projection over the corpus; scoring =
     broadcast queries x streamed codes with the codebooks inlined as
     literal arrays (m*k*sub doubles — a few KB); top-k via WindowGroupLimit.
-    All JVM expressions, zero UDF."""
+    All JVM expressions, zero UDF.
+
+    ``codes`` may pass a precomputed ``(corpus_id, codes)`` frame — the
+    serving posture, where the encoded index is resident and only probes
+    run per query (the re-rank still fetches raw vectors for the SHORTLIST
+    only, the cold-storage fetch a production IVF-PQ does)."""
     sub = dim // m_books if (m_books := len(books)) else 0
-    codes = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        _pq_code_expr(_as_double(F.col(vec_col)), books, sub).alias("codes"),
-    )
+    if codes is None:
+        codes = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            _pq_code_expr(_as_double(F.col(vec_col)), books, sub).alias("codes"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
