@@ -134,3 +134,25 @@ def test_q11_threshold_and_q16_bounds(spark, sf_dir):
     n_ok = supplier.where(F.col("s_acctbal") >= 0).count()
     for r in Q["join_q16_supplier_variety"](spark, sf_dir).collect():
         assert 1 <= r["supplier_cnt"] <= min(n_ok, 4 * 10**9)
+
+
+def test_audio_energy_uses_bytes_not_chars(spark):
+    """ADVICE r5: the energy path must parse UTF-8 BYTES. On non-ASCII text
+    (2-byte chars) the window count must follow the OCTET length, and the
+    per-sample values must be the encoded bytes — computed here in pure
+    Python as the ground truth."""
+    from vmhub_data_pipeline_spark.operators.multimodal import (
+        attach_wav_payload,
+        pcm_window_energy,
+    )
+
+    text = "héllo wörld ünïcode pâyload " * 3  # multi-byte chars throughout
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pcm_window_energy(attach_wav_payload(docs, "doc_id", "text")).collect()[0]
+    raw = text.encode("utf-8")
+    n_win = len(raw) // 16
+    assert row["n_windows"] == n_win
+    expect_total = sum(
+        sum((b - 128) ** 2 for b in raw[w * 16 : (w + 1) * 16]) for w in range(n_win)
+    )
+    assert row["total_energy"] == expect_total
