@@ -15,16 +15,38 @@ Q = {n: q.fn for n, q in catalog.REGISTRY.items()}
 
 
 def test_psi_bins_balanced_and_shares_sum(spark, sf_dir):
-    """The baseline must spread across the 10 bins within one row of ideal
-    (they ARE its deciles), shares must sum to ~10000 bp, and a degenerate
-    drift (bins empty on one side) must not produce NULL/inf terms."""
+    """Baseline bin counts must equal the exact value-binning ground truth
+    recomputed in pure Python from the cents multiset (ADVICE r6: a fixed
+    ±1 bound breaks when decile-boundary TIES pile rows into one bin even
+    though Spark/oracle parity holds — so mirror the tie semantics
+    instead), shares must sum to ~10000 bp, and a degenerate drift (bins
+    empty on one side) must not produce NULL/inf terms."""
     rows = Q["stats_psi_drift"](spark, sf_dir).collect()
     assert len(rows) == 10
     assert sorted(r["bin"] for r in rows) == list(range(1, 11))
-    tb = sum(r["n_base"] for r in rows)
-    lo, hi = tb // 10, tb // 10 + 1
+
+    # ground truth: NTILE(10) over (cents, o_orderkey), boundaries = max
+    # cents of tiles 1..9, bin = 1 + |{b : cents > b}| — value-binning,
+    # so boundary ties all land left of the boundary by design
+    base = sorted(
+        (int(round(r["o_totalprice"] * 100.0)), r["o_orderkey"])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderdate < timestamp'1998-01-01'")
+        .select("o_totalprice", "o_orderkey")
+        .collect()
+    )
+    n = len(base)
+    sizes = [n // 10 + (1 if i < n % 10 else 0) for i in range(10)]
+    bounds, pos = [], 0
+    for s in sizes[:9]:
+        pos += s
+        bounds.append(base[pos - 1][0])
+    expect = [0] * 10
+    for cents, _ in base:
+        expect[sum(1 for b in bounds if cents > b)] += 1
+    got = {r["bin"]: r["n_base"] for r in rows}
+    assert [got[i + 1] for i in range(10)] == expect
     for r in rows:
-        assert lo - 1 <= r["n_base"] <= hi + 1
         assert r["psi_term_micro"] is not None
     assert abs(sum(r["base_bp"] for r in rows) - 10000) <= 10
     assert abs(sum(r["cur_bp"] for r in rows) - 10000) <= 10

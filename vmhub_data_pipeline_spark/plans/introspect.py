@@ -65,19 +65,28 @@ def single_partition_window_count(df: DataFrame) -> int:
         +- Sort [x ASC NULLS FIRST], false, 0
            +- Exchange SinglePartition, ...
 
-    i.e. a ``Window`` whose nearest non-``Sort`` descendant line is the
-    single-partition exchange. Bounded-grain windows (decile/day/top-k
-    rollups) are allowed per-query via the pinned allowlist in
+    i.e. a ``Window`` whose nearest non-pass-through descendant line is
+    the single-partition exchange. All unary pass-through nodes are
+    skipped (not just ``Sort`` — ADVICE r6: a ``Project``/``Filter``/AQE
+    marker between the Sort and the Exchange previously produced a false
+    negative); the walk stops at the first node that can CHANGE the
+    feeding partitioning (another exchange, a join, an aggregate, a
+    scan). Bounded-grain windows (decile/day/top-k rollups) are allowed
+    per-query via the pinned allowlist in
     ``tests/test_plans.py:test_no_data_grain_single_partition_windows`` —
     any NEW query introducing one must be consciously added there."""
     plan = explain_str(df, "simple")
     lines = [ln.strip().lstrip("*+-: ()0123456789") for ln in plan.splitlines()]
+    passthrough = (
+        "Sort", "Project", "Filter", "AdaptiveSparkPlan", "ColumnarToRow",
+        "InputAdapter", "WholeStageCodegen", "CollectMetrics",
+    )
     hits = 0
     for i, ln in enumerate(lines):
         if not ln.startswith("Window"):
             continue
         for nxt in lines[i + 1 :]:
-            if nxt.startswith("Sort"):
+            if nxt.startswith(passthrough):
                 continue
             if "Exchange SinglePartition" in nxt:
                 hits += 1

@@ -148,18 +148,6 @@ def _minhash_oracle(
     DETERMINISTIC, so the oracle reproduces recall and precision exactly —
     the ``ann_lsh_topk``/``ann_pq_topk`` technique applied to MinHash
     (VERDICT r5 task 3)."""
-    p = 2147483647
-    r = num_hashes // bands
-    k = shingle_size
-    mins = ",\n    ".join(
-        f"MIN((h1 + {i} * h2) % {p}) AS m{i}" for i in range(num_hashes)
-    )
-    band_legs = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_id, concat_ws('-', {cols}) AS band_hash FROM sigs".format(
-            b=b, cols=", ".join(f"m{b * r + i}" for i in range(r))
-        )
-        for b in range(bands)
-    )
     return f"""
 WITH {_minhash_pair_ctes(num_hashes, bands, shingle_size, threshold)}
 SELECT doc_a, doc_b, jaccard FROM lsh_pairs

@@ -1558,13 +1558,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, stratified, weighted A-ES, temperature mix — and now
     distribution-matching selection.
 
-    Scale shape: the bucket profile is a {B}-row aggregate (map-side
-    combinable, bounded state) broadcast back into the token stream; the
-    per-doc score is one doc-grain sum — the only data-sized shuffle.
-    Bucket log-ratios are quantized to integer micro-nats BEFORE
-    summation, so the result is BIGINT-exact on both engines.""".replace(
-        "{B}", str(_DSIR_BUCKETS)
-    )
+    Scale shape: the bucket profile is a 256-row (``_DSIR_BUCKETS``)
+    aggregate (map-side combinable, bounded state) broadcast back into
+    the token stream; the per-doc score is one doc-grain sum — the only
+    data-sized shuffle. Bucket log-ratios are quantized to integer
+    micro-nats BEFORE summation, so the result is BIGINT-exact on both
+    engines."""
     (docs,) = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")

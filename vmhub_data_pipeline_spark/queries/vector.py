@@ -699,7 +699,11 @@ def pq_index_cached(
     blocks live on executors."""
     from ..operators.similarity import _as_double, _pq_code_expr, pq_fit
 
-    key = (sf_dir, dim, m, k, max_iter)
+    # Keyed on the session's applicationId too (ADVICE r6): the cached
+    # codes frame is a localCheckpointed DataFrame bound to the session
+    # that built it — a new SparkSession in the same process must not be
+    # served another session's (dead) checkpoint blocks.
+    key = (spark.sparkContext.applicationId, sf_dir, dim, m, k, max_iter)
     cached = _PQ_FIT_CACHE.get(key)
     if cached is None:
         _, c = _pq_unit_corpus(spark, sf_dir)
