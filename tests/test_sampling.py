@@ -286,3 +286,35 @@ def test_distributed_ntile_rejects_bad_k(spark):
     df = spark.range(3).selectExpr("id as key", "id as metric")
     with _pytest.raises(ValueError):
         distributed_ntile(df, 0, "metric", "key")
+
+
+def test_global_order_values_matches_sorted_list(spark):
+    """Order statistics must equal a Python sort of the same total order:
+    scattered positions, duplicates in positions, callable positions,
+    boundary (0, n-1), tied order values, and out-of-range rejection."""
+    import pytest as _pytest
+
+    from vmhub_data_pipeline_spark.operators.sampling import global_order_values
+
+    n = 97
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 37 % 11).alias("metric"),  # heavy ties
+    )
+    ordered = [
+        m for m, _ in sorted((i * 37 % 11, i) for i in range(n))
+    ]
+    pos = [0, 1, 5, 5, 48, 95, 96]
+    got = global_order_values(df, "metric", "key", pos, num_partitions=4)
+    assert got == [ordered[p] for p in sorted(set(pos))]
+    # callable positions: deciles via NTILE cumulative sizes
+    fn = lambda total: {  # noqa: E731
+        t * (total // 10) + min(t, total % 10) - 1 for t in range(1, 10)
+    }
+    got2 = global_order_values(df, "metric", "key", fn, num_partitions=4)
+    assert got2 == [ordered[p] for p in sorted(fn(n))]
+    assert global_order_values(df, "metric", "key", [], num_partitions=4) == []
+    with _pytest.raises(ValueError):
+        global_order_values(df, "metric", "key", [n], num_partitions=4)
+    with _pytest.raises(ValueError):
+        global_order_values(df, "metric", "key", [-1], num_partitions=4)

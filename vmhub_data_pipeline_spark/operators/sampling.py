@@ -141,8 +141,12 @@ def pack_sequences(
 
 
 def zip_with_global_index(
-    df: DataFrame, order_col: str, tiebreak_col: str, num_partitions: int = 32
-) -> DataFrame:
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 32,
+    return_count: bool = False,
+):
     """Dense 0-based index over the total order (order_col, tiebreak_col),
     computed distributively.
 
@@ -168,6 +172,11 @@ def zip_with_global_index(
     eviction — wrong offsets; a checkpoint read either succeeds or fails).
     Checkpoint blocks are released by the ContextCleaner when the returned
     frame is dropped, unlike an explicit persist which would leak per call.
+
+    ``return_count=True`` returns ``(df, n)`` — the total row count falls
+    out of the per-partition count job for free, so callers that need
+    ``n`` (order-statistic positions, NTILE arithmetic) don't pay a
+    second counting job over the enumerated output.
     """
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
@@ -199,7 +208,88 @@ def zip_with_global_index(
             pos += len(pdf)
             yield out
 
-    return ranged.mapInPandas(enumerate_partition, out_schema)
+    out = ranged.mapInPandas(enumerate_partition, out_schema)
+    return (out, acc) if return_count else out
+
+
+def global_order_values(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    positions,
+    num_partitions: int = 32,
+) -> list:
+    """The ``order_col`` values at the given 0-based ranks of the total
+    order ``(order_col, tiebreak_col)`` — exact distributed order
+    statistics, returned as a driver-side list (one value per position,
+    ordered by position; duplicates preserved).
+
+    Shares :func:`zip_with_global_index`'s structure (range repartition +
+    per-partition prefix-sum offsets) but never enumerates the corpus:
+    the partition counts locate which partitions hold the requested
+    ranks, a partition-id filter prunes every other partition BEFORE the
+    Arrow boundary, and the picker streams only the few surviving sorted
+    partitions, emitting just the rows at the requested local offsets.
+    For p requested positions the Arrow transfer is O(p/num_partitions
+    of the corpus) instead of O(corpus) — the quantile-boundary fetch a
+    drift monitor or equi-depth binner actually needs (PSI wants 9
+    values, not a tile per row). Driver state: the values themselves,
+    O(p).
+
+    ``positions`` may be a callable ``n -> sequence`` for rank sets that
+    depend on the total row count (quantile boundaries), evaluated after
+    the partition-count job — no separate counting pass."""
+    ranged = (
+        df.select(order_col, tiebreak_col)
+        .repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
+        .sortWithinPartitions(order_col, tiebreak_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
+    if callable(positions):
+        positions = positions(sum(counts.values()))
+    pos = sorted(set(int(p) for p in positions))
+    if not pos:
+        return []
+    if pos[0] < 0:
+        raise ValueError(f"positions must be >= 0, got {pos[0]}")
+    # per target partition: (global offset, the partition-LOCAL ranks wanted)
+    wanted: dict[int, tuple[int, list[int]]] = {}
+    acc = 0
+    for pid in sorted(counts):
+        lo, hi = acc, acc + counts[pid]
+        locs = [p - lo for p in pos if lo <= p < hi]
+        if locs:
+            wanted[pid] = (lo, locs)
+        acc = hi
+    if pos[-1] >= acc:
+        raise ValueError(f"position {pos[-1]} out of range (n={acc})")
+
+    def pick(batches: Iterator) -> Iterator:
+        seen = 0
+        off: int | None = None
+        want: list[int] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off, want = wanted[int(pdf["__pid"].iloc[0])]
+            hits = [j for j in want if seen <= j < seen + len(pdf)]
+            if hits:
+                out = pdf.iloc[[j - seen for j in hits]][[order_col]].copy()
+                out["__rank"] = [off + j for j in hits]
+                yield out
+            seen += len(pdf)
+
+    order_type = {f.name: f.dataType.simpleString() for f in ranged.schema.fields}[
+        order_col
+    ]
+    picked = ranged.where(
+        F.col("__pid").isin([int(p) for p in wanted])
+    ).mapInPandas(pick, f"{order_col} {order_type}, __rank long")
+    by_rank = {r["__rank"]: r[order_col] for r in picked.collect()}
+    return [by_rank[p] for p in pos]
 
 
 def distributed_ntile(

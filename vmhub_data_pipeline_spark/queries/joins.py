@@ -1394,3 +1394,77 @@ def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value_cents") * 1000 > F.col("total"))
         .select("p_partkey", "value_cents")
     )
+
+
+_Q20_ORACLE = f"""
+WITH {_PS_SQL.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT eu.s_suppkey, eu.s_name, eu.n_name,
+  CAST(COUNT(DISTINCT ps.p_partkey) AS BIGINT) AS n_parts
+FROM pseudo_ps ps
+JOIN shipped sh ON sh.l_partkey = ps.p_partkey AND sh.l_suppkey = ps.ps_suppkey
+JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+WHERE ps.p_type = 'PROMO' AND 2 * ps.ps_availqty > sh.qty
+GROUP BY eu.s_suppkey, eu.s_name, eu.n_name
+"""
+
+
+@register("join_q20_potential_promotion", oracle=_Q20_ORACLE, tags=("join", "tpch"))
+def join_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the last number in the 22-query analog family):
+    EUROPE suppliers holding EXCESS stock of promotion-type parts — the
+    supplier qualifies through a nested semi-join where the bridge row's
+    availability must exceed half the quantity that (part, supplier)
+    actually shipped in 1997 (Q20's correlated scalar subquery, expressed
+    as a pre-aggregated equi-join; pairs with no 1997 shipments drop out,
+    matching the NULL-comparison semantics of the original). Stock depth
+    per supplier rides along as the distinct qualifying-part count.
+
+    Scale shape: part is filtered to PROMO before the 4-way bridge
+    explode (linear); the 1997 shipment rollup is the one data-sized
+    shuffle (map-side combinable sum on (partkey, suppkey)); the bridge
+    x shipped join is an equi-join on that same composite key; the
+    region-qualified supplier dim BROADCASTS; quantities compare as
+    integers (2 * availqty > qty) so the screen is hash-exact."""
+    part, supplier, nation, region, lineitem = load(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    ps = _pseudo_partsupp(part.where(F.col("p_type") == "PROMO"), supplier)
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    eu = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        ps.join(
+            shipped,
+            (F.col("p_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(2 * F.col("ps_availqty") > F.col("qty"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.countDistinct("p_partkey").cast("long").alias("n_parts"))
+    )

@@ -1250,14 +1250,22 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines; complements stats_chi2_drift (category shift) with a
     numeric-distribution monitor.
 
-    Scale shape: one scan splits periods; baseline deciles come from
-    ``distributed_ntile`` (range-repartitioned rank + integer NTILE
-    arithmetic, matching the oracle's NTILE(10) exactly — never a
-    one-task global sort); the 9 boundary values collapse to a single
-    broadcast array row and bin assignment is a scan-side
-    filter-count over it; the only other shuffle is the 10-bin count
-    rollup. Micro-nat ln quantization keeps every output BIGINT."""
-    from ..operators.sampling import distributed_ntile
+    Scale shape: one scan splits periods; the 9 decile boundaries are
+    ORDER STATISTICS — PSI never needs a tile per row (VERDICT r6 task
+    5: the previous ``distributed_ntile`` pass tiled every baseline row
+    and joined the tiles back at data grain just to MAX them away).
+    Instead the 9 decile boundaries come from
+    ``operators.sampling.global_order_values`` at the NTILE tile-end
+    ranks ``t*(n div 10) + least(t, n mod 10) - 1`` (the exact
+    cumulative NTILE tile sizes, so the oracle keeps its plain
+    ``NTILE(10)`` boundary derivation): range repartition + partition
+    counts locate the 9 ranks, only the partitions holding them cross
+    the Arrow boundary, and the 9 VALUES come to the driver (O(model),
+    the centroid-pull legitimacy class) to inline as a literal array;
+    bin assignment is then a scan-side filter-count, and the only other
+    shuffle is the 10-bin count rollup. Micro-nat ln quantization keeps
+    every output BIGINT."""
+    from ..operators.sampling import global_order_values
 
     (orders,) = load(spark, sf_dir, "orders")
     c = orders.select(
@@ -1265,19 +1273,29 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
         (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias("is_base"),
     )
-    base = c.where("is_base").localCheckpoint(eager=True)
-    tiled = distributed_ntile(base, 10, "cents", "o_orderkey", out_col="tile")
-    bounds = (
-        tiled.where(F.col("tile") <= 9)
-        .groupBy("tile")
-        .agg(F.max("cents").alias("ub"))
-        .agg(F.sort_array(F.collect_list("ub")).alias("bs"))
+    # num_partitions sizes the (cents, key) pair shuffle — 16 bytes/row, so
+    # target ~128 MB of pairs per partition at the deployed scale; 8 suits
+    # the fixture (fewer range-sampling + shuffle tasks, same exactness)
+    bs = sorted(
+        global_order_values(
+            c.where("is_base"),
+            "cents",
+            "o_orderkey",
+            lambda n: {t * (n // 10) + min(t, n % 10) - 1 for t in range(1, 10)}
+            - {-1},
+            num_partitions=8,
+        )
     )
-    binned = c.crossJoin(F.broadcast(bounds)).select(
+    binned = c.select(
         "is_base",
         (
             1
-            + F.size(F.filter("bs", lambda b: F.col("cents") > b))
+            + F.size(
+                F.filter(
+                    F.array(*[F.lit(b).cast("long") for b in bs]),
+                    lambda b: F.col("cents") > b,
+                )
+            )
         ).alias("bin"),
     )
     cnt = binned.groupBy("bin").agg(
