@@ -1,0 +1,66 @@
+"""Pin the bench stdout evidence channel (VERDICT r6 task 1).
+
+The external driver captures only the last ~2000 bytes of bench.py's
+stdout; BENCH_r06.json came back "parsed": null because the final JSON
+line outgrew that tail. These tests make the budget structural: the line
+built from the CURRENT configured entry lists with worst-case-width
+values must stay under 1500 bytes, so adding an entry that would re-break
+the channel fails CI at add time.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+BUDGET = 1500
+
+
+def _worst_case_line() -> str:
+    # 99.99 is the widest value a healthy entry can print at 2 dp without
+    # the suite being >100 s per query (at which point the round has
+    # bigger problems than the stdout budget); exponents print as e.g.
+    # -0.12 / 1.88.
+    line_timings = {n: 88.88 for n in bench.LINE_QUERIES}
+    secondary = {n: 88.88 for n in bench.SECONDARY}
+    for fit_label, probe_label, _ in bench.ANN_SPLIT:
+        secondary[fit_label] = 88.88
+        secondary[probe_label] = 88.88
+    scaling = {n: -1.88 for n in bench.SCALING_TABLES}
+    return bench.build_stdout_line(line_timings, 0.1, secondary, 0.01, scaling)
+
+
+def test_final_line_fits_driver_tail_with_headroom():
+    line = _worst_case_line()
+    assert len(line) <= BUDGET, (
+        f"bench stdout line is {len(line)} bytes > {BUDGET}: rotate an entry "
+        f"out of LINE_QUERIES (full history stays in BENCH_DETAIL.json)"
+    )
+
+
+def test_final_line_is_one_parseable_json_object():
+    line = _worst_case_line()
+    assert "\n" not in line
+    obj = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf", "secondary",
+                "secondary_sf", "scaling"):
+        assert key in obj
+    assert obj["unit"] == "sec"
+    assert abs(obj["value"] - sum(obj["queries"].values())) < 0.5
+
+
+def test_line_queries_are_measured_headline_entries():
+    assert set(bench.LINE_QUERIES) <= set(bench.HEADLINE)
+    assert len(set(bench.LINE_QUERIES)) == len(bench.LINE_QUERIES)
+
+
+def test_all_bench_entries_are_registered_queries():
+    from vmhub_data_pipeline_spark import queries as catalog
+
+    qs = catalog.queries()
+    for name in bench.HEADLINE + bench.SECONDARY:
+        assert name in qs, name
+    for name in bench.SCALING_TABLES:
+        if name != "jaccard_capped_100":
+            assert name in qs, name

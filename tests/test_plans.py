@@ -873,3 +873,34 @@ def test_q2_broadcasts_dims_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert single_partition_window_count(df) == 0
+
+
+def test_q20_broadcasts_supplier_dim_no_cartesian(spark, sf_dir):
+    """Q20 analog: the region-qualified supplier dim broadcasts, the
+    bridge x shipped join is an equi-join (no cartesian product), and no
+    global window appears anywhere."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["join_q20_potential_promotion"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert single_partition_window_count(df) == 0
+
+
+def test_ivfpq_probe_joins_on_cells_not_scan(spark, sf_dir):
+    """The composed IVF-PQ probe (r7, retires the flat-PQ full scan): the
+    code-table access must be a bucket EQUI-join (BroadcastHashJoin on the
+    probed cell ids — at scale this is the inverted-list prune), never a
+    nested-loop over every code row; shortlist/rerank windows stay
+    query-grain (no single-partition window)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_ivfpq_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the scoring side must NOT fall back to a nested-loop join against
+    # the code table (that would be the flat scan this operator retires)
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert single_partition_window_count(df) == 0

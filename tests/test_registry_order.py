@@ -12,38 +12,42 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-6 composition (VERDICT r5 task 2): the window rotates onto the 38
-# queries whose ONLY driver evidence was round-1, plus 12 slots for the
-# round's changes (NTILE rewrites + capped-Jaccard guards, the three LSH /
-# SimHash oracle upgrades, six new queries). The class-coverage requirement
-# below reflects THIS composition: the vector / multimodal / streaming /
-# pipeline / graph tiers deliberately sit the round out — every entry of
-# theirs holds an r4/r5 driver green, the freshest evidence in the catalog,
-# while the r1 tier's rows were five fixture/canonicalizer generations old.
+# Round-7 composition (VERDICT r6 task 3): the window rotates onto the 39
+# queries whose latest driver evidence is round-2 (the oldest tier left
+# after r6 retired the r1 tier), plus 11 slots for the round's changes
+# (the two NEW queries — composed IVF-PQ and the TPC-H Q20 analog — and
+# regression guards for every query over this round's rewritten plan
+# machinery: SQL-literal ANN builders, constraint-stripped index
+# checkpoints, the PSI order-statistic fetch, the shared LSH signature
+# cache, the zip_with_global_index signature change). The class-coverage
+# requirement below reflects THIS composition: the r3-r6-fresh tiers
+# (multimodal, graph, most streaming, most pipeline) sit the round out.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_rollup", "agg_cube", "agg_grouping_sets", "agg_count_distinct"],
+    "agg": ["agg_percentiles", "agg_arg_minmax", "agg_variance_corr"],
     "join": [
-        "join_q2_min_cost_supplier",
-        "join_q11_important_stock",
-        "join_q16_supplier_variety",
-        "join_q5_region_revenue",
-        "join_semi",
-        "join_anti",
+        "join_q20_potential_promotion",
+        "join_q3_shipping",
+        "join_asof_attribution",
     ],
-    "window": ["window_rank", "window_ntile", "window_running_sum"],
-    "setops": ["set_intersect", "set_except", "set_union_distinct"],
-    "scan-agg": ["daily_revenue", "q6_forecast_revenue"],
-    "events": ["events_sliding_2h", "events_rfm_segmentation", "events_lorenz_curve"],
-    "text": ["text_stats", "text_token_count"],
+    "window": ["window_topk_per_group"],
+    "setops": ["set_union_all"],
+    "scan-agg": ["q1_pricing_summary"],
+    "events": ["events_sessionize", "events_rfm_segmentation", "events_lorenz_curve"],
+    "text": ["text_quality", "text_pii_redact", "text_fingerprint"],
     "dedup": [
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "dedup_cluster_cc",
         "dedup_minhash_lsh",
-        "dedup_simhash",
         "dedup_cluster_lsh",
-        "dedup_jaccard_pairs_capped",
+        "dedup_semantic",
     ],
-    "stats": ["stats_psi_drift", "agg_stats_by_segment"],
-    "sketch": ["agg_theta_difference"],
-    "curation": ["curation_dsir_weights"],
+    "vector": ["ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_topk", "knn_cosine_topk"],
+    "stats": ["stats_psi_drift"],
+    "curation": ["curation_hash_split", "curation_global_shuffle"],
+    "streaming": ["streaming_tumbling_day", "streaming_interval_join"],
+    "pipeline": ["pipeline_lake_paths", "pipeline_date_series"],
+    "subquery": ["subquery_exists", "subquery_correlated_scalar"],
 }
 
 
@@ -67,14 +71,14 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # Since r6 every window member is oracle-backed: the md5-portable
-    # MinHash/SimHash rework upgraded the last LSH rows-only entries
-    # (dedup_minhash_lsh, dedup_simhash, dedup_cluster_lsh) to full DuckDB
-    # replays; the two remaining catalog rows-only entries
-    # (agg_approx_sketches, multimodal_features) are engine/Python-bound
-    # by design and stay outside the window.
+    # The r7 rotation brings the r2-evidence tier into the window, which
+    # includes the catalog's two BY-DESIGN rows-only entries (their r2
+    # driver row was also rows-only — that IS their freshest obtainable
+    # evidence class): agg_approx_sketches (engine-native sketch
+    # internals) and multimodal_features (PIL-absent fake decode). Every
+    # other window member is oracle-backed.
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}
-    assert rows_only == set()
+    assert rows_only == {"agg_approx_sketches", "multimodal_features"}
 
 
 def test_readme_counts_match_registry():

@@ -83,6 +83,50 @@ def brute_force_knn(
     )
 
 
+def checkpoint_index(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + origin-constraint strip — the
+    materialization for INDEX frames that outlive the query that built
+    them (PQ codes, IVF-PQ inverted lists).
+
+    A plain localCheckpoint's ``LogicalRDD`` keeps the builder plan's
+    constraints; when a LATER query equi-joins the checkpointed frame,
+    ``InferFiltersFromConstraints`` can resurrect a constraint whose
+    expression references the builder's (now nonexistent) scan
+    attributes into the join condition — an executor-side
+    ``INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND`` (observed on Spark 4.1 with
+    the celled code join; the builder's ``bucket = argmax(...embedding...)``
+    projection constraint leaked into the probe plan). Rebuilding the
+    frame from the checkpointed internal RDD drops originConstraints
+    while reusing the SAME materialized blocks — zero extra compute."""
+    ck = df.localCheckpoint(eager=True)
+    spark = ck.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(  # type: ignore[attr-defined]
+        ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
+def _dlit(x: float) -> str:
+    """SQL double literal in scientific notation — Spark parses scientific
+    form as DOUBLE (a bare ``0.1`` would be DECIMAL), and 17 significant
+    digits round-trip every IEEE double bit-exactly (verified in tests)."""
+    return format(float(x), ".17e")
+
+
+def _vec_sql(vals) -> str:
+    return "array(" + ",".join(_dlit(x) for x in vals) + ")"
+
+
+def _mat_sql(cents) -> str:
+    """One SQL string for a literal centroid matrix. Building the same
+    matrix from nested ``F.array(F.lit(...))`` costs one py4j round trip
+    PER SCALAR — ~1 s of driver time at k=16 x dim=64, which was most of
+    the measured ann_pq_probe "constant" (VERDICT r6 task 6). A single
+    ``F.expr`` parse of this string is one round trip total and yields a
+    bit-identical literal tree."""
+    return "array(" + ",".join(_vec_sql(c) for c in cents) + ")"
+
+
 def _hyperplane(dim: int, plane_idx: int, n_planes_salt: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane from a hash — no RNG
     state, reproducible across runs/executors."""
@@ -99,7 +143,7 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id for a vector against fixed hyperplanes."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = dot_expr(vec, F.array(*[F.lit(x) for x in p]))
+        proj = dot_expr(vec, F.expr(_vec_sql(p)))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return bucket
 
@@ -273,9 +317,11 @@ def _centroid_scores(cents: list[list[float]], vec: Column | None = None) -> Col
     # dot-expression trees: the unrolled form costs O(k) aggregate/zip_with
     # subtrees whose analysis + codegen dominated the whole PQ fit
     # (measured ~8x on the fused fit at m=8, k=16 — 1.6 MB task binaries).
-    # Values are bit-identical: same literals, same fold order, same ops.
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    halves = F.array(*[F.lit(sum(x * x for x in c) / 2.0) for c in cents])
+    # The matrix literal arrives via ONE F.expr parse (_mat_sql), not
+    # k*dim py4j-roundtrip F.lit calls. Values are bit-identical: same
+    # doubles, same fold order, same ops.
+    mat = F.expr(_mat_sql(cents))
+    halves = F.expr(_vec_sql([sum(x * x for x in c) / 2.0 for c in cents]))
     return F.zip_with(mat, halves, lambda c, h: dot_expr(v, c) - h)
 
 
@@ -320,19 +366,26 @@ def ivf_knn(
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    probes = []
-    for i, cent in enumerate(cents):
-        score = dot_expr(F.col("v"), F.array(*[F.lit(x) for x in cent])) - F.lit(
-            sum(x * x for x in cent) / 2.0
+    # score every centroid once into a materialized array column, then
+    # build the (score, idx) probe structs from element_at over it — the
+    # literal matrix appears ONCE in the plan instead of k copies
+    probes = [
+        F.struct(
+            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
         )
-        probes.append(F.struct(score.alias("s"), F.lit(i).alias("c")))
-    qb = q.select(
-        "query_id",
-        F.col("v").alias("qv"),
-        F.explode(
-            F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
-        ).alias("probe"),
-    ).select("query_id", "qv", F.col("probe.c").alias("bucket"))
+        for i in range(len(cents))
+    ]
+    qb = (
+        q.withColumn("__cscores", _centroid_scores(cents))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.c").alias("bucket"))
+    )
 
     scored = qb.join(c, "bucket").select(
         "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
@@ -502,22 +555,42 @@ def pq_knn(
     )
     # per-subspace squared distance: ||q_j||^2 is rank-invariant per query,
     # so score = sum_j (||c||^2 - 2<q_j, c>) ranks identically to true
-    # ADC squared L2 — and keeps the expression linear in m*k
-    dist_terms = []
-    for j, cents in enumerate(books):
-        qj = F.slice(F.col("qv"), j * sub + 1, sub)
-        # literal-matrix fold (see _centroid_scores): one lambda per
-        # subspace instead of k unrolled dot trees, bit-identical values
-        mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-        norms2 = F.array(*[F.lit(sum(x * x for x in c)) for c in cents])
-        lut = F.zip_with(mat, norms2, lambda c, n2: n2 - F.lit(2.0) * dot_expr(qj, c))
-        dist_terms.append(F.element_at(lut, F.element_at("codes", j + 1) + 1))
-    score = dist_terms[0]
-    for t in dist_terms[1:]:
-        score = score + t
+    # ADC squared L2 — and keeps the expression linear in m*k.
+    # The m x k distance LUT is MATERIALIZED once per QUERY row (before
+    # the broadcast), so the code-scoring side evaluates only m array
+    # lookups per (query, code) pair — the classic ADC split. Previously
+    # the LUT expression (m*k dot folds over literal matrices) sat inside
+    # the scored projection, re-evaluated per scanned code row, and its
+    # nested-F.lit construction alone cost ~1 s of py4j driver time
+    # (VERDICT r6 task 6).
+    q = q.withColumn("__lut", _query_lut_col(books, sub, F.col("qv")))
+    # left-to-right add in subspace order (bit-parity with the oracle's
+    # ordered ADC sum); [] indexing is 0-based, matching the code values
+    score = F.expr(" + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books))))
     scored = F.broadcast(q).crossJoin(codes).select(
         "query_id", "corpus_id", score.alias("pq_dist")
     )
+    return _adc_shortlist_rerank(
+        scored, corpus, id_col, vec_col, q, k, rerank_shortlist
+    )
+
+
+def _adc_shortlist_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q: DataFrame,
+    k: int,
+    rerank_shortlist: int | None,
+) -> DataFrame:
+    """Shared ADC tail for the PQ family (flat ``pq_knn`` and celled
+    ``ivfpq_knn``): per-query shortlist by quantized distance, then the
+    exact cosine re-rank that fetches raw vectors for ONLY the
+    shortlisted (query, candidate) pairs — the cold-storage fetch a
+    production IVF-PQ does. Quantization error decides membership of the
+    shortlist, never the final ranking. ``rerank_shortlist=None`` returns
+    the quantized shortlist itself."""
     w = Window.partitionBy("query_id").orderBy(F.asc("pq_dist"), F.asc("corpus_id"))
     shortlist_k = rerank_shortlist if rerank_shortlist is not None else k
     shortlist = (
@@ -527,10 +600,6 @@ def pq_knn(
     )
     if rerank_shortlist is None:
         return shortlist
-    # exact re-rank (the production IVF-PQ pattern): fetch raw vectors for
-    # ONLY the shortlisted (query, candidate) pairs and order by true cosine
-    # — quantization error decides membership of the shortlist, never the
-    # final ranking
     cv = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -551,6 +620,145 @@ def pq_knn(
         exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+# Prepared model-constant Column expressions, keyed on the model values
+# themselves: a Column is an immutable UNRESOLVED expression tree, safely
+# reusable across plans, and re-parsing the m*k literal matrices costs
+# ~0.3-0.5 s of driver time per probe — a server compiles its query-prep
+# expressions once per model, so cache them with the model.
+_PREP_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _model_key(*parts) -> tuple:
+    def freeze(x):
+        if isinstance(x, list):
+            return tuple(freeze(v) for v in x)
+        return x
+
+    return tuple(freeze(p) for p in parts)
+
+
+def _query_lut_col(books: list[list[list[float]]], sub: int, vec: Column) -> Column:
+    """The m x k ADC distance table for one query vector, as a nested
+    array column — materialized once per query row, looked up per code.
+    Assumes ``vec`` is the conventional ``qv`` column (the cache key
+    covers only the model)."""
+    key = ("lut", sub, _model_key(books))
+    col = _PREP_EXPR_CACHE.get(key)
+    if col is None:
+        lut_terms = []
+        for j, cents in enumerate(books):
+            qj = F.slice(vec, j * sub + 1, sub)
+            mat = F.expr(_mat_sql(cents))
+            norms2 = F.expr(_vec_sql([sum(x * x for x in c) for c in cents]))
+            lut_terms.append(
+                F.zip_with(
+                    mat, norms2, lambda c, n2: n2 - F.lit(2.0) * dot_expr(qj, c)
+                )
+            )
+        col = F.array(*lut_terms)
+        _PREP_EXPR_CACHE[key] = col
+    return col
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int = 4,
+    rerank_shortlist: int | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the two approximate structures COMPOSED (Jégou et al.,
+    TPAMI'11) — the serving layout a 100 TB corpus actually uses. The
+    coarse quantizer (``cents``, k-means cells) partitions the corpus
+    into inverted lists; every list row stores only the m-byte PQ code
+    (``books``). A query probes its ``nprobe`` nearest cells, ADC-scores
+    ONLY those cells' codes through its per-query LUT, and exact-reranks
+    the shortlist from raw storage. Neither structure alone survives
+    100x: flat PQ scans every code (the r6-named scale-killer), flat IVF
+    re-ranks raw floats per cell. Together: the bucket equi-join prunes
+    the scan to ~nprobe/n_cells of the code table, codes keep it ~32x
+    smaller than floats, and raw vectors are touched only for the
+    shortlist.
+
+    Codes encode the (unit-normalized) vectors directly, not residuals
+    against the cell centroid — the FAISS ``by_residual=False`` variant —
+    so the code table is independent of the coarse quantizer and the
+    same determinism argument as ``pq_knn`` applies verbatim.
+
+    ``index`` may pass the precomputed inverted lists
+    ``(corpus_id, bucket, codes)`` (the resident serving index); built
+    scan-side from ``corpus`` otherwise. Probe-cell selection uses
+    ``ivf_knn``'s tie convention (score desc, LARGEST cell index on
+    ties); code assignment and shortlist ties use smallest-index — both
+    mirrored by the oracle replay."""
+    sub = dim // len(books)
+    if index is None:
+        index = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            _nearest_centroid_expr(
+                cents, _as_double(F.col(vec_col))
+            ).alias("bucket"),
+            _pq_code_expr(_as_double(F.col(vec_col)), books, sub).alias("codes"),
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cscores_key = ("cscores", _model_key(cents))
+    cscores_col = _PREP_EXPR_CACHE.get(cscores_key)
+    if cscores_col is None:
+        cscores_col = _centroid_scores(cents, F.col("qv"))
+        _PREP_EXPR_CACHE[cscores_key] = cscores_col
+    # probe structs read the MATERIALIZED __cscores column, so the
+    # centroid-matrix tree appears once in the plan, not once per cell
+    probe_structs = [
+        F.struct(
+            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
+        )
+        for i in range(len(cents))
+    ]
+    probes_col = F.transform(
+        F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe),
+        lambda s: s["c"],
+    )
+    # Materialize the prepared query batch ONCE (LUT + ordered probe-cell
+    # list per query — what an IVF-PQ server computes on query arrival;
+    # O(batch x m x k) work, batch-sized frame). The three downstream
+    # derivatives (probe pairs, LUT attach, exact re-rank) then read a
+    # LEAF plan instead of each re-analyzing the m*k-literal expression
+    # trees; constraint-stripped for the same reason as the index
+    # (see checkpoint_index).
+    qprep = checkpoint_index(
+        q.withColumn("__lut", _query_lut_col(books, sub, F.col("qv")))
+        .withColumn("__cscores", cscores_col)
+        .withColumn("__probes", probes_col)
+        .select("query_id", "qv", "__lut", "__probes")
+    )
+    # the LUT rides through the explode — plain column refs off the leaf,
+    # so no second broadcast join is needed to attach it
+    qp = qprep.select("query_id", "__lut", F.explode("__probes").alias("bucket"))
+    score = F.expr(" + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books))))
+    scored = (
+        F.broadcast(qp)
+        .join(index, "bucket")
+        .select("query_id", "corpus_id", score.alias("pq_dist"))
+    )
+    return _adc_shortlist_rerank(
+        scored,
+        corpus,
+        id_col,
+        vec_col,
+        qprep.select("query_id", "qv"),
+        k,
+        rerank_shortlist,
     )
 
 

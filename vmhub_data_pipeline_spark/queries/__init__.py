@@ -68,75 +68,76 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-6 composition (VERDICT r5 task 2): rotate the window onto the
-    # OLDEST evidence — the 38 queries whose only driver row is round-1
-    # (every other registered query holds a fresher r2-r5 driver green and
-    # remains covered by the full-catalog local mirror at sf0.001) — plus
-    # 12 slots for this round's changes: the two NTILE->distributed-rank
-    # rewrites and the capped-Jaccard production config as regression
-    # guards (task 1), the three LSH/SimHash rows-only->oracle upgrades
-    # (task 3), and first driver contact for the six NEW r6 queries
-    # (Q2/Q11/Q16 pseudo-partsupp analogs, PSI drift, theta-sketch
-    # difference, DSIR importance weights). 38 + 12 = the 50-slot window
-    # exactly; after this round no registered query's latest driver
-    # evidence predates round 2. The vector/multimodal/streaming/pipeline/
-    # graph tiers sit this window out deliberately — all their entries
-    # hold r4/r5 driver greens, the freshest in the catalog.
+    # Round-7 composition (VERDICT r6 task 3): rotate the window onto the
+    # OLDEST evidence — the 39 queries whose latest driver row is round-2
+    # (aggregating CORRECTNESS_r01-r06; every other registered query holds
+    # a fresher r3-r6 driver green and remains covered by the full-catalog
+    # local mirror at sf0.001) — plus 11 slots for this round's changes:
+    # first driver contact for the two NEW r7 queries (the composed
+    # IVF-PQ ANN that retires the flat-PQ scan, and the TPC-H Q20 analog
+    # completing the 22/22 join family), and regression guards for every
+    # query whose plan machinery was rewritten this round (the
+    # SQL-literal matrix builders + prepared-expression cache behind the
+    # ANN family, the constraint-stripped index checkpoints, the
+    # order-statistic PSI boundary fetch, the shared-signature LSH
+    # cache, and the zip_with_global_index signature change under the
+    # RFM/Lorenz NTILE path). 39 + 11 = the 50-slot window exactly;
+    # after this round no registered query's latest driver evidence
+    # predates round 3.
     #
-    # -- r6 NEW queries (first driver contact) --
-    "join_q2_min_cost_supplier",    # TPC-H Q2 correlated-min, pseudo-partsupp
-    "join_q11_important_stock",     # TPC-H Q11 value-concentration HAVING
-    "join_q16_supplier_variety",    # TPC-H Q16 distinct-supplier rollup
-    "stats_psi_drift",              # PSI distribution-drift monitor
-    "agg_theta_difference",         # theta-sketch union / A-not-B
-    "curation_dsir_weights",        # DSIR importance-resampling weights
-    # -- r6 oracle upgrades (rows-only -> full DuckDB replay) --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_lsh",
-    # -- r6-touched regression guards (VERDICT r5 task 1) --
-    "events_rfm_segmentation",      # NTILE -> distributed rank rewrite
-    "events_lorenz_curve",          # NTILE -> distributed rank rewrite
-    "dedup_jaccard_pairs_capped",   # production near-dup config
-    # -- oldest-evidence rotation: the 38 round-1-only greens --
-    "agg_conditional",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_id",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "agg_stats_by_segment",
-    "daily_revenue",
-    "events_sliding_2h",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_full_outer",
-    "join_left_outer_agg",
-    "join_q10_returned",
-    "join_q12_priority_class",
-    "join_q14_promo_share",
-    "join_q19_disjunctive",
-    "join_q4_priority",
-    "join_q5_region_revenue",
-    "join_q7_nation_volume",
-    "join_range_banded",
-    "join_semi",
-    "q6_forecast_revenue",
-    "set_distinct",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "text_stats",
-    "text_token_count",
-    "window_first_value",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_ntile",
-    "window_percent_rank",
-    "window_range_interval",
-    "window_rank",
-    "window_running_sum",
+    # -- r7 NEW queries (first driver contact) --
+    "ann_ivfpq_topk",               # composed IVF-PQ (cells + codes)
+    "join_q20_potential_promotion", # TPC-H Q20 excess-stock semi-join
+    # -- r7-touched regression guards --
+    "stats_psi_drift",              # order-statistic boundary fetch rewrite
+    "ann_pq_topk",                  # prepared-LUT probe path rewrite
+    "ann_ivf_topk",                 # literal-matrix probe rewrite
+    "ann_lsh_topk",                 # lsh_bucket_expr literal rewrite
+    "dedup_semantic",               # shares lsh_bucket_expr
+    "dedup_minhash_lsh",            # shared-signature cache (r6 task 7)
+    "dedup_cluster_lsh",            # shared-signature cache (r6 task 7)
+    "events_rfm_segmentation",      # distributed_ntile over changed zwgi
+    "events_lorenz_curve",          # distributed_ntile over changed zwgi
+    # -- oldest-evidence rotation: the 39 round-2 greens --
+    "agg_approx_sketches",          # rows-only by design (sketch internals)
+    "agg_arg_minmax",
+    "agg_collect_sorted",
+    "agg_percentiles",
+    "agg_variance_corr",
+    "curation_global_shuffle",
+    "curation_hash_split",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "events_sessionize",
+    "join_asof_attribution",
+    "join_q3_shipping",
+    "knn_cosine_topk",
+    "multimodal_features",          # rows-only by design (fake decode)
+    "pipeline_bad_date_tolerance",
+    "pipeline_date_functions",
+    "pipeline_date_series",
+    "pipeline_lake_paths",
+    "pipeline_string_functions",
+    "pipeline_training_manifest",
+    "q1_pricing_summary",
+    "set_union_all",
+    "streaming_interval_join",
+    "streaming_session_windows",
+    "streaming_tumbling_day",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_fingerprint",
+    "text_line_dedup",
+    "text_pii_redact",
+    "text_quality",
+    "text_shingles",
+    "topk_orders",
+    "window_topk_per_group",
 )
 
 

@@ -697,7 +697,12 @@ def pq_index_cached(
     localCheckpointed once here; probes score against it without
     re-encoding the corpus. Driver state stays O(model): the checkpoint
     blocks live on executors."""
-    from ..operators.similarity import _as_double, _pq_code_expr, pq_fit
+    from ..operators.similarity import (
+        _as_double,
+        _pq_code_expr,
+        checkpoint_index,
+        pq_fit,
+    )
 
     # Keyed on the session's applicationId too (ADVICE r6): the cached
     # codes frame is a localCheckpointed DataFrame bound to the session
@@ -709,10 +714,14 @@ def pq_index_cached(
         _, c = _pq_unit_corpus(spark, sf_dir)
         books = pq_fit(c, "vec_id", "embedding", dim=dim, m=m, k=k,
                        max_iter=max_iter, exact_mean=True)
-        codes = c.select(
-            F.col("vec_id").alias("corpus_id"),
-            _pq_code_expr(_as_double(F.col("embedding")), books, dim // m).alias("codes"),
-        ).localCheckpoint(eager=True)
+        codes = checkpoint_index(
+            c.select(
+                F.col("vec_id").alias("corpus_id"),
+                _pq_code_expr(
+                    _as_double(F.col("embedding")), books, dim // m
+                ).alias("codes"),
+            )
+        )
         cached = (books, codes)
         _PQ_FIT_CACHE[key] = cached
     return cached
@@ -744,6 +753,283 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, books=books,
         rerank_shortlist=40, codes=codes,
+    )
+
+
+def _ivfpq_ann_oracle(
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+    shortlist: int = 40,
+    topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of the COMPOSED IVF-PQ pipeline — both Lloyd
+    fits included: the coarse dim-``dim`` quantizer (``_ivf_ann_oracle``'s
+    iteration block, here over UNIT vectors) and the ``m`` PQ
+    sub-codebooks (``_pq_ann_oracle``'s block), then cell assignment,
+    probe selection (score desc, LARGEST cell index on ties — the
+    ``reverse(array_sort(...))`` convention), ADC scoring restricted to
+    the probed cells' codes, shortlist, and exact cosine re-rank. Both
+    inits share the same k smallest-id seed rows. Parity invariants are
+    the union of the two parent oracles' (exact-integer means,
+    left-fold dots, smallest-index assignment ties)."""
+    sub = dim // m
+    # coarse-quantizer Lloyd iterations over the full unit vectors
+    giters = []
+    for t in range(1, coarse_iter + 1):
+        prev = f"gc{t-1}"
+        giters.append(f"""
+ga{t} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corpf s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+gm{t} AS (
+  SELECT a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.v[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM ga{t} a
+  JOIN corpf s USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {dim + 1})) AS pos) p
+  GROUP BY a.cidx, p.pos
+),
+gc{t} AS (
+  SELECT p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT cidx, array_agg(comp ORDER BY pos) AS cv FROM gm{t} GROUP BY cidx
+  ) n USING (cidx)
+)""")
+    gfinal = f"gc{coarse_iter}"
+    # PQ sub-codebook Lloyd iterations over the subspace slices
+    piters = []
+    for t in range(1, pq_iter + 1):
+        prev = f"pc{t-1}"
+        piters.append(f"""
+pa{t} AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s JOIN {prev} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+pm{t} AS (
+  SELECT a.j, a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.sv[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM pa{t} a
+  JOIN corp s ON s.vec_id = a.vec_id AND s.j = a.j
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {sub + 1})) AS pos) p
+  GROUP BY a.j, a.cidx, p.pos
+),
+pc{t} AS (
+  SELECT p.j, p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT j, cidx, array_agg(comp ORDER BY pos) AS cv FROM pm{t} GROUP BY j, cidx
+  ) n ON n.j = p.j AND n.cidx = p.cidx
+)""")
+    pfinal = f"pc{pq_iter}"
+    adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM raw WHERE sqrt(list_dot_product(v0, v0)) > 0
+),
+corpf AS (SELECT vec_id, v FROM unit WHERE vec_id >= 10),
+qryf AS (SELECT vec_id AS query_id, v FROM unit WHERE vec_id < 10),
+js AS (SELECT UNNEST(RANGE(0, {m})) AS j),
+subv AS (
+  SELECT u.vec_id, js.j, u.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM unit u CROSS JOIN js
+),
+corp AS (SELECT * FROM subv WHERE vec_id >= 10),
+qsub AS (SELECT * FROM subv WHERE vec_id < 10),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT DISTINCT vec_id FROM corpf)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {max(n_cells, k)}
+),
+gc0 AS (
+  SELECT i.cidx, s.v AS cv FROM corpf s JOIN init_ids i USING (vec_id)
+  WHERE i.cidx < {n_cells}
+),
+pc0 AS (
+  SELECT s.j, i.cidx, s.sv AS cv
+  FROM corp s JOIN init_ids i USING (vec_id)
+  WHERE i.cidx < {k}
+),{",".join(giters)},{",".join(piters)},
+bkt AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corpf s CROSS JOIN {gfinal} c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cidx AS bucket FROM (
+    SELECT q.query_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (list_dot_product(q.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx DESC) AS rn
+    FROM qryf q CROSS JOIN {gfinal} c
+  ) WHERE rn <= {nprobe}
+),
+enc AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corp s JOIN {pfinal} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.j, c.cidx,
+         list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(q.sv, c.cv) AS term
+  FROM qsub q JOIN {pfinal} c ON c.j = q.j
+),
+cand AS (
+  SELECT p.query_id, b.vec_id AS corpus_id
+  FROM probes p JOIN bkt b USING (bucket)
+),
+scored AS (
+  SELECT cd.query_id, cd.corpus_id, {adc_sum} AS pq_dist
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.corpus_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.j = e.j AND l.cidx = e.code
+  GROUP BY cd.query_id, cd.corpus_id
+),
+short AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY pq_dist ASC, corpus_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.corpus_id,
+         CASE WHEN sqrt(list_dot_product(qu.v, qu.v))
+                   * sqrt(list_dot_product(cu.v, cu.v)) > 0
+              THEN list_dot_product(qu.v, cu.v)
+                   / (sqrt(list_dot_product(qu.v, qu.v))
+                      * sqrt(list_dot_product(cu.v, cu.v)))
+         END AS cosine
+  FROM short s
+  JOIN unit qu ON qu.vec_id = s.query_id
+  JOIN unit cu ON cu.vec_id = s.corpus_id
+)
+SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+"""
+
+
+# The resident IVF-PQ serving index, built once per (session, sf_dir,
+# params): coarse centroids + PQ codebooks + the localCheckpointed
+# inverted lists (corpus_id, bucket, codes). Same legitimacy class and
+# lifecycle as _PQ_FIT_CACHE (session-keyed — ADVICE r6).
+_IVFPQ_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def ivfpq_index_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+) -> tuple:
+    """Fit (or fetch) the IVF-PQ index for ``sf_dir``: the coarse k-means
+    cells, the PQ codebooks, and the encoded inverted lists — everything
+    a probe needs except the raw vectors it re-ranks from. Fit work is
+    O(corpus x iters) distributed with O(model) driver state; the lists
+    are checkpointed executor-side."""
+    from ..operators.similarity import (
+        _as_double,
+        _nearest_centroid_expr,
+        _pq_code_expr,
+        checkpoint_index,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, dim, n_cells, coarse_iter,
+        m, k, pq_iter,
+    )
+    cached = _IVFPQ_INDEX_CACHE.get(key)
+    if cached is None:
+        _, c = _pq_unit_corpus(spark, sf_dir)
+        cents = kmeans_fit(
+            c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
+            exact_mean=True,
+        )
+        books = pq_fit(
+            c, "vec_id", "embedding", dim=dim, m=m, k=k, max_iter=pq_iter,
+            exact_mean=True,
+        )
+        v = _as_double(F.col("embedding"))
+        index = checkpoint_index(
+            c.select(
+                F.col("vec_id").alias("corpus_id"),
+                _nearest_centroid_expr(cents, v).alias("bucket"),
+                _pq_code_expr(v, books, dim // m).alias("codes"),
+            )
+        )
+        cached = (cents, books, index)
+        _IVFPQ_INDEX_CACHE[key] = cached
+    return cached
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_ann_oracle(), tags=("vector", "ivf", "pq"))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via COMPOSED IVF-PQ (VERDICT r6 task 2 — retires
+    the repo's last named scale-killer, the flat-PQ full-code scan): 16
+    coarse k-means cells hold inverted lists of 8-byte PQ codes; a query
+    probes its 4 nearest cells, ADC-scores only those cells' codes
+    through its per-query LUT, shortlists 40, and exact-reranks the
+    shortlist from raw storage. At 100 TB this is the serving plan both
+    parents individually miss: ~nprobe/n_cells of a ~32x-compressed code
+    table per query batch, raw floats touched only for shortlists. FULLY
+    oracle-checked: both Lloyd fits use exact-integer means, so
+    ``_ivfpq_ann_oracle`` replays coarse fit, sub-codebook fits, cell
+    assignment, probe selection, celled ADC, shortlist and re-rank as
+    unrolled CTEs. Recall@5 vs brute force pinned in
+    tests/test_operators.py; index comes from ``ivfpq_index_cached`` so
+    repeated invocations measure PROBE cost (bench reports
+    ann_ivfpq_fit / ann_ivfpq_probe apart)."""
+    from ..operators.similarity import ivfpq_knn
+
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    cents, books, index = ivfpq_index_cached(
+        spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
+    )
+    return ivfpq_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, cents=cents,
+        books=books, nprobe=4, rerank_shortlist=40, index=index,
     )
 
 
