@@ -92,6 +92,10 @@ HEADLINE = [
     "curation_dsir_weights",
     # r7: the last TPC-H analog (nested semi-join over pseudo-partsupp)
     "join_q20_potential_promotion",
+    # r7: KS drift — first timing history for the distributed prefix-sum
+    # path (value-grain cumulative ECDFs; the drift tier's line rep stays
+    # stats_psi_drift)
+    "stats_ks_drift",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -100,7 +104,9 @@ HEADLINE = [
 #   q6_forecast_revenue, window_running_sum, text_pii_redact,
 #   text_classifier_score, text_winnow_fingerprint, vector_quantize_int8,
 #   agg_hll_distinct, multimodal_pixel_stats, stats_histogram_profile,
-#   join_q20_potential_promotion.
+#   join_q20_potential_promotion, events_multitouch_attribution (r7:
+#   made room for the ann_ivf fit/probe labels; the attribution tier
+#   stays represented by join_asof_attribution + window_topk_per_group).
 LINE_QUERIES = [
     "q1_pricing_summary",
     "daily_revenue",
@@ -121,7 +127,6 @@ LINE_QUERIES = [
     "text_perplexity_filter",
     "dedup_semantic",
     "text_line_dedup_rebuild",
-    "events_multitouch_attribution",
     "dedup_jaccard_pairs_capped",
     "vector_pca_power",
     "dedup_exact_substring",
@@ -153,16 +158,15 @@ SECONDARY = [
     "graph_triangle_count",
     "dedup_levenshtein_pairs",
     "dedup_survivorship",
-    # r5: IVF Lloyd fit + probed-cell re-rank (fit-dominated; the ANN
-    # entries with an explicit fit/probe split are handled below)
-    "ann_ivf_topk",
     "curation_cluster_split",
 ]
 
-# ANN index entries with a fit/probe split (VERDICT r5 task 4 / r6 task 2):
-# (fit label, probe label, fit callable, probe query name).
+# ANN index entries with a fit/probe split (VERDICT r5 task 4 / r6 task 2;
+# ann_ivf joined in r7 — its r5/r6 SECONDARY entry conflated the
+# fit-dominated total): (fit label, probe label, index kind).
 ANN_SPLIT = [
     ("ann_pq_fit", "ann_pq_probe", "pq"),
+    ("ann_ivf_fit", "ann_ivf_probe", "ivf"),
     ("ann_ivfpq_fit", "ann_ivfpq_probe", "ivfpq"),
 ]
 
@@ -254,23 +258,24 @@ def main() -> None:
     # (O(corpus x iter) distributed, O(model) driver), the probe is what a
     # query actually pays against the resident index.
     from vmhub_data_pipeline_spark.queries.vector import (
+        _IVF_INDEX_CACHE,
         _IVFPQ_INDEX_CACHE,
         _PQ_FIT_CACHE,
+        ivf_index_cached,
         ivfpq_index_cached,
         pq_index_cached,
     )
 
+    ann_kinds = {
+        "pq": (_PQ_FIT_CACHE, pq_index_cached, "ann_pq_topk"),
+        "ivf": (_IVF_INDEX_CACHE, ivf_index_cached, "ann_ivf_topk"),
+        "ivfpq": (_IVFPQ_INDEX_CACHE, ivfpq_index_cached, "ann_ivfpq_topk"),
+    }
     for fit_label, probe_label, kind in ANN_SPLIT:
-        if kind == "pq":
-            _PQ_FIT_CACHE.clear()
-            t0 = time.perf_counter()
-            pq_index_cached(spark, sec_dir)
-            probe_query = "ann_pq_topk"
-        else:
-            _IVFPQ_INDEX_CACHE.clear()
-            t0 = time.perf_counter()
-            ivfpq_index_cached(spark, sec_dir)
-            probe_query = "ann_ivfpq_topk"
+        cache, fit_fn, probe_query = ann_kinds[kind]
+        cache.clear()
+        t0 = time.perf_counter()
+        fit_fn(spark, sec_dir)
         secondary[fit_label] = round(time.perf_counter() - t0, 3)
         secondary[probe_label] = round(median_run(probe_query, sec_dir), 3)
         print(

@@ -318,3 +318,41 @@ def test_global_order_values_matches_sorted_list(spark):
         global_order_values(df, "metric", "key", [n], num_partitions=4)
     with _pytest.raises(ValueError):
         global_order_values(df, "metric", "key", [-1], num_partitions=4)
+
+
+def test_distributed_prefix_sums_matches_global_window(spark):
+    """distributed_prefix_sums must reproduce SUM() OVER (ORDER BY ...)
+    exactly across partition-count shapes (more partitions than rows,
+    fewer, one), including negative values and ties on the order column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vmhub_data_pipeline_spark.operators.sampling import distributed_prefix_sums
+
+    n = 60
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 37 % 11).alias("metric"),  # ties
+        ((F.col("id") * 13 % 9) - 4).cast("long").alias("a"),  # negatives
+        (F.col("id") % 5).cast("long").alias("b"),
+    )
+    w = (
+        Window.orderBy("metric", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        r["key"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "key",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    for p in [1, 4, 128]:
+        got = {
+            r["key"]: (r["a_cum"], r["b_cum"])
+            for r in distributed_prefix_sums(
+                df, "metric", "key", ["a", "b"], num_partitions=p
+            ).collect()
+        }
+        assert got == expect, f"mismatch at num_partitions={p}"

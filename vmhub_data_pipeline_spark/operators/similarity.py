@@ -83,10 +83,14 @@ def brute_force_knn(
     )
 
 
-def checkpoint_index(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` + origin-constraint strip — the
+def checkpoint_index(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` + origin-constraint strip — the
     materialization for INDEX frames that outlive the query that built
-    them (PQ codes, IVF-PQ inverted lists).
+    them (PQ codes, IVF-PQ inverted lists). ``eager=False`` defers the
+    materialization into the consumer's first action (one fewer
+    synchronous driver job — right for per-probe query-batch prep, where
+    the checkpoint exists only to truncate the literal-heavy builder
+    plan, not to be shared across queries).
 
     A plain localCheckpoint's ``LogicalRDD`` keeps the builder plan's
     constraints; when a LATER query equi-joins the checkpointed frame,
@@ -98,7 +102,7 @@ def checkpoint_index(df: DataFrame) -> DataFrame:
     projection constraint leaked into the probe plan). Rebuilding the
     frame from the checkpointed internal RDD drops originConstraints
     while reusing the SAME materialized blocks — zero extra compute."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=eager)
     spark = ck.sparkSession
     jdf = spark._jsparkSession.internalCreateDataFrame(  # type: ignore[attr-defined]
         ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
@@ -343,6 +347,8 @@ def ivf_knn(
     query_id_col: str | None = None,
     max_iter: int = 5,
     exact_mean: bool = False,
+    cents: list[list[float]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer -> corpus bucketed by
     nearest centroid (1 bucket each), queries probe their ``nprobe`` nearest
@@ -353,15 +359,25 @@ def ivf_knn(
     ``exact_mean``/``max_iter`` pass through to :func:`kmeans_fit` — with
     exact-integer means the whole pipeline (fit included) is replayable by
     a SQL oracle, the ``ann_pq_topk`` technique.
+
+    ``cents``/``index`` may pass a pre-fit model and the pre-bucketed
+    inverted lists ``(neighbor_id, cv, bucket)`` (the resident serving
+    index, `ivf_index_cached`'s shape) so probes skip the Lloyd fit —
+    fitted from ``corpus`` when omitted.
     """
-    cents = kmeans_fit(
-        corpus, id_col, vec_col, k=n_clusters, max_iter=max_iter, exact_mean=exact_mean
-    )
+    if cents is None:
+        cents = kmeans_fit(
+            corpus, id_col, vec_col, k=n_clusters, max_iter=max_iter,
+            exact_mean=exact_mean,
+        )
     qid = query_id_col or id_col
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
-    ).select("neighbor_id", F.col("v").alias("cv"), F.col("v"))
-    c = c.select("neighbor_id", "cv", _nearest_centroid_expr(cents).alias("bucket"))
+    if index is None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        ).select("neighbor_id", F.col("v").alias("cv"), F.col("v"))
+        c = c.select("neighbor_id", "cv", _nearest_centroid_expr(cents).alias("bucket"))
+    else:
+        c = index
 
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
@@ -712,35 +728,42 @@ def ivfpq_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    cscores_key = ("cscores", _model_key(cents))
-    cscores_col = _PREP_EXPR_CACHE.get(cscores_key)
-    if cscores_col is None:
-        cscores_col = _centroid_scores(cents, F.col("qv"))
-        _PREP_EXPR_CACHE[cscores_key] = cscores_col
-    # probe structs read the MATERIALIZED __cscores column, so the
-    # centroid-matrix tree appears once in the plan, not once per cell
-    probe_structs = [
-        F.struct(
-            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
+    # Ordered probe-cell list as ONE cached expression: (score, idx)
+    # structs come straight off the centroid-scores array via the indexed
+    # transform lambda, so the centroid-matrix literal appears once
+    # inside this tree and the tie convention (score desc, LARGEST cell
+    # index first — reverse of the ascending (s, c) struct sort) is
+    # unchanged. Cached with the model: every Dataset creation eagerly
+    # re-analyzes its whole plan JVM-side, so the probe path budgets ONE
+    # plan carrying the model literals (the qprep select below) — the
+    # r6-measured "probe constant" was exactly these repeated analyses.
+    probes_key = ("probes", nprobe, _model_key(cents))
+    probes_col = _PREP_EXPR_CACHE.get(probes_key)
+    if probes_col is None:
+        ranked = F.transform(
+            _centroid_scores(cents, F.col("qv")),
+            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
         )
-        for i in range(len(cents))
-    ]
-    probes_col = F.transform(
-        F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe),
-        lambda s: s["c"],
-    )
+        probes_col = F.transform(
+            F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
+            lambda st: st["c"],
+        )
+        _PREP_EXPR_CACHE[probes_key] = probes_col
     # Materialize the prepared query batch ONCE (LUT + ordered probe-cell
     # list per query — what an IVF-PQ server computes on query arrival;
-    # O(batch x m x k) work, batch-sized frame). The three downstream
-    # derivatives (probe pairs, LUT attach, exact re-rank) then read a
-    # LEAF plan instead of each re-analyzing the m*k-literal expression
-    # trees; constraint-stripped for the same reason as the index
-    # (see checkpoint_index).
+    # O(batch x m x k) work, batch-sized frame) via a SINGLE select. The
+    # downstream derivatives (probe pairs, LUT attach, exact re-rank)
+    # then read a LEAF plan instead of each re-analyzing the
+    # m*k-literal expression trees; constraint-stripped for the same
+    # reason as the index (see checkpoint_index).
     qprep = checkpoint_index(
-        q.withColumn("__lut", _query_lut_col(books, sub, F.col("qv")))
-        .withColumn("__cscores", cscores_col)
-        .withColumn("__probes", probes_col)
-        .select("query_id", "qv", "__lut", "__probes")
+        q.select(
+            "query_id",
+            "qv",
+            _query_lut_col(books, sub, F.col("qv")).alias("__lut"),
+            probes_col.alias("__probes"),
+        ),
+        eager=False,
     )
     # the LUT rides through the explode — plain column refs off the leaf,
     # so no second broadcast join is needed to attach it

@@ -1318,6 +1318,114 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sample Kolmogorov-Smirnov drift (r7): the distribution-free
+# companion to stats_psi_drift — D = max_x |ECDF_base(x) - ECDF_cur(x)|,
+# evaluated at every distinct value (where the max is always attained).
+# Cumulative counts come from the distributed prefix sum (range
+# repartition + per-partition subtotals + pid-local window — never a
+# single-partition ORDER BY window); the ECDF difference is compared via
+# BIGINT cross-multiplication |cb*tc - cc*tb| (exact — no float ECDFs),
+# with D itself quantized to integer micro units only at the end.
+_KS_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+    o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+  FROM orders
+),
+v AS (
+  SELECT cents,
+    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+    CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM c GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+    CAST(SUM(n_base) OVER (ORDER BY cents) AS BIGINT) AS cb,
+    CAST(SUM(n_cur) OVER (ORDER BY cents) AS BIGINT) AS cc
+  FROM v
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM v
+),
+d AS (
+  SELECT cents, CAST(ABS(cb * tc - cc * tb) AS BIGINT) AS num
+  FROM cum CROSS JOIN tot
+),
+m AS (SELECT MAX(num) AS ks_num FROM d)
+SELECT tb, tc, ks_num,
+  (SELECT MIN(cents) FROM d WHERE num = m.ks_num) AS ks_at_cents,
+  CAST(ROUND(ks_num / tb / tc * 1000000.0) AS BIGINT) AS ks_d_micro
+FROM m CROSS JOIN tot
+"""
+
+
+@register("stats_ks_drift", oracle=_KS_ORACLE, tags=("stats", "quality", "drift"))
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the baseline
+    (pre-1998) and current order-total distributions: D = sup over x of
+    |ECDF_base(x) - ECDF_cur(x)|, the distribution-free drift test that
+    complements stats_psi_drift (PSI needs binning; KS sees any shape
+    change). Output: one row with both sample sizes, the exact integer
+    numerator max|cb*tc - cc*tb|, the (smallest) cents value attaining
+    it, and D in integer micro units.
+
+    Scale shape: one scan splits periods, one shuffle collapses to
+    DISTINCT-VALUE grain (n_base, n_cur per cents), then
+    ``operators.sampling.distributed_prefix_sums`` turns value-grain
+    counts into both cumulative series without a single-partition window
+    (range repartition, O(partitions) driver subtotals, pid-local
+    windows). The ECDF comparison is exact BIGINT cross-multiplication —
+    no float ECDF on either engine; fixture products peak ~2e10, far
+    under the 9.2e18 BIGINT ceiling (past ~3e9 rows per side the
+    numerator column would switch to DOUBLE; D itself is already the
+    double). The final max is a 1-row full aggregate with map-side
+    partials; the argmax re-scan reads the same checkpointed ranged
+    frame."""
+    from ..operators.sampling import distributed_prefix_sums
+
+    (orders,) = load(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias("is_base"),
+    )
+    v = c.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    cum = distributed_prefix_sums(
+        v, "cents", "cents", ["n_base", "n_cur"], num_partitions=8
+    )
+    tot = v.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.abs(
+            F.col("n_base_cum") * F.col("tc") - F.col("n_cur_cum") * F.col("tb")
+        ).cast("long").alias("num"),
+    )
+    m = d.agg(F.max("num").alias("ks_num"))
+    arg = (
+        d.join(F.broadcast(m), d["num"] == F.col("ks_num"))
+        .agg(F.min("cents").alias("ks_at_cents"))
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(arg))
+        .select(
+            "tb",
+            "tc",
+            "ks_num",
+            "ks_at_cents",
+            F.round(
+                F.col("ks_num") / F.col("tb") / F.col("tc") * F.lit(1000000.0)
+            ).cast("long").alias("ks_d_micro"),
+        )
+    )
+
+
 # Theta-sketch union / difference (r6): completes the sketch set algebra
 # started by agg_kmv_intersection — |A u B| and |A \ B| estimated from the
 # same k=64 minimum-hash registers. Under the pair threshold

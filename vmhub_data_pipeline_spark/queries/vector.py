@@ -240,6 +240,55 @@ SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine_r, rank FROM (
 """
 
 
+# The resident flat-IVF serving index, built once per (session, sf_dir,
+# params): coarse centroids + the localCheckpointed bucketed corpus
+# (neighbor_id, cv, bucket). Same legitimacy class and lifecycle as
+# _PQ_FIT_CACHE / _IVFPQ_INDEX_CACHE (session-keyed — ADVICE r6); lets
+# bench report the Lloyd fit (paid once per corpus) apart from the probe
+# (what a query actually costs against the resident lists).
+_IVF_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def ivf_index_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    max_iter: int = 3,
+) -> tuple:
+    """Fit (or fetch) the flat-IVF index for ``sf_dir``: the exact-integer
+    -mean k-means centroids and the bucketed inverted lists. Fit work is
+    O(corpus x iters) distributed with O(model) driver state; the lists
+    are checkpointed executor-side (constraint-stripped, see
+    ``checkpoint_index``)."""
+    from ..operators.similarity import (
+        _as_double,
+        _nearest_centroid_expr,
+        checkpoint_index,
+        kmeans_fit,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_clusters, max_iter)
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached is None:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        c = emb.filter(F.col("vec_id") >= 10)
+        cents = kmeans_fit(
+            c, "vec_id", "embedding", k=n_clusters, max_iter=max_iter,
+            exact_mean=True,
+        )
+        v = _as_double(F.col("embedding"))
+        index = checkpoint_index(
+            c.select(
+                F.col("vec_id").alias("neighbor_id"),
+                v.alias("cv"),
+                _nearest_centroid_expr(cents, v).alias("bucket"),
+            )
+        )
+        cached = (cents, index)
+        _IVF_INDEX_CACHE[key] = cached
+    return cached
+
+
 @register("ann_ivf_topk", oracle=_ivf_ann_oracle(), tags=("vector", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF: distributed k-means coarse quantizer,
@@ -251,13 +300,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTEs (``_ivf_ann_oracle``). Recall vs brute force stays
     pinned in tests/test_operators.py. At 100 TB the inverted lists are
     the point: each query streams ~nprobe/n_clusters of the corpus, and
-    the bucket equi-join shuffles only the probed cells."""
+    the bucket equi-join shuffles only the probed cells. Index comes from
+    ``ivf_index_cached`` (r7, the PQ/IVF-PQ posture) so repeated
+    invocations measure PROBE cost; bench reports ann_ivf_fit /
+    ann_ivf_probe apart."""
     (emb,) = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
+    cents, index = ivf_index_cached(spark, sf_dir, n_clusters=16, max_iter=3)
     out = ivf_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, nprobe=4,
-        max_iter=3, exact_mean=True,
+        max_iter=3, exact_mean=True, cents=cents, index=index,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine_r"), "rank"
@@ -672,18 +725,35 @@ SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
 _PQ_FIT_CACHE: dict[tuple, list] = {}
 
 
+# Lazy (queries, corpus) frame HANDLES per (session, sf_dir): building
+# them costs a parquet file-listing/schema job plus the unit-normalize
+# plan analysis (~0.3 s), which a per-probe rebuild pays pointlessly —
+# the handles are deterministic lazy plans, no data is pinned. Same
+# session-keyed lifecycle as the index caches.
+_UNIT_CORPUS_CACHE: dict[tuple, tuple] = {}
+
+
 def _pq_unit_corpus(spark: SparkSession, sf_dir: str):
     from ..operators.similarity import dot_expr
 
-    (emb,) = load(spark, sf_dir, "embeddings")
-    # L2-normalize first: squared-L2 over unit vectors ranks identically to
-    # cosine, so the PQ index answers the same question brute_force_knn does
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(dot_expr(v, v))
-    unit = emb.filter(nrm > 0).select(
-        "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding")
-    )
-    return unit.filter(F.col("vec_id") < 10), unit.filter(F.col("vec_id") >= 10)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _UNIT_CORPUS_CACHE.get(key)
+    if cached is None:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        # L2-normalize first: squared-L2 over unit vectors ranks identically
+        # to cosine, so the PQ index answers the same question
+        # brute_force_knn does
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        nrm = F.sqrt(dot_expr(v, v))
+        unit = emb.filter(nrm > 0).select(
+            "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding")
+        )
+        cached = (
+            unit.filter(F.col("vec_id") < 10),
+            unit.filter(F.col("vec_id") >= 10),
+        )
+        _UNIT_CORPUS_CACHE[key] = cached
+    return cached
 
 
 def pq_index_cached(
