@@ -106,7 +106,11 @@ HEADLINE = [
 #   agg_hll_distinct, multimodal_pixel_stats, stats_histogram_profile,
 #   join_q20_potential_promotion, events_multitouch_attribution (r7:
 #   made room for the ann_ivf fit/probe labels; the attribution tier
-#   stays represented by join_asof_attribution + window_topk_per_group).
+#   stays represented by join_asof_attribution + window_topk_per_group),
+#   text_line_dedup_rebuild + dedup_jaccard_pairs_capped (r7b: made room
+#   for the ann_ivfpqr fit/probe labels; text tier keeps langid /
+#   perplexity / bigram-LM in the line, dedup keeps exact / minhash /
+#   cluster / semantic / exact-substring).
 LINE_QUERIES = [
     "q1_pricing_summary",
     "daily_revenue",
@@ -126,8 +130,6 @@ LINE_QUERIES = [
     "curation_global_shuffle",
     "text_perplexity_filter",
     "dedup_semantic",
-    "text_line_dedup_rebuild",
-    "dedup_jaccard_pairs_capped",
     "vector_pca_power",
     "dedup_exact_substring",
     "text_bigram_lm_score",
@@ -168,6 +170,8 @@ ANN_SPLIT = [
     ("ann_pq_fit", "ann_pq_probe", "pq"),
     ("ann_ivf_fit", "ann_ivf_probe", "ivf"),
     ("ann_ivfpq_fit", "ann_ivfpq_probe", "ivfpq"),
+    # r7: the residual-coded (by_residual=True) IVF-PQ layout
+    ("ann_ivfpqr_fit", "ann_ivfpqr_probe", "ivfpqr"),
 ]
 
 # Scaling probes: measured exponent e = log(t_hi/t_lo)/log(rows_hi/rows_lo)
@@ -186,6 +190,10 @@ SCALING_TABLES = {
     "pipeline_bloom_prefilter": "orders",
     "stats_psi_drift": "orders",
     "events_rfm_segmentation": "events",
+    # r7: the distributed prefix-sum path (KS needs BOTH cumulative
+    # series; expect ~flat at fixture scale — the range-shuffle constant
+    # dominates until distinct-value counts grow)
+    "stats_ks_drift": "orders",
 }
 
 
@@ -260,9 +268,11 @@ def main() -> None:
     from vmhub_data_pipeline_spark.queries.vector import (
         _IVF_INDEX_CACHE,
         _IVFPQ_INDEX_CACHE,
+        _IVFPQR_INDEX_CACHE,
         _PQ_FIT_CACHE,
         ivf_index_cached,
         ivfpq_index_cached,
+        ivfpqr_index_cached,
         pq_index_cached,
     )
 
@@ -270,6 +280,11 @@ def main() -> None:
         "pq": (_PQ_FIT_CACHE, pq_index_cached, "ann_pq_topk"),
         "ivf": (_IVF_INDEX_CACHE, ivf_index_cached, "ann_ivf_topk"),
         "ivfpq": (_IVFPQ_INDEX_CACHE, ivfpq_index_cached, "ann_ivfpq_topk"),
+        "ivfpqr": (
+            _IVFPQR_INDEX_CACHE,
+            ivfpqr_index_cached,
+            "ann_ivfpq_residual_topk",
+        ),
     }
     for fit_label, probe_label, kind in ANN_SPLIT:
         cache, fit_fn, probe_query = ann_kinds[kind]

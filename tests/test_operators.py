@@ -771,3 +771,26 @@ def test_ivfpq_knn_recall_vs_brute_and_determinism(spark):
     assert len(pairs & brute) / len(brute) >= 0.35
     again = {(r["query_id"], r["corpus_id"]) for r in first(spark, SF).collect()}
     assert pairs == again
+
+
+def test_ivfpq_residual_knn_recall_and_determinism(spark):
+    """Residual IVF-PQ (r7): full top-5 per query, a recall floor vs
+    brute force (measured 0.36 at sf0.001 — comparable to the
+    vector-coded variant's 0.40 on these UNSTRUCTURED random embeddings,
+    where the coarse quantizer explains ~nothing; the residual layout's
+    win needs clusterable data), and bit-determinism across repeated
+    probes of the cached index."""
+    from vmhub_data_pipeline_spark.queries import vector as V
+
+    q, c = V._pq_unit_corpus(spark, SF)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(c, q, "vec_id", "embedding", k=5).collect()
+    }
+    fn = getattr(V.ann_ivfpq_residual_topk, "__wrapped__", V.ann_ivfpq_residual_topk)
+    got = fn(spark, SF).collect()
+    pairs = {(r["query_id"], r["corpus_id"]) for r in got}
+    assert len(pairs) == 50  # every query fills its top-5 from probed cells
+    assert len(pairs & brute) / len(brute) >= 0.3
+    again = {(r["query_id"], r["corpus_id"]) for r in fn(spark, SF).collect()}
+    assert pairs == again

@@ -904,3 +904,18 @@ def test_ivfpq_probe_joins_on_cells_not_scan(spark, sf_dir):
     # the code table (that would be the flat scan this operator retires)
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert single_partition_window_count(df) == 0
+
+
+def test_ivfpq_residual_probe_joins_on_cells_not_scan(spark, sf_dir):
+    """Residual IVF-PQ probe (r7): same scale contract as the
+    vector-coded variant — code-table access is a bucket EQUI-join
+    (inverted-list prune), never a nested loop over every code row; all
+    windows stay query-grain."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_ivfpq_residual_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert single_partition_window_count(df) == 0

@@ -785,6 +785,149 @@ def ivfpq_knn(
     )
 
 
+def _cent_matrix_col(cents: list[list[float]]) -> Column:
+    """The coarse-centroid matrix as one cached literal Column —
+    ``element_at(mat, bucket + 1)`` fetches a row per assigned/probed
+    cell (residual subtraction needs the centroid VALUES at execution
+    time, not just the argmax)."""
+    key = ("centmat", _model_key(cents))
+    col = _PREP_EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(_mat_sql(cents))
+        _PREP_EXPR_CACHE[key] = col
+    return col
+
+
+def _residual_expr(vec: Column, cents: list[list[float]], bucket: Column) -> Column:
+    """vec - coarse_centroid[bucket], element-wise (the IVF residual)."""
+    return F.zip_with(
+        vec, F.element_at(_cent_matrix_col(cents), bucket + 1), lambda a, b: a - b
+    )
+
+
+def _residual_lut_col(
+    books: list[list[list[float]]],
+    cents: list[list[float]],
+    sub: int,
+) -> Column:
+    """The m x k ADC table for a (query, probed-cell) row: distances are
+    against the QUERY RESIDUAL ``qv - cent[bucket]`` (columns ``qv`` and
+    ``bucket`` by convention), because residual-PQ codes quantize
+    corpus residuals — both sides subtract the same cell centroid, so
+    ADC approximates the original distance with the coarse component
+    removed. Cached with the model pair."""
+    key = ("rlut", sub, _model_key(books), _model_key(cents))
+    col = _PREP_EXPR_CACHE.get(key)
+    if col is None:
+        qr = _residual_expr(F.col("qv"), cents, F.col("bucket"))
+        lut_terms = []
+        for j, cbook in enumerate(books):
+            qj = F.slice(qr, j * sub + 1, sub)
+            mat = F.expr(_mat_sql(cbook))
+            norms2 = F.expr(_vec_sql([sum(x * x for x in c) for c in cbook]))
+            lut_terms.append(
+                F.zip_with(
+                    mat, norms2, lambda c, n2: n2 - F.lit(2.0) * dot_expr(qj, c)
+                )
+            )
+        col = F.array(*lut_terms)
+        _PREP_EXPR_CACHE[key] = col
+    return col
+
+
+def ivfpq_residual_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int = 4,
+    rerank_shortlist: int | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (Jégou et al., TPAMI'11 §III; the
+    FAISS ``by_residual=True`` default): each inverted-list entry stores
+    PQ codes of ``x - cent[bucket]`` instead of ``x``, and a query
+    ADC-scores a cell through a PER-(query, cell) LUT built from its own
+    residual against that cell. Residual magnitudes are much smaller
+    than raw vectors, so the same m x k code budget spends its
+    resolution on the part the coarse quantizer didn't already explain —
+    the standard recall-per-byte win over ``ivfpq_knn``'s
+    ``by_residual=False`` layout, at the cost of nprobe LUTs per query
+    instead of one.
+
+    Same probe shape as ``ivfpq_knn``: bucket equi-join prunes the code
+    scan to the probed cells, shortlist by quantized distance, exact
+    cosine re-rank from raw storage. ``books`` must be fitted on
+    residuals (``pq_fit`` over ``x - cent[bucket]``); ``index`` may pass
+    the precomputed lists ``(corpus_id, bucket, codes)``. Every
+    fit/assign/probe/ADC step keeps the exact-integer-mean + ordered
+    fold conventions, so the full pipeline is replayed by
+    ``_ivfpq_residual_ann_oracle``'s unrolled CTEs."""
+    sub = dim // len(books)
+    if index is None:
+        v = _as_double(F.col(vec_col))
+        bucketed = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            v.alias("__v"),
+            _nearest_centroid_expr(cents, v).alias("bucket"),
+        )
+        index = bucketed.select(
+            "corpus_id",
+            "bucket",
+            _pq_code_expr(
+                _residual_expr(F.col("__v"), cents, F.col("bucket")), books, sub
+            ).alias("codes"),
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes_key = ("probes", nprobe, _model_key(cents))
+    probes_col = _PREP_EXPR_CACHE.get(probes_key)
+    if probes_col is None:
+        ranked = F.transform(
+            _centroid_scores(cents, F.col("qv")),
+            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
+        )
+        probes_col = F.transform(
+            F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
+            lambda st: st["c"],
+        )
+        _PREP_EXPR_CACHE[probes_key] = probes_col
+    # one prepared chain: probe cells, then the per-(query, cell)
+    # residual LUT — batch x nprobe rows, each m x k doubles. Checkpoint
+    # (lazy) truncates the literal-heavy prep plan exactly as in
+    # ivfpq_knn; qv rides along for the exact re-rank.
+    qp = checkpoint_index(
+        q.select("query_id", "qv", F.explode(probes_col).alias("bucket"))
+        .select(
+            "query_id",
+            "qv",
+            "bucket",
+            _residual_lut_col(books, cents, sub).alias("__lut"),
+        ),
+        eager=False,
+    )
+    score = F.expr(" + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books))))
+    scored = (
+        F.broadcast(qp.select("query_id", "bucket", "__lut"))
+        .join(index, "bucket")
+        .select("query_id", "corpus_id", score.alias("pq_dist"))
+    )
+    return _adc_shortlist_rerank(
+        scored,
+        corpus,
+        id_col,
+        vec_col,
+        qp.select("query_id", "qv").dropDuplicates(["query_id"]),
+        k,
+        rerank_shortlist,
+    )
+
+
 def mmr_diverse_topk(
     corpus: DataFrame,
     queries: DataFrame,

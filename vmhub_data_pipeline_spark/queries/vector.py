@@ -1103,6 +1103,305 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_ann_oracle(
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+    shortlist: int = 40,
+    topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of RESIDUAL IVF-PQ — ``_ivfpq_ann_oracle``
+    plus the residual algebra: after the coarse fit and cell assignment,
+    corpus RESIDUALS ``v - cent[bucket]`` are what the sub-codebooks fit
+    on, encode, and what each query's per-probed-cell residual LUT
+    scores against. Same seeds (k smallest ids — their residual slices
+    for pc0), same exact-integer means, same tie conventions."""
+    sub = dim // m
+    giters = []
+    for t in range(1, coarse_iter + 1):
+        prev = f"gc{t-1}"
+        giters.append(f"""
+ga{t} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corpf s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+gm{t} AS (
+  SELECT a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.v[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM ga{t} a
+  JOIN corpf s USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {dim + 1})) AS pos) p
+  GROUP BY a.cidx, p.pos
+),
+gc{t} AS (
+  SELECT p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT cidx, array_agg(comp ORDER BY pos) AS cv FROM gm{t} GROUP BY cidx
+  ) n USING (cidx)
+)""")
+    gfinal = f"gc{coarse_iter}"
+    piters = []
+    for t in range(1, pq_iter + 1):
+        prev = f"pc{t-1}"
+        piters.append(f"""
+pa{t} AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM rsub s JOIN {prev} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+pm{t} AS (
+  SELECT a.j, a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.sv[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM pa{t} a
+  JOIN rsub s ON s.vec_id = a.vec_id AND s.j = a.j
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {sub + 1})) AS pos) p
+  GROUP BY a.j, a.cidx, p.pos
+),
+pc{t} AS (
+  SELECT p.j, p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT j, cidx, array_agg(comp ORDER BY pos) AS cv FROM pm{t} GROUP BY j, cidx
+  ) n ON n.j = p.j AND n.cidx = p.cidx
+)""")
+    pfinal = f"pc{pq_iter}"
+    adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM raw WHERE sqrt(list_dot_product(v0, v0)) > 0
+),
+corpf AS (SELECT vec_id, v FROM unit WHERE vec_id >= 10),
+qryf AS (SELECT vec_id AS query_id, v FROM unit WHERE vec_id < 10),
+js AS (SELECT UNNEST(RANGE(0, {m})) AS j),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT DISTINCT vec_id FROM corpf)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {max(n_cells, k)}
+),
+gc0 AS (
+  SELECT i.cidx, s.v AS cv FROM corpf s JOIN init_ids i USING (vec_id)
+  WHERE i.cidx < {n_cells}
+),{",".join(giters)},
+bkt AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM corpf s CROSS JOIN {gfinal} c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT b.vec_id, list_transform(range(1, {dim + 1}), i -> s.v[i] - c.cv[i]) AS rv
+  FROM bkt b JOIN corpf s USING (vec_id) JOIN {gfinal} c ON c.cidx = b.bucket
+),
+rsub AS (
+  SELECT r.vec_id, js.j, r.rv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM res r CROSS JOIN js
+),
+pc0 AS (
+  SELECT s.j, i.cidx, s.sv AS cv
+  FROM rsub s JOIN init_ids i USING (vec_id)
+  WHERE i.cidx < {k}
+),{",".join(piters)},
+enc AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM rsub s JOIN {pfinal} c ON c.j = s.j
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cidx AS bucket FROM (
+    SELECT q.query_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (list_dot_product(q.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx DESC) AS rn
+    FROM qryf q CROSS JOIN {gfinal} c
+  ) WHERE rn <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.bucket,
+         list_transform(range(1, {dim + 1}), i -> q.v[i] - c.cv[i]) AS rv
+  FROM probes p
+  JOIN qryf q USING (query_id)
+  JOIN {gfinal} c ON c.cidx = p.bucket
+),
+qrsub AS (
+  SELECT r.query_id, r.bucket, js.j,
+         r.rv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM qres r CROSS JOIN js
+),
+lut AS (
+  SELECT q.query_id, q.bucket, q.j, c.cidx,
+         list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(q.sv, c.cv) AS term
+  FROM qrsub q JOIN {pfinal} c ON c.j = q.j
+),
+cand AS (
+  SELECT p.query_id, p.bucket, b.vec_id AS corpus_id
+  FROM probes p JOIN bkt b USING (bucket)
+),
+scored AS (
+  SELECT cd.query_id, cd.corpus_id, {adc_sum} AS pq_dist
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.corpus_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.bucket = cd.bucket
+            AND l.j = e.j AND l.cidx = e.code
+  GROUP BY cd.query_id, cd.corpus_id
+),
+short AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY pq_dist ASC, corpus_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.corpus_id,
+         CASE WHEN sqrt(list_dot_product(qu.v, qu.v))
+                   * sqrt(list_dot_product(cu.v, cu.v)) > 0
+              THEN list_dot_product(qu.v, cu.v)
+                   / (sqrt(list_dot_product(qu.v, qu.v))
+                      * sqrt(list_dot_product(cu.v, cu.v)))
+         END AS cosine
+  FROM short s
+  JOIN unit qu ON qu.vec_id = s.query_id
+  JOIN unit cu ON cu.vec_id = s.corpus_id
+)
+SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+"""
+
+
+# Residual IVF-PQ serving index — same lifecycle as _IVFPQ_INDEX_CACHE.
+_IVFPQR_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def ivfpqr_index_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+) -> tuple:
+    """Fit (or fetch) the RESIDUAL IVF-PQ index: coarse cells, then PQ
+    sub-codebooks fitted on ``x - cent[bucket]`` residuals, inverted
+    lists of residual codes. Fit is two Lloyd passes + one encode scan —
+    O(corpus x iters) distributed, O(model) driver."""
+    from ..operators.similarity import (
+        _as_double,
+        _nearest_centroid_expr,
+        _pq_code_expr,
+        _residual_expr,
+        checkpoint_index,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, dim, n_cells, coarse_iter,
+        m, k, pq_iter, "residual",
+    )
+    cached = _IVFPQR_INDEX_CACHE.get(key)
+    if cached is None:
+        _, c = _pq_unit_corpus(spark, sf_dir)
+        cents = kmeans_fit(
+            c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
+            exact_mean=True,
+        )
+        v = _as_double(F.col("embedding"))
+        res = c.select(
+            F.col("vec_id").alias("corpus_id"),
+            _nearest_centroid_expr(cents, v).alias("bucket"),
+            v.alias("__v"),
+        ).select(
+            "corpus_id",
+            "bucket",
+            _residual_expr(F.col("__v"), cents, F.col("bucket")).alias("resid"),
+        )
+        books = pq_fit(
+            res, "corpus_id", "resid", dim=dim, m=m, k=k, max_iter=pq_iter,
+            exact_mean=True,
+        )
+        index = checkpoint_index(
+            res.select(
+                "corpus_id",
+                "bucket",
+                _pq_code_expr(F.col("resid"), books, dim // m).alias("codes"),
+            )
+        )
+        cached = (cents, books, index)
+        _IVFPQR_INDEX_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_ann_oracle(),
+    tags=("vector", "ivf", "pq", "residual"),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via RESIDUAL IVF-PQ (r7; Jégou et al. TPAMI'11
+    §III, the FAISS ``by_residual=True`` default): inverted lists store
+    PQ codes of ``x - cent[bucket]``, so the m x k code budget spends
+    its resolution on what the coarse quantizer didn't explain —
+    residual magnitudes shrink with the cell radius, giving the
+    standard recall-per-byte improvement over ``ann_ivfpq_topk``'s
+    vector-coded layout. The probe pays nprobe per-cell LUTs per query
+    (still O(batch x nprobe x m x k) floats, checkpoint-truncated) and
+    scans exactly the same pruned code volume. FULLY oracle-checked:
+    both Lloyd fits exact-integer-mean, residual subtraction replayed
+    element-wise, per-cell LUTs and celled ADC as unrolled CTEs
+    (``_ivfpq_residual_ann_oracle``). Honesty note: on THIS fixture the
+    two variants measure comparable recall@5 (0.36 residual vs 0.40
+    vector-coded at sf0.001) — the embeddings are unstructured random,
+    so the coarse quantizer explains almost no variance and residuals
+    are as hard to code as the vectors; the residual win materializes
+    on clusterable corpora, which is why both layouts ship. Floor +
+    determinism pinned in tests/test_operators.py."""
+    from ..operators.similarity import ivfpq_residual_knn
+
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    cents, books, index = ivfpqr_index_cached(
+        spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
+    )
+    return ivfpq_residual_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, cents=cents,
+        books=books, nprobe=4, rerank_shortlist=40, index=index,
+    )
+
+
 def _mmr_oracle(shortlist_k: int = 20, select_k: int = 5, lam: float = 0.7) -> str:
     """Unrolled greedy-MMR oracle (same technique as the PageRank
     unrolled-CTE oracle): one argmax CTE chain per selection step — plain
