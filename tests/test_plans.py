@@ -919,3 +919,13 @@ def test_ivfpq_residual_probe_joins_on_cells_not_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert single_partition_window_count(df) == 0
+
+
+def test_bpe_encode_is_pure_scan(spark, sf_dir):
+    """curation_bpe_encode (r7): applying the merge table is a tokenizer
+    pass — the plan must be a single scan-stage projection (merges are
+    inlined literals), with NO shuffle exchange and no Python UDF."""
+    df = Q["curation_bpe_encode"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

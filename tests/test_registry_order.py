@@ -15,11 +15,12 @@ WINDOW = 50
 # Round-7 composition (VERDICT r6 task 3): the window rotates onto the 39
 # queries whose latest driver evidence is round-2 (the oldest tier left
 # after r6 retired the r1 tier), plus 11 slots for the round's changes
-# (the two NEW queries — composed IVF-PQ and the TPC-H Q20 analog — and
-# regression guards for every query over this round's rewritten plan
-# machinery: SQL-literal ANN builders, constraint-stripped index
-# checkpoints, the PSI order-statistic fetch, the shared LSH signature
-# cache, the zip_with_global_index signature change). The class-coverage
+# (the five NEW queries — composed IVF-PQ, its residual-coded twin, the
+# TPC-H Q20 analog, the KS drift monitor, the BPE encode pass — and one
+# regression guard per rewritten plan-machinery path, each picked by
+# its widest consumer: SQL-literal ANN builders, constraint-stripped
+# index checkpoints, the PSI order-statistic fetch, the shared LSH
+# signature cache, the zip_with_global_index change). The class-coverage
 # requirement below reflects THIS composition: the r3-r6-fresh tiers
 # (multimodal, graph, most streaming, most pipeline) sit the round out.
 REQUIRED_IN_WINDOW = {
@@ -32,19 +33,27 @@ REQUIRED_IN_WINDOW = {
     "window": ["window_topk_per_group"],
     "setops": ["set_union_all"],
     "scan-agg": ["q1_pricing_summary"],
-    "events": ["events_sessionize", "events_rfm_segmentation", "events_lorenz_curve"],
+    "events": ["events_sessionize", "events_rfm_segmentation"],
     "text": ["text_quality", "text_pii_redact", "text_fingerprint"],
     "dedup": [
         "dedup_exact",
         "dedup_jaccard_pairs",
         "dedup_cluster_cc",
-        "dedup_minhash_lsh",
         "dedup_cluster_lsh",
-        "dedup_semantic",
     ],
-    "vector": ["ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_topk", "knn_cosine_topk"],
-    "stats": ["stats_psi_drift"],
-    "curation": ["curation_hash_split", "curation_global_shuffle"],
+    "vector": [
+        "ann_ivfpq_topk",
+        "ann_ivfpq_residual_topk",
+        "ann_pq_topk",
+        "ann_ivf_topk",
+        "knn_cosine_topk",
+    ],
+    "stats": ["stats_psi_drift", "stats_ks_drift"],
+    "curation": [
+        "curation_hash_split",
+        "curation_global_shuffle",
+        "curation_bpe_encode",
+    ],
     "streaming": ["streaming_tumbling_day", "streaming_interval_join"],
     "pipeline": ["pipeline_lake_paths", "pipeline_date_series"],
     "subquery": ["subquery_exists", "subquery_correlated_scalar"],

@@ -805,24 +805,21 @@ def _residual_expr(vec: Column, cents: list[list[float]], bucket: Column) -> Col
     )
 
 
-def _residual_lut_col(
-    books: list[list[list[float]]],
-    cents: list[list[float]],
-    sub: int,
-) -> Column:
+def _residual_lut_col(books: list[list[list[float]]], sub: int) -> Column:
     """The m x k ADC table for a (query, probed-cell) row: distances are
-    against the QUERY RESIDUAL ``qv - cent[bucket]`` (columns ``qv`` and
-    ``bucket`` by convention), because residual-PQ codes quantize
-    corpus residuals — both sides subtract the same cell centroid, so
-    ADC approximates the original distance with the coarse component
-    removed. Cached with the model pair."""
-    key = ("rlut", sub, _model_key(books), _model_key(cents))
+    against the QUERY RESIDUAL (the ``__qr`` column by convention — the
+    caller materializes ``qv - cent[bucket]`` ONCE per row, so the
+    centroid-matrix literal appears once in the plan instead of once
+    per subspace slice), because residual-PQ codes quantize corpus
+    residuals — both sides subtract the same cell centroid, so ADC
+    approximates the original distance with the coarse component
+    removed. Cached with the model."""
+    key = ("rlut", sub, _model_key(books))
     col = _PREP_EXPR_CACHE.get(key)
     if col is None:
-        qr = _residual_expr(F.col("qv"), cents, F.col("bucket"))
         lut_terms = []
         for j, cbook in enumerate(books):
-            qj = F.slice(qr, j * sub + 1, sub)
+            qj = F.slice(F.col("__qr"), j * sub + 1, sub)
             mat = F.expr(_mat_sql(cbook))
             norms2 = F.expr(_vec_sql([sum(x * x for x in c) for c in cbook]))
             lut_terms.append(
@@ -897,17 +894,24 @@ def ivfpq_residual_knn(
             lambda st: st["c"],
         )
         _PREP_EXPR_CACHE[probes_key] = probes_col
-    # one prepared chain: probe cells, then the per-(query, cell)
-    # residual LUT — batch x nprobe rows, each m x k doubles. Checkpoint
-    # (lazy) truncates the literal-heavy prep plan exactly as in
-    # ivfpq_knn; qv rides along for the exact re-rank.
+    # one prepared chain: probe cells, the materialized query residual
+    # (so the centroid matrix appears once, not once per subspace), then
+    # the per-(query, cell) residual LUT — batch x nprobe rows, each
+    # m x k doubles. Checkpoint (lazy) truncates the literal-heavy prep
+    # plan exactly as in ivfpq_knn; qv rides along for the exact re-rank.
     qp = checkpoint_index(
         q.select("query_id", "qv", F.explode(probes_col).alias("bucket"))
         .select(
             "query_id",
             "qv",
             "bucket",
-            _residual_lut_col(books, cents, sub).alias("__lut"),
+            _residual_expr(F.col("qv"), cents, F.col("bucket")).alias("__qr"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "bucket",
+            _residual_lut_col(books, sub).alias("__lut"),
         ),
         eager=False,
     )

@@ -73,31 +73,38 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # (aggregating CORRECTNESS_r01-r06; every other registered query holds
     # a fresher r3-r6 driver green and remains covered by the full-catalog
     # local mirror at sf0.001) — plus 11 slots for this round's changes:
-    # first driver contact for the two NEW r7 queries (the composed
-    # IVF-PQ ANN that retires the flat-PQ scan, and the TPC-H Q20 analog
-    # completing the 22/22 join family), and regression guards for every
-    # query whose plan machinery was rewritten this round (the
-    # SQL-literal matrix builders + prepared-expression cache behind the
-    # ANN family, the constraint-stripped index checkpoints, the
-    # order-statistic PSI boundary fetch, the shared-signature LSH
-    # cache, and the zip_with_global_index signature change under the
-    # RFM/Lorenz NTILE path). 39 + 11 = the 50-slot window exactly;
-    # after this round no registered query's latest driver evidence
-    # predates round 3.
+    # first driver contact for the five NEW r7 queries (the composed
+    # IVF-PQ ANN that retires the flat-PQ scan, its residual-coded
+    # by_residual=True twin, the TPC-H Q20 analog completing the 22/22
+    # join family, the KS drift monitor on the distributed prefix-sum
+    # operator, and the BPE encode pass), and one regression guard per
+    # REWRITTEN plan-machinery path, each picked by its widest consumer
+    # (SQL-literal matrix builders + prepared-expression cache,
+    # constraint-stripped index checkpoints, order-statistic PSI
+    # boundary fetch, shared-signature LSH cache, changed
+    # zip_with_global_index signature). 39 + 11 = the 50-slot window
+    # exactly; after this round no registered query's latest driver
+    # evidence predates round 3.
     #
     # -- r7 NEW queries (first driver contact) --
     "ann_ivfpq_topk",               # composed IVF-PQ (cells + codes)
     "join_q20_potential_promotion", # TPC-H Q20 excess-stock semi-join
-    # -- r7-touched regression guards --
+    "ann_ivfpq_residual_topk",      # residual-coded IVF-PQ (r7b)
+    "stats_ks_drift",               # KS drift on distributed prefix sums
+    "curation_bpe_encode",          # BPE apply pass (learn's sibling)
+    # -- r7-touched regression guards (each guarded path picked by its
+    # widest consumer: ann_pq_topk covers the prepared-LUT rewrite,
+    # ann_ivf_topk the literal-matrix probe + cached index, ann_lsh_topk
+    # the lsh_bucket_expr literal rewrite dedup_semantic shares,
+    # dedup_cluster_lsh the shared-signature cache dedup_minhash_lsh
+    # feeds, events_rfm the changed zip_with_global_index signature
+    # events_lorenz shares; the displaced siblings stay mirror-green --
     "stats_psi_drift",              # order-statistic boundary fetch rewrite
     "ann_pq_topk",                  # prepared-LUT probe path rewrite
-    "ann_ivf_topk",                 # literal-matrix probe rewrite
+    "ann_ivf_topk",                 # literal-matrix probe + cached index
     "ann_lsh_topk",                 # lsh_bucket_expr literal rewrite
-    "dedup_semantic",               # shares lsh_bucket_expr
-    "dedup_minhash_lsh",            # shared-signature cache (r6 task 7)
     "dedup_cluster_lsh",            # shared-signature cache (r6 task 7)
     "events_rfm_segmentation",      # distributed_ntile over changed zwgi
-    "events_lorenz_curve",          # distributed_ntile over changed zwgi
     # -- oldest-evidence rotation: the 39 round-2 greens --
     "agg_approx_sketches",          # rows-only by design (sketch internals)
     "agg_arg_minmax",

@@ -583,7 +583,11 @@ def curation_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_learn_ctes(rounds: int) -> str:
+    """The shared learning CTE chain (``w0..w{rounds}`` word tables,
+    ``m0..m{rounds-1}`` single-row merge winners) — used by both the
+    merge-table oracle and the encode oracle, so the two queries can
+    never drift on what was learned."""
     parts = [
         "WITH w0 AS (",
         "  SELECT TRIM(regexp_replace(token, '(.)', '\\1 ', 'g')) AS wsym,",
@@ -608,13 +612,16 @@ def _bpe_oracle(rounds: int) -> str:
   FROM w{r} w CROSS JOIN m{r} m
 )"""
         )
+    return "\n".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
     selects = [
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, lft AS left_sym, rgt AS right_sym,"
         f" lft || rgt AS merged, cnt AS pair_freq FROM m{r}"
         for r in range(rounds)
     ]
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
-    return "\n".join(parts)
+    return _bpe_learn_ctes(rounds) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def bpe_learn_merges(docs: DataFrame, text_col: str = "text", rounds: int = _BPE_ROUNDS) -> DataFrame:
@@ -699,6 +706,125 @@ def curation_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_pagerank_dups."""
     (docs,) = load(spark, sf_dir, "documents")
     return bpe_learn_merges(docs)
+
+
+# BPE ENCODE (r7) — the fourth tokenizer leg: APPLY the learned merge
+# table to every document, the step a training pipeline runs over the
+# whole corpus after learning merges on a sample. Per word: spell into
+# space-separated symbols, then one leftmost non-overlapping global
+# regex rewrite per merge IN RANK ORDER (Java regex and RE2 agree on
+# ASCII \b and left-to-right global replacement — the greedy BPE apply,
+# the exact rewrite the learner itself uses).
+def _bpe_encode_oracle(rounds: int) -> str:
+    parts = [_bpe_learn_ctes(rounds)]
+    parts.append(""", dw AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents
+),
+de0 AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i,
+         TRIM(regexp_replace(UNNEST(w), '(.)', '\\1 ', 'g')) AS e
+  FROM dw
+)""")
+    for r in range(rounds):
+        parts.append(f""", de{r + 1} AS (
+  SELECT doc_id, i,
+         regexp_replace(d.e, '\\b' || m.lft || ' ' || m.rgt || '\\b',
+                        m.lft || m.rgt, 'g') AS e
+  FROM de{r} d CROSS JOIN m{r} m
+)""")
+    parts.append(f""", agg AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(LEN(string_split(e, ' '))) AS BIGINT) AS n_tokens,
+    CAST(SUM(('0x' || substr(md5(e || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT)
+      AS BIGINT) AS enc_checksum
+  FROM de{rounds} GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.n_words, 0) AS n_words,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.enc_checksum, 0) AS enc_checksum
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
+    return "\n".join(parts)
+
+
+# The learned merge list per (session, sf_dir) — O(rounds) driver state,
+# the tokenizer model a real pipeline ships to every executor. Learned
+# once via bpe_learn_merges, then applied scan-side as string literals.
+_BPE_MERGES_CACHE: dict[tuple, list] = {}
+
+
+def bpe_merges_cached(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir, rounds)
+    cached = _BPE_MERGES_CACHE.get(key)
+    if cached is None:
+        (docs,) = load(spark, sf_dir, "documents")
+        rows = bpe_learn_merges(docs, rounds=rounds).orderBy("merge_rank").collect()
+        cached = [(r["left_sym"], r["right_sym"]) for r in rows]
+        _BPE_MERGES_CACHE[key] = cached
+    return cached
+
+
+@register("curation_bpe_encode", oracle=_bpe_encode_oracle(_BPE_ROUNDS), tags=("curation", "text"))
+def curation_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus (the ENCODE pass a
+    training pipeline runs over 100 TB after learning merges on a
+    sample): per document — words, per word — symbol spelling, then the
+    6 merges as chained leftmost-greedy regex rewrites in rank order,
+    exactly the rewrite the learner uses. Output per doc: word count,
+    post-merge token count, and a position-sensitive md5-int48 checksum
+    of the encoded stream (order-independent SUM of per-(word, position)
+    digests, so no ordered concat is needed on either engine; 48-bit
+    terms keep a multi-thousand-word doc far from BIGINT overflow).
+
+    Scale shape: the merge table is O(rounds) driver state inlined as
+    string literals (the tokenizer model every executor gets); encoding
+    is a PURE SCAN — transform() over the word array, zero shuffle, zero
+    UDF, embarrassingly parallel, exactly how a tokenizer pass should
+    look. (A vocab-grain dedup + hash-join variant would amortize hot
+    words at the price of two shuffles; on a Zipf corpus the scan wins
+    until words repeat far more than the fixture's ~30-word vocabulary
+    already does — the regex chain is cheap relative to the scan
+    itself.) The oracle replays LEARNING + ENCODING in one statement
+    (``_bpe_learn_ctes`` shared with curation_bpe_merges), so the two
+    stages can never drift."""
+    merges = bpe_merges_cached(spark, sf_dir)
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def encode(w):
+        e = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for lft, rgt in merges:
+            # symbols are [a-z0-9]+ concatenations — regex-safe unescaped
+            e = F.regexp_replace(e, f"\\b{lft} {rgt}\\b", f"{lft}{rgt}")
+        return e
+
+    d = docs.select(
+        "doc_id",
+        F.transform(
+            F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), encode
+        ).alias("ew"),
+    )
+    n = F.size("ew")
+    term = F.zip_with(
+        F.col("ew"),
+        F.sequence(F.lit(1), n),
+        lambda e, i: F.conv(
+            F.substring(F.md5(F.concat(e, F.lit(":"), i.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.when(
+            n > 0,
+            F.aggregate("ew", zero, lambda a, x: a + F.size(F.split(x, " "))),
+        ).otherwise(zero).cast("long").alias("n_tokens"),
+        F.when(n > 0, F.aggregate(term, zero, lambda a, x: a + x))
+        .otherwise(zero).cast("long").alias("enc_checksum"),
+    )
 
 
 # Overlapping chunk windows — retrieval-index prep (the RAG shape): split

@@ -1341,14 +1341,24 @@ def ivfpqr_index_cached(
             exact_mean=True,
         )
         v = _as_double(F.col("embedding"))
-        res = c.select(
-            F.col("vec_id").alias("corpus_id"),
-            _nearest_centroid_expr(cents, v).alias("bucket"),
-            v.alias("__v"),
-        ).select(
-            "corpus_id",
-            "bucket",
-            _residual_expr(F.col("__v"), cents, F.col("bucket")).alias("resid"),
+        # Materialize the residuals ONCE before the sub-codebook fit:
+        # pq_fit scans its input 1 + max_iter times, and the residual
+        # plan (nearest-centroid argmax over the 16x64 literal matrix +
+        # element-wise subtract) would otherwise be recomputed per round
+        # — measured 4x the whole fit. FAISS trains on materialized
+        # residuals for the same reason; the frame is corpus-sized and
+        # fit-scoped (the encode below reuses it, then only the codes
+        # index stays resident).
+        res = checkpoint_index(
+            c.select(
+                F.col("vec_id").alias("corpus_id"),
+                _nearest_centroid_expr(cents, v).alias("bucket"),
+                v.alias("__v"),
+            ).select(
+                "corpus_id",
+                "bucket",
+                _residual_expr(F.col("__v"), cents, F.col("bucket")).alias("resid"),
+            )
         )
         books = pq_fit(
             res, "corpus_id", "resid", dim=dim, m=m, k=k, max_iter=pq_iter,
