@@ -96,6 +96,10 @@ HEADLINE = [
     # path (value-grain cumulative ECDFs; the drift tier's line rep stays
     # stats_psi_drift)
     "stats_ks_drift",
+    # r7: the streaming drift binning (8th real streaming execution;
+    # detail-only — the streaming tier's line reps stay tumbling_day +
+    # interval_join)
+    "streaming_psi_bins",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries

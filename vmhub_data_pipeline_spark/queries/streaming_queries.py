@@ -424,3 +424,96 @@ def streaming_cms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return _run_to_memory(spark, stream, "stream_cms")
+
+
+# Streaming drift monitor (r7): the PRODUCTION deployment shape of the
+# batch PSI/KS screens — the baseline model (9 decile boundaries) is
+# fitted BATCH-side on the training period and frozen; the stream then
+# bins every arriving event against those fixed boundaries inside a
+# day-windowed count. What ships to the scoring job is a 10-bin histogram
+# per day, the exact input a drift alert consumes; the expensive part
+# (order statistics) never runs on the stream. Bounds come from
+# operators.sampling.global_order_values at the NTILE tile-end ranks
+# (the stats_psi_drift convention, so the oracle keeps plain NTILE(10)).
+_STREAM_PSI_SPLIT = "2024-01-15"
+
+_STREAM_PSI_BINS_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS cents, ts FROM events
+),
+base AS (SELECT * FROM c WHERE ts < TIMESTAMP '{_STREAM_PSI_SPLIT}'),
+tiled AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, event_id) AS tile FROM base
+),
+bounds AS (
+  SELECT LIST(ub ORDER BY ub) AS bs
+  FROM (SELECT MAX(cents) AS ub FROM tiled WHERE tile <= 9 GROUP BY tile)
+),
+binned AS (
+  SELECT CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS window_start,
+    1 + LEN(LIST_FILTER(bounds.bs, b -> c.cents > b)) AS bin
+  FROM c CROSS JOIN bounds
+)
+SELECT window_start, CAST(bin AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM binned GROUP BY window_start, bin
+"""
+
+
+@register(
+    "streaming_psi_bins", oracle=_STREAM_PSI_BINS_ORACLE, tags=("streaming", "drift")
+)
+def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-model drift binning inside a REAL streaming execution: the
+    baseline period's decile boundaries are computed batch-side (exact
+    distributed order statistics — 9 BIGINTs, O(model) driver state,
+    frozen exactly as a deployed monitor freezes its training-period
+    bins), inlined as a literal array, and every streamed event is
+    binned scan-side into a day-windowed count. Output: (window_start,
+    bin, n_events) — the per-day histogram a PSI alert consumes; at
+    production rates the state is |days| x 10 rows regardless of event
+    volume, and the stream-side work is a comparison against 9
+    broadcast values per event (no sort, no repartition beyond the
+    windowed count's key shuffle). The eighth real streaming execution
+    in the catalog; complete-mode windowed agg, availableNow to
+    completion, hash-matched against the NTILE(10) batch replay."""
+    from ..operators.sampling import global_order_values
+
+    (events,) = load(spark, sf_dir, "events")
+    base = (
+        events.where(F.col("ts") < F.lit(_STREAM_PSI_SPLIT).cast("timestamp"))
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    bs = sorted(
+        global_order_values(
+            base,
+            "cents",
+            "event_id",
+            lambda n: {t * (n // 10) + min(t, n % 10) - 1 for t in range(1, 10)}
+            - {-1},
+            num_partitions=8,
+        )
+    )
+    scratch = _landed_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    bin_col = 1 + F.size(
+        F.filter(
+            F.array(*[F.lit(b).cast("long") for b in bs]), lambda b: cents > b
+        )
+    )
+    stream = (
+        events_file_stream(spark, scratch)
+        .withWatermark("ts", "1 day")
+        .select("ts", bin_col.alias("bin"))
+        .groupBy(F.window("ts", "1 day"), "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("bin").cast("long").alias("bin"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, stream, "stream_psi")
