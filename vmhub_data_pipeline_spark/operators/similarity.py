@@ -733,22 +733,8 @@ def ivfpq_knn(
     # transform lambda, so the centroid-matrix literal appears once
     # inside this tree and the tie convention (score desc, LARGEST cell
     # index first — reverse of the ascending (s, c) struct sort) is
-    # unchanged. Cached with the model: every Dataset creation eagerly
-    # re-analyzes its whole plan JVM-side, so the probe path budgets ONE
-    # plan carrying the model literals (the qprep select below) — the
-    # r6-measured "probe constant" was exactly these repeated analyses.
-    probes_key = ("probes", nprobe, _model_key(cents))
-    probes_col = _PREP_EXPR_CACHE.get(probes_key)
-    if probes_col is None:
-        ranked = F.transform(
-            _centroid_scores(cents, F.col("qv")),
-            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
-        )
-        probes_col = F.transform(
-            F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
-            lambda st: st["c"],
-        )
-        _PREP_EXPR_CACHE[probes_key] = probes_col
+    # unchanged; see _probe_cells_col.
+    probes_col = _probe_cells_col(cents, nprobe)
     # Materialize the prepared query batch ONCE (LUT + ordered probe-cell
     # list per query — what an IVF-PQ server computes on query arrival;
     # O(batch x m x k) work, batch-sized frame) via a SINGLE select. The
@@ -783,6 +769,33 @@ def ivfpq_knn(
         k,
         rerank_shortlist,
     )
+
+
+def _probe_cells_col(cents: list[list[float]], nprobe: int) -> Column:
+    """The ordered probe-cell list for a query row (``qv`` column by
+    convention) as one cached expression: (score, idx) structs come
+    straight off the centroid-scores array via the indexed transform
+    lambda, so the centroid-matrix literal appears once inside this
+    tree, and the tie convention (score desc, LARGEST cell index first —
+    reverse of the ascending (s, c) struct sort) matches ``ivf_knn`` and
+    both oracles' ``ORDER BY score DESC, cidx DESC`` probe replay.
+    Cached with the model: every Dataset creation eagerly re-analyzes
+    its whole plan JVM-side, so the probe path budgets ONE plan carrying
+    the model literals — the r6-measured "probe constant" was exactly
+    these repeated analyses."""
+    key = ("probes", nprobe, _model_key(cents))
+    col = _PREP_EXPR_CACHE.get(key)
+    if col is None:
+        ranked = F.transform(
+            _centroid_scores(cents, F.col("qv")),
+            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
+        )
+        col = F.transform(
+            F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
+            lambda st: st["c"],
+        )
+        _PREP_EXPR_CACHE[key] = col
+    return col
 
 
 def _cent_matrix_col(cents: list[list[float]]) -> Column:
@@ -882,18 +895,7 @@ def ivfpq_residual_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probes_key = ("probes", nprobe, _model_key(cents))
-    probes_col = _PREP_EXPR_CACHE.get(probes_key)
-    if probes_col is None:
-        ranked = F.transform(
-            _centroid_scores(cents, F.col("qv")),
-            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
-        )
-        probes_col = F.transform(
-            F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
-            lambda st: st["c"],
-        )
-        _PREP_EXPR_CACHE[probes_key] = probes_col
+    probes_col = _probe_cells_col(cents, nprobe)
     # one prepared chain: probe cells, the materialized query residual
     # (so the centroid matrix appears once, not once per subspace), then
     # the per-(query, cell) residual LUT — batch x nprobe rows, each
