@@ -100,6 +100,10 @@ HEADLINE = [
     # detail-only — the streaming tier's line reps stay tumbling_day +
     # interval_join)
     "streaming_psi_bins",
+    # r8: ExactSubstr passage REMOVAL rebuild (detail-only; the dedup
+    # tier's line reps stay exact / minhash / cluster / semantic /
+    # exact-substring — this is the rebuild sibling of the last one)
+    "text_passage_dedup_rebuild",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -114,7 +118,12 @@ HEADLINE = [
 #   text_line_dedup_rebuild + dedup_jaccard_pairs_capped (r7b: made room
 #   for the ann_ivfpqr fit/probe labels; text tier keeps langid /
 #   perplexity / bigram-LM in the line, dedup keeps exact / minhash /
-#   cluster / semantic / exact-substring).
+#   cluster / semantic / exact-substring),
+#   join_q2_min_cost_supplier + curation_dsir_weights +
+#   text_bigram_lm_score (r8: made room for the builds block +
+#   ann_coarse_fit + the ann_ivfpq_probe scaling exponent; join keeps
+#   q3/q5/asof in the line, curation keeps global_shuffle, text keeps
+#   langid/perplexity).
 LINE_QUERIES = [
     "q1_pricing_summary",
     "daily_revenue",
@@ -136,11 +145,8 @@ LINE_QUERIES = [
     "dedup_semantic",
     "vector_pca_power",
     "dedup_exact_substring",
-    "text_bigram_lm_score",
     "multimodal_audio_energy",
-    "join_q2_min_cost_supplier",
     "stats_psi_drift",
-    "curation_dsir_weights",
 ]
 
 # Every headline entry runs 3 times, median recorded (r4; previously only
@@ -198,6 +204,14 @@ SCALING_TABLES = {
     # series; expect ~flat at fixture scale — the range-shuffle constant
     # dominates until distinct-value counts grow)
     "stats_ks_drift": "orders",
+    # r8 (VERDICT r7 task 9): the IVF-PQ PROBE against a resident index —
+    # the cells-not-scan property measured, not argued. The fit is
+    # prewarmed per sf_dir outside the timed runs (a probe never refits),
+    # so the exponent isolates corpus-side probe cost: the celled code
+    # join touches ~nprobe/n_cells of the code table, so e must sit well
+    # below the flat-PQ probe's full-scan slope (both also carry a
+    # per-query-batch constant that flattens e at fixture scale).
+    "ann_ivfpq_probe": "embeddings",
 }
 
 
@@ -207,6 +221,7 @@ def build_stdout_line(
     secondary: dict[str, float],
     secondary_sf: float,
     scaling_exponents: dict[str, float],
+    builds: dict[str, float] | None = None,
 ) -> str:
     """The single driver-facing stdout line, compact separators, 2-dp
     values. tests/test_bench_line.py asserts this stays <= 1500 bytes
@@ -217,6 +232,9 @@ def build_stdout_line(
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in line_timings.items()},
         "sf": sf,
+        # shared-artifact builds at headline sf, excluded from "value"
+        # (consumer entries measure cache-warm marginal cost)
+        "builds": {k: round(v, 2) for k, v in (builds or {}).items()},
         "secondary": {k: round(v, 2) for k, v in secondary.items()},
         "secondary_sf": secondary_sf,
         "scaling": {k: round(v, 2) for k, v in scaling_exponents.items()},
@@ -242,6 +260,26 @@ def main() -> None:
     from vmhub_data_pipeline_spark.queries.streaming_queries import _landed_events
 
     _landed_events(spark, sf_dir)
+
+    # Shared-artifact builds, reported as their OWN lines (VERDICT r7
+    # task 5 — the ann_*_fit/ann_*_probe convention): the LSH pair-set /
+    # portable-signature artifact is built once per (session, sf_dir) and
+    # consumed by dedup_cluster_lsh, so whichever consumer ran first used
+    # to absorb the build into its own entry (r7's cache-cold accounting
+    # shift). Timing the build here makes every consumer entry cache-warm
+    # marginal cost, comparable across rounds; dedup_minhash_lsh remains
+    # deliberately UNCACHED so full mining cost stays visible.
+    builds: dict[str, float] = {}
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _LSH_PAIRS_CACHE,
+        lsh_pairs_cached,
+    )
+
+    _LSH_PAIRS_CACHE.clear()
+    t0 = time.perf_counter()
+    lsh_pairs_cached(spark, sf_dir).count()
+    builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
+    print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
 
     def run_once(name: str, d: str) -> tuple[float, int]:
         t0 = time.perf_counter()
@@ -290,6 +328,25 @@ def main() -> None:
             "ann_ivfpq_residual_topk",
         ),
     }
+    # r8: the coarse quantizer over the unit corpus is one shared artifact
+    # for BOTH IVF-PQ variants (the FAISS shared-quantizer layout) — its
+    # own line, so ann_ivfpq_fit / ann_ivfpqr_fit below measure each
+    # variant's MARGINAL fit against a warm quantizer (a cold standalone
+    # composed fit runs the fused one-job-per-round recursion instead —
+    # ivfpq_fit_fused — and costs less than coarse + marginal summed).
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _COARSE_FIT_CACHE,
+        coarse_cents_cached,
+    )
+
+    _COARSE_FIT_CACHE.clear()
+    t0 = time.perf_counter()
+    coarse_cents_cached(spark, sec_dir)
+    secondary["ann_coarse_fit"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [secondary sf{sec_sf}] ann_coarse_fit: {secondary['ann_coarse_fit']:.3f}s",
+        file=sys.stderr,
+    )
     for fit_label, probe_label, kind in ANN_SPLIT:
         cache, fit_fn, probe_query = ann_kinds[kind]
         cache.clear()
@@ -302,6 +359,20 @@ def main() -> None:
             f"{probe_label}: {secondary[probe_label]:.3f}s",
             file=sys.stderr,
         )
+
+    # r8: the incremental add-batch against the (now warm) IVF-PQ index —
+    # the daily-add cost a serving system pays between refits. Recorded in
+    # BENCH_DETAIL only (sec_detail), keeping the stdout line inside its
+    # 1500-byte budget.
+    sec_detail: dict[str, float] = {}
+    sec_detail["ann_ivfpq_add_batch"] = round(
+        median_run("ann_ivfpq_add_batch", sec_dir), 3
+    )
+    print(
+        f"# [secondary sf{sec_sf}, detail-only] ann_ivfpq_add_batch: "
+        f"{sec_detail['ann_ivfpq_add_batch']:.3f}s",
+        file=sys.stderr,
+    )
 
     # sf-growth probes: the df/hot-gram caps argue candidate volume stays
     # near-linear; one measured exponent per round PROVES it.
@@ -337,10 +408,18 @@ def main() -> None:
         def probe_fn(name):
             if name == "jaccard_capped_100":
                 return _jaccard_capped
+            if name == "ann_ivfpq_probe":
+                return lambda s, d: qs["ann_ivfpq_topk"](s, d)
             return lambda s, d: qs[name](s, d)
 
         for name, table in SCALING_TABLES.items():
             fn = probe_fn(name)
+            if name == "ann_ivfpq_probe":
+                # resident-index posture: fit once per sf_dir OUTSIDE the
+                # timed probes (sec_dir's fit is already warm from the
+                # ANN_SPLIT section; sf_dir pays its one fit here)
+                ivfpq_index_cached(spark, sec_dir)
+                ivfpq_index_cached(spark, sf_dir)
             rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
 
             def once(d):
@@ -370,7 +449,8 @@ def main() -> None:
         "headline_all": timings,
         "headline_total_all": round(sum(timings.values()), 3),
         "line_queries": LINE_QUERIES,
-        "secondary": secondary,
+        "builds": builds,
+        "secondary": {**secondary, **sec_detail},
         "secondary_sf": sec_sf,
         "scaling": scaling,
         "repeats": REPEATS_DEFAULT,
@@ -388,6 +468,7 @@ def main() -> None:
         secondary,
         sec_sf,
         {n: v["exponent"] for n, v in scaling.items()},
+        builds,
     )
     print(line)
     spark.stop()

@@ -27,8 +27,12 @@ def _worst_case_line() -> str:
     for fit_label, probe_label, _ in bench.ANN_SPLIT:
         secondary[fit_label] = 88.88
         secondary[probe_label] = 88.88
+    secondary["ann_coarse_fit"] = 88.88
     scaling = {n: -1.88 for n in bench.SCALING_TABLES}
-    return bench.build_stdout_line(line_timings, 0.1, secondary, 0.01, scaling)
+    builds = {"lsh_pairs_build": 88.88}
+    return bench.build_stdout_line(
+        line_timings, 0.1, secondary, 0.01, scaling, builds
+    )
 
 
 def test_final_line_fits_driver_tail_with_headroom():
@@ -43,8 +47,8 @@ def test_final_line_is_one_parseable_json_object():
     line = _worst_case_line()
     assert "\n" not in line
     obj = json.loads(line)
-    for key in ("metric", "value", "unit", "queries", "sf", "secondary",
-                "secondary_sf", "scaling"):
+    for key in ("metric", "value", "unit", "queries", "sf", "builds",
+                "secondary", "secondary_sf", "scaling"):
         assert key in obj
     assert obj["unit"] == "sec"
     assert abs(obj["value"] - sum(obj["queries"].values())) < 0.5
@@ -61,6 +65,9 @@ def test_all_bench_entries_are_registered_queries():
     qs = catalog.queries()
     for name in bench.HEADLINE + bench.SECONDARY:
         assert name in qs, name
+    # pseudo-entries with bench-local runners: the capped-jaccard
+    # production config and the resident-index IVF-PQ probe (runs
+    # ann_ivfpq_topk against a prewarmed per-sf_dir index)
     for name in bench.SCALING_TABLES:
-        if name != "jaccard_capped_100":
+        if name not in ("jaccard_capped_100", "ann_ivfpq_probe"):
             assert name in qs, name

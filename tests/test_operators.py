@@ -794,3 +794,70 @@ def test_ivfpq_residual_knn_recall_and_determinism(spark):
     assert len(pairs & brute) / len(brute) >= 0.3
     again = {(r["query_id"], r["corpus_id"]) for r in fn(spark, SF).collect()}
     assert pairs == again
+
+
+def test_dlit_literal_round_trip(spark):
+    """_dlit's 17-significant-digit scientific literals must round-trip
+    IEEE doubles bit-exactly, both in Python and through Spark's SQL
+    parser (the _vec_sql/_mat_sql matrices the ANN probes inline)."""
+    import math
+    import struct
+
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        _dlit,
+        _mat_sql,
+        _vec_sql,
+    )
+
+    vals = [
+        0.1,
+        -1.0 / 3.0,
+        1e-300,
+        -1.7976931348623157e308,
+        5e-324,  # smallest subnormal
+        math.pi,
+        2.0,
+        -0.0,
+    ]
+    for v in vals:
+        assert struct.pack("<d", float(_dlit(v))) == struct.pack("<d", v)
+    # Spark parses the scientific-notation literal as DOUBLE and preserves bits
+    got = (
+        spark.range(1)
+        .select(F.expr(_vec_sql(vals)).alias("v"))
+        .select(F.expr("transform(v, x -> cast(x as double))").alias("v"))
+        .head()["v"]
+    )
+    assert [struct.pack("<d", g) for g in got] == [struct.pack("<d", v) for v in vals]
+    mat = (
+        spark.range(1)
+        .select(F.expr(_mat_sql([vals[:4], vals[4:]])).alias("m"))
+        .head()["m"]
+    )
+    assert [struct.pack("<d", x) for row in mat for x in row] == [
+        struct.pack("<d", v) for v in vals
+    ]
+
+
+def test_ivfpq_fit_fused_bit_identical_to_sequential(spark):
+    """ivfpq_fit_fused (r8) must produce BIT-identical models to running
+    kmeans_fit then pq_fit — the fusion is a job-count optimization, and
+    the DuckDB oracle replay depends on exact equality."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        ivfpq_fit_fused,
+        kmeans_fit,
+        pq_fit,
+    )
+    from vmhub_data_pipeline_spark.queries.vector import _pq_unit_corpus
+
+    _, c = _pq_unit_corpus(spark, SF)
+    cents_seq = kmeans_fit(c, "vec_id", "embedding", k=16, max_iter=3, exact_mean=True)
+    books_seq = pq_fit(
+        c, "vec_id", "embedding", dim=64, m=8, k=16, max_iter=3, exact_mean=True
+    )
+    cents_f, books_f = ivfpq_fit_fused(
+        c, "vec_id", "embedding", dim=64, n_cells=16, m=8, k=16,
+        coarse_iter=3, pq_iter=3, exact_mean=True,
+    )
+    assert cents_f == cents_seq
+    assert books_f == books_seq

@@ -929,3 +929,39 @@ def test_bpe_encode_is_pure_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_add_batch_is_pure_scan_no_lloyd(spark, sf_dir):
+    """ann_ivfpq_add_batch (r8): the FAISS add contract — assignment +
+    encode against the FROZEN model must be a single scan-stage
+    projection of the batch. The frozen centroids/codebooks arrive as
+    inlined literals, so the plan has NO shuffle exchange, no join, no
+    aggregate, and no Python UDF; in particular no Lloyd iteration can
+    hide anywhere (an iteration would need an aggregate + exchange)."""
+    df = Q["ann_ivfpq_add_batch"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_passage_rebuild_shuffle_budget(spark, sf_dir):
+    """text_passage_dedup_rebuild (r8): the keep decision rides
+    digest/position shuffles; document TEXT crosses exactly one doc-grain
+    exchange (the rebuild floor). Budget: the window's digest shuffle,
+    the per-doc excised-start rollup, and the doc-grain rebuild join —
+    AQE may add reuse nodes but no data-grain single-partition window
+    may appear."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["text_passage_dedup_rebuild"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert single_partition_window_count(df) == 0
+    # digest-grain window shuffle + per-doc excised-start rollup + the
+    # broadcast that attaches starts to docs: the document TEXT side is
+    # a pure scan (it never shuffles — better than the one-exchange
+    # rebuild floor, because only integer start lists move)
+    assert count_exchanges(df) <= 3, plan

@@ -12,51 +12,50 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-7 composition (VERDICT r6 task 3): the window rotates onto the 39
-# queries whose latest driver evidence is round-2 (the oldest tier left
-# after r6 retired the r1 tier), plus 11 slots for the round's changes
-# (the five NEW queries — composed IVF-PQ, its residual-coded twin, the
-# TPC-H Q20 analog, the KS drift monitor, the BPE encode pass — and one
-# regression guard per rewritten plan-machinery path, each picked by
-# its widest consumer: SQL-literal ANN builders, constraint-stripped
-# index checkpoints, the PSI order-statistic fetch, the shared LSH
-# signature cache, the zip_with_global_index change). The class-coverage
-# requirement below reflects THIS composition: the r3-r6-fresh tiers
-# (multimodal, graph, most streaming, most pipeline) sit the round out.
+# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 41
+# of the 48 queries whose latest driver evidence is round-3 (the oldest
+# tier left after r7 retired the r2 tier; the remaining 7 queue for r9),
+# plus 9 slots for the round's changes (first contact for
+# streaming_psi_bins — the catalog's only zero-evidence query — and the
+# two NEW r8 queries, plus one regression guard per rewritten path: the
+# shared drift-monitor preamble rewrote both numeric monitors, the BPE
+# NULL coalesce, the _query_lut_col signature + fused composed fits
+# cover both IVF-PQ probes, the session-evicting LSH pair-set cache).
+# The class-coverage requirement below reflects THIS composition: the
+# r4-r7-fresh tiers (window functions, setops, scan-agg, subquery, the
+# pipeline_ops family, most streaming) sit the round out.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_percentiles", "agg_arg_minmax", "agg_variance_corr"],
+    "agg": ["agg_kmv_distinct", "agg_hll_distinct"],
     "join": [
-        "join_q20_potential_promotion",
-        "join_q3_shipping",
-        "join_asof_attribution",
+        "join_q13_order_distribution",
+        "join_q18_large_orders",
+        "join_salted_skew",
     ],
-    "window": ["window_topk_per_group"],
-    "setops": ["set_union_all"],
-    "scan-agg": ["q1_pricing_summary"],
-    "events": ["events_sessionize", "events_rfm_segmentation"],
-    "text": ["text_quality", "text_pii_redact", "text_fingerprint"],
+    "events": ["events_tumbling_day", "events_scd2_history"],
+    "text": ["text_langid", "text_tfidf_topterms", "text_line_dedup_rebuild"],
     "dedup": [
-        "dedup_exact",
-        "dedup_jaccard_pairs",
-        "dedup_cluster_cc",
+        "dedup_winnow_pairs",
+        "dedup_semantic",
+        "dedup_incremental_exact",
         "dedup_cluster_lsh",
+        "text_passage_dedup_rebuild",
     ],
     "vector": [
         "ann_ivfpq_topk",
         "ann_ivfpq_residual_topk",
-        "ann_pq_topk",
-        "ann_ivf_topk",
-        "knn_cosine_topk",
+        "ann_ivfpq_add_batch",
+        "knn_int8_rerank",
     ],
+    "graph": ["graph_pagerank_dups"],
+    "multimodal": ["multimodal_decode_dims", "multimodal_pixel_stats"],
     "stats": ["stats_psi_drift", "stats_ks_drift"],
     "curation": [
-        "curation_hash_split",
-        "curation_global_shuffle",
+        "curation_domain_mix",
+        "curation_build_vocab",
         "curation_bpe_encode",
     ],
-    "streaming": ["streaming_tumbling_day", "streaming_interval_join"],
-    "pipeline": ["pipeline_lake_paths", "pipeline_date_series"],
-    "subquery": ["subquery_exists", "subquery_correlated_scalar"],
+    "streaming": ["streaming_psi_bins"],
+    "pipeline": ["pipeline_corpus_curation"],
 }
 
 
@@ -80,14 +79,13 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # The r7 rotation brings the r2-evidence tier into the window, which
-    # includes the catalog's two BY-DESIGN rows-only entries (their r2
-    # driver row was also rows-only — that IS their freshest obtainable
-    # evidence class): agg_approx_sketches (engine-native sketch
-    # internals) and multimodal_features (PIL-absent fake decode). Every
-    # other window member is oracle-backed.
+    # The r8 rotation's r3-evidence tier is fully oracle-backed, and so
+    # are the round's three first contacts and six guards — the catalog's
+    # two BY-DESIGN rows-only entries (agg_approx_sketches,
+    # multimodal_features) hold fresh r7 driver rows and sit this round
+    # out, so EVERY window member is oracle-backed.
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}
-    assert rows_only == {"agg_approx_sketches", "multimodal_features"}
+    assert rows_only == set()
 
 
 def test_readme_counts_match_registry():

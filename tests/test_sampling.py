@@ -356,3 +356,42 @@ def test_distributed_prefix_sums_matches_global_window(spark):
             ).collect()
         }
         assert got == expect, f"mismatch at num_partitions={p}"
+
+
+def test_order_statistic_preamble_cache_reuse(spark):
+    """cache_key shares the ranged/checkpointed preamble across
+    invocations (the drift monitors' fitted-model contract): a second
+    call must return identical results without inserting a new entry,
+    and entries from other applicationIds are evicted on insert."""
+    from vmhub_data_pipeline_spark.operators.sampling import (
+        _PREAMBLE_CACHE,
+        distributed_prefix_sums,
+        global_order_values,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST((id * 37) % 50 AS BIGINT) AS metric", "CAST(1 AS BIGINT) AS one"
+    )
+    _PREAMBLE_CACHE.clear()
+    app = spark.sparkContext.applicationId
+    # stale-session entry must be evicted on the first insert
+    _PREAMBLE_CACHE[("dead-app", "x")] = ("stale", "stale")
+    key = (app, "fixture", "m")
+    got1 = global_order_values(df, "metric", "k", [0, 50, 99], num_partitions=4,
+                               cache_key=key)
+    assert ("dead-app", "x") not in _PREAMBLE_CACHE
+    n_entries = len(_PREAMBLE_CACHE)
+    got2 = global_order_values(df, "metric", "k", [0, 50, 99], num_partitions=4,
+                               cache_key=key)
+    assert got1 == got2
+    assert len(_PREAMBLE_CACHE) == n_entries  # warm call: no new entry
+    # prefix sums: cached preamble + return_totals match the uncached path
+    cum, totals = distributed_prefix_sums(
+        df, "metric", "k", ["one"], num_partitions=4,
+        cache_key=key, return_totals=True,
+    )
+    assert totals == [100]
+    plain = distributed_prefix_sums(df, "metric", "k", ["one"], num_partitions=4)
+    assert sorted(r["one_cum"] for r in cum.collect()) == sorted(
+        r["one_cum"] for r in plain.collect()
+    )

@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .caching import bounded_cache_put
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -111,10 +113,15 @@ def checkpoint_index(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 def _dlit(x: float) -> str:
-    """SQL double literal in scientific notation — Spark parses scientific
-    form as DOUBLE (a bare ``0.1`` would be DECIMAL), and 17 significant
-    digits round-trip every IEEE double bit-exactly (verified in tests)."""
-    return format(float(x), ".17e")
+    """SQL double literal in exponent notation — Spark parses exponent
+    form as DOUBLE (a bare ``0.1`` would be DECIMAL). Python's ``repr``
+    is the SHORTEST text that round-trips the IEEE double bit-exactly
+    (verified in tests/test_operators.py); a fixed 17-significant-digit
+    format would also round-trip but can textually EXCEED Spark's
+    decimal-range check at +-DBL_MAX (1.797...571e+308 > max double as
+    decimal text -> INVALID_NUMERIC_LITERAL_RANGE)."""
+    s = repr(float(x))
+    return s if "e" in s else s + "e0"
 
 
 def _vec_sql(vals) -> str:
@@ -524,6 +531,131 @@ def pq_fit(
     return books
 
 
+def ivfpq_fit_fused(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    coarse_iter: int = 3,
+    pq_iter: int = 3,
+    exact_mean: bool = False,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The COMPOSED IVF-PQ fit with the coarse quantizer and all ``m``
+    sub-codebooks fused into ONE Spark job per Lloyd round (VERDICT r7
+    task 8, extending pq_fit's subspace fusion across levels): when codes
+    encode the vectors directly (``by_residual=False``), the coarse fit
+    and the sub-fits are INDEPENDENT Lloyd recursions over the same
+    corpus, so round t can compute the coarse assignment and every
+    subspace assignment in a single projection, emit each exploded
+    component to BOTH its coarse group (lvl = -1) and its subspace group
+    (lvl = j), and update all models from one aggregate. Job count drops
+    from ``2 + coarse_iter + pq_iter`` driver round-trips (two seed
+    collects + per-level rounds) to ``1 + max(coarse_iter, pq_iter)``.
+
+    Numerically inert vs running :func:`kmeans_fit` then :func:`pq_fit`:
+    one shared smallest-id seed collect slices the same rows both seeds
+    used (coarse takes the first ``n_cells`` vectors, books the first
+    ``k``, exactly the oracle's shared ``init_ids``), assignments use the
+    identical matrix-column argmax expressions, and every
+    (level, centroid, component) group aggregates exactly the same
+    contributions — fitted models are bit-identical, so the unrolled
+    DuckDB replay (``_ivfpq_fit_ctes``) is unaffected."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    seed_rows = v.orderBy("id").limit(max(n_cells, k)).collect()
+    if not seed_rows:
+        raise ValueError("ivfpq_fit_fused: empty corpus")
+    n_cells = min(n_cells, len(seed_rows))
+    k = min(k, len(seed_rows))
+    cents = [[float(x) for x in r["v"]] for r in seed_rows[:n_cells]]
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r["v"]][j * sub : (j + 1) * sub] for r in seed_rows[:k]]
+        for j in range(m)
+    ]
+    if exact_mean:
+        mean_expr = (
+            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e9)
+        ).alias("m")
+    else:
+        mean_expr = F.avg("col").alias("m")
+    spark = df.sparkSession
+    for t in range(max(coarse_iter, pq_iter)):
+        do_g = t < coarse_iter
+        do_p = t < pq_iter
+        one = spark.createDataFrame(
+            [(cents, [[[float(x) for x in c] for c in b] for b in books])]
+        ).toDF("__cents", "__books")
+        withm = v.crossJoin(F.broadcast(one))
+        cols = [F.col("v")]
+        if do_g:
+            cols.append(
+                _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("cg")
+            )
+        if do_p:
+            cols.extend(
+                _nearest_centroid_from_col(
+                    F.element_at(F.col("__books"), j + 1),
+                    F.slice(F.col("v"), j * sub + 1, sub),
+                ).alias(f"c{j}")
+                for j in range(m)
+            )
+        assigned = withm.select(*cols)
+        sj = F.floor(F.col("pos") / sub).cast("int")
+        entries = []
+        if do_g:
+            entries.append(
+                F.struct(
+                    F.lit(-1).alias("lvl"),
+                    F.col("cg").alias("c"),
+                    F.col("pos").alias("p"),
+                )
+            )
+        if do_p:
+            entries.append(
+                F.struct(
+                    sj.alias("lvl"),
+                    F.element_at("cs", sj + 1).alias("c"),
+                    (F.col("pos") % sub).alias("p"),
+                )
+            )
+        pre = ["cg"] if do_g else []
+        if do_p:
+            pre.append(F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs"))
+        long = (
+            assigned.select(*pre, F.posexplode("v"))
+            .select(F.explode(F.array(*entries)).alias("e"), "col")
+            .select("e.lvl", "e.c", "e.p", "col")
+        )
+        rows = long.groupBy("lvl", "c", "p").agg(mean_expr).collect()
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by.setdefault((r["lvl"], r["c"]), {})[r["p"]] = float(r["m"])
+        if do_g:
+            cents = [
+                [by[(-1, c)][p] for p in range(dim)] if (-1, c) in by else cents[c]
+                for c in range(n_cells)
+            ]
+        if do_p:
+            books = [
+                [
+                    [by[(j, c)][p] for p in range(sub)]
+                    if (j, c) in by
+                    else books[j][c]
+                    for c in range(k)
+                ]
+                for j in range(m)
+            ]
+    return cents, books
+
+
 def _pq_code_expr(vec: Column, books: list[list[list[float]]], sub: int) -> Column:
     """array<int> of per-subspace nearest-centroid codes (the PQ encoding),
     one argmax expression per subspace over the sliced subvector."""
@@ -579,7 +711,7 @@ def pq_knn(
     # the scored projection, re-evaluated per scanned code row, and its
     # nested-F.lit construction alone cost ~1 s of py4j driver time
     # (VERDICT r6 task 6).
-    q = q.withColumn("__lut", _query_lut_col(books, sub, F.col("qv")))
+    q = q.withColumn("__lut", _query_lut_col(books, sub))
     # left-to-right add in subspace order (bit-parity with the oracle's
     # ordered ADC sum); [] indexing is 0-based, matching the code values
     score = F.expr(" + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books))))
@@ -656,17 +788,19 @@ def _model_key(*parts) -> tuple:
     return tuple(freeze(p) for p in parts)
 
 
-def _query_lut_col(books: list[list[list[float]]], sub: int, vec: Column) -> Column:
+def _query_lut_col(books: list[list[list[float]]], sub: int) -> Column:
     """The m x k ADC distance table for one query vector, as a nested
     array column — materialized once per query row, looked up per code.
-    Assumes ``vec`` is the conventional ``qv`` column (the cache key
-    covers only the model)."""
+    Reads the conventional ``qv`` column (hardcoded, like the other
+    cached helpers: the cache key covers only the model, so a
+    caller-supplied column would bind the first caller's tree for
+    everyone)."""
     key = ("lut", sub, _model_key(books))
     col = _PREP_EXPR_CACHE.get(key)
     if col is None:
         lut_terms = []
         for j, cents in enumerate(books):
-            qj = F.slice(vec, j * sub + 1, sub)
+            qj = F.slice(F.col("qv"), j * sub + 1, sub)
             mat = F.expr(_mat_sql(cents))
             norms2 = F.expr(_vec_sql([sum(x * x for x in c) for c in cents]))
             lut_terms.append(
@@ -675,7 +809,7 @@ def _query_lut_col(books: list[list[list[float]]], sub: int, vec: Column) -> Col
                 )
             )
         col = F.array(*lut_terms)
-        _PREP_EXPR_CACHE[key] = col
+        bounded_cache_put(_PREP_EXPR_CACHE, key, col)
     return col
 
 
@@ -746,7 +880,7 @@ def ivfpq_knn(
         q.select(
             "query_id",
             "qv",
-            _query_lut_col(books, sub, F.col("qv")).alias("__lut"),
+            _query_lut_col(books, sub).alias("__lut"),
             probes_col.alias("__probes"),
         ),
         eager=False,
@@ -794,7 +928,7 @@ def _probe_cells_col(cents: list[list[float]], nprobe: int) -> Column:
             F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe),
             lambda st: st["c"],
         )
-        _PREP_EXPR_CACHE[key] = col
+        bounded_cache_put(_PREP_EXPR_CACHE, key, col)
     return col
 
 
@@ -807,7 +941,7 @@ def _cent_matrix_col(cents: list[list[float]]) -> Column:
     col = _PREP_EXPR_CACHE.get(key)
     if col is None:
         col = F.expr(_mat_sql(cents))
-        _PREP_EXPR_CACHE[key] = col
+        bounded_cache_put(_PREP_EXPR_CACHE, key, col)
     return col
 
 
@@ -841,7 +975,7 @@ def _residual_lut_col(books: list[list[list[float]]], sub: int) -> Column:
                 )
             )
         col = F.array(*lut_terms)
-        _PREP_EXPR_CACHE[key] = col
+        bounded_cache_put(_PREP_EXPR_CACHE, key, col)
     return col
 
 

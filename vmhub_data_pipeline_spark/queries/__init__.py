@@ -68,83 +68,81 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-7 composition (VERDICT r6 task 3): rotate the window onto the
-    # OLDEST evidence — the 39 queries whose latest driver row is round-2
-    # (aggregating CORRECTNESS_r01-r06; every other registered query holds
-    # a fresher r3-r6 driver green and remains covered by the full-catalog
-    # local mirror at sf0.001) — plus 11 slots for this round's changes:
-    # first driver contact for the five NEW r7 queries (the composed
-    # IVF-PQ ANN that retires the flat-PQ scan, its residual-coded
-    # by_residual=True twin, the TPC-H Q20 analog completing the 22/22
-    # join family, the KS drift monitor on the distributed prefix-sum
-    # operator, and the BPE encode pass), and one regression guard per
-    # REWRITTEN plan-machinery path, each picked by its widest consumer
-    # (SQL-literal matrix builders + prepared-expression cache,
-    # constraint-stripped index checkpoints, order-statistic PSI
-    # boundary fetch, shared-signature LSH cache, changed
-    # zip_with_global_index signature). 39 + 11 = the 50-slot window
-    # exactly; after this round no registered query's latest driver
-    # evidence predates round 3.
+    # Round-8 composition (VERDICT r7 tasks 1+2): rotate the window onto
+    # the OLDEST evidence — 41 of the 48 queries whose latest driver row
+    # is round-3, taken in catalog registration order (the remaining 7 —
+    # curation_bpe_merges, curation_chunk_windows, curation_weighted_sample,
+    # pipeline_rag_retrieval, streaming_dedup_replay, streaming_pii_redact,
+    # streaming_incremental_dedup — are the r9 rotation; every other
+    # registered query holds a fresher r4-r7 driver green and remains
+    # covered by the full-catalog local mirror at sf0.001) — plus 9 slots
+    # for this round's changes: first driver contact for streaming_psi_bins
+    # (the catalog's only zero-evidence query, VERDICT r7 task 1) and the
+    # two NEW r8 queries (ExactSubstr passage REMOVAL rebuild, IVF-PQ
+    # frozen-model add-batch), and one regression guard per REWRITTEN
+    # path, each picked by its widest consumer (the shared drift-monitor
+    # preamble cache rewrote BOTH numeric monitors; the BPE encode NULL
+    # coalesce; the _query_lut_col signature + bounded expression cache
+    # and the fused composed fits cover both IVF-PQ probes; the
+    # session-keyed eviction on the shared LSH pair-set cache).
+    # 41 + 9 = the 50-slot window exactly; after this round, 7 registered
+    # queries' latest driver evidence predates round 4 (<= ~10 per the
+    # task's done-bar), all seven queued for r9.
     #
-    # -- r7 NEW queries (first driver contact) --
-    "ann_ivfpq_topk",               # composed IVF-PQ (cells + codes)
-    "join_q20_potential_promotion", # TPC-H Q20 excess-stock semi-join
-    "ann_ivfpq_residual_topk",      # residual-coded IVF-PQ (r7b)
-    "stats_ks_drift",               # KS drift on distributed prefix sums
-    "curation_bpe_encode",          # BPE apply pass (learn's sibling)
-    # -- r7-touched regression guards (each guarded path picked by its
-    # widest consumer: ann_pq_topk covers the prepared-LUT rewrite,
-    # ann_ivf_topk the literal-matrix probe + cached index, ann_lsh_topk
-    # the lsh_bucket_expr literal rewrite dedup_semantic shares,
-    # dedup_cluster_lsh the shared-signature cache dedup_minhash_lsh
-    # feeds, events_rfm the changed zip_with_global_index signature
-    # events_lorenz shares; the displaced siblings stay mirror-green --
-    "stats_psi_drift",              # order-statistic boundary fetch rewrite
-    "ann_pq_topk",                  # prepared-LUT probe path rewrite
-    "ann_ivf_topk",                 # literal-matrix probe + cached index
-    "ann_lsh_topk",                 # lsh_bucket_expr literal rewrite
-    "dedup_cluster_lsh",            # shared-signature cache (r6 task 7)
-    "events_rfm_segmentation",      # distributed_ntile over changed zwgi
-    # -- oldest-evidence rotation: the 39 round-2 greens --
-    "agg_approx_sketches",          # rows-only by design (sketch internals)
-    "agg_arg_minmax",
-    "agg_collect_sorted",
-    "agg_percentiles",
-    "agg_variance_corr",
-    "curation_global_shuffle",
-    "curation_hash_split",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "dedup_cluster_cc",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "events_sessionize",
-    "join_asof_attribution",
-    "join_q3_shipping",
-    "knn_cosine_topk",
-    "multimodal_features",          # rows-only by design (fake decode)
-    "pipeline_bad_date_tolerance",
-    "pipeline_date_functions",
-    "pipeline_date_series",
-    "pipeline_lake_paths",
-    "pipeline_string_functions",
-    "pipeline_training_manifest",
-    "q1_pricing_summary",
-    "set_union_all",
-    "streaming_interval_join",
-    "streaming_session_windows",
-    "streaming_tumbling_day",
-    "subquery_correlated_scalar",
-    "subquery_exists",
-    "subquery_scalar",
-    "text_fingerprint",
-    "text_line_dedup",
-    "text_pii_redact",
-    "text_quality",
-    "text_shingles",
-    "topk_orders",
-    "window_topk_per_group",
+    # -- r8 first driver contact --
+    "streaming_psi_bins",           # 8th real streaming execution (r7-new)
+    "text_passage_dedup_rebuild",   # ExactSubstr passage REMOVAL (r8-new)
+    "ann_ivfpq_add_batch",          # frozen-model FAISS add (r8-new)
+    # -- r8-touched regression guards --
+    "stats_psi_drift",              # value-grain boundaries off shared cum
+    "stats_ks_drift",               # shared preamble + literal totals
+    "curation_bpe_encode",          # NULL-text coalesce (ADVICE r7)
+    "ann_ivfpq_topk",               # fused composed fit + lut signature
+    "ann_ivfpq_residual_topk",      # fused residual fit
+    "dedup_cluster_lsh",            # session-evicting shared pair-set cache
+    # -- oldest-evidence rotation: 41 of the 48 round-3 greens,
+    # registration order --
+    "join_q13_order_distribution",
+    "join_q17_small_quantity",
+    "join_q18_large_orders",
+    "join_q22_dormant_customers",
+    "join_q8_market_share",
+    "join_q15_top_supplier",
+    "join_q21_waiting_supplier",
+    "join_salted_skew",
+    "events_tumbling_day",
+    "events_dedup_latest",
+    "events_watermark",
+    "events_retention_cohort",
+    "events_scd2_history",
+    "events_variant_extract",
+    "text_langid",
+    "text_repetition_signals",
+    "text_quality_filter",
+    "text_classifier_score",
+    "text_line_dedup_rebuild",
+    "text_tfidf_topterms",
+    "text_langid_margin",
+    "text_corpus_quality_report",
+    "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
+    "dedup_semantic",
+    "pipeline_corpus_curation",
+    "graph_pagerank_dups",
+    "dedup_incremental_exact",
+    "dedup_sorted_neighborhood",
+    "knn_int8_rerank",
+    "agg_kmv_distinct",
+    "agg_hll_distinct",
+    "multimodal_decode_dims",
+    "multimodal_chunk_sample",
+    "multimodal_pixel_stats",
+    "curation_domain_mix",
+    "curation_upsample_epochs",
+    "curation_decontaminate_exact",
+    "curation_decontaminate_ngram",
+    "curation_build_vocab",
+    "curation_tokenize_apply",
 )
 
 

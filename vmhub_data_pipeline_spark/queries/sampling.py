@@ -20,6 +20,7 @@ from ..operators.sampling import (
 )
 from ..tables import load
 from . import register
+from ..operators.caching import session_cache_put
 
 _SPLIT_ORACLE = """
 WITH s AS (
@@ -761,7 +762,7 @@ def bpe_merges_cached(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUND
         (docs,) = load(spark, sf_dir, "documents")
         rows = bpe_learn_merges(docs, rounds=rounds).orderBy("merge_rank").collect()
         cached = [(r["left_sym"], r["right_sym"]) for r in rows]
-        _BPE_MERGES_CACHE[key] = cached
+        session_cache_put(_BPE_MERGES_CACHE, key, cached)
     return cached
 
 
@@ -800,8 +801,14 @@ def curation_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = docs.select(
         "doc_id",
-        F.transform(
-            F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), encode
+        # NULL text must encode as zero words (the oracle's LEFT JOIN
+        # coalesces to 0) — without this, size(transform(NULL)) is NULL
+        # and a NULL-text fixture row breaks hash parity (ADVICE r7)
+        F.coalesce(
+            F.transform(
+                F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), encode
+            ),
+            F.array().cast("array<string>"),
         ).alias("ew"),
     )
     n = F.size("ew")

