@@ -104,6 +104,9 @@ HEADLINE = [
     # tier's line reps stay exact / minhash / cluster / semantic /
     # exact-substring — this is the rebuild sibling of the last one)
     "text_passage_dedup_rebuild",
+    # r8: incremental near-dup probe against the frozen band index
+    # (detail-only; the asymmetric daily path next to minhash's full mine)
+    "dedup_incremental_lsh",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries

@@ -965,3 +965,16 @@ def test_passage_rebuild_shuffle_budget(spark, sf_dir):
     # a pure scan (it never shuffles — better than the one-exchange
     # rebuild floor, because only integer start lists move)
     assert count_exchanges(df) <= 3, plan
+
+
+def test_incremental_lsh_asymmetric_never_cartesian(spark, sf_dir):
+    """dedup_incremental_lsh (r8): the new-batch probe joins the frozen
+    band index on (band_id, band_hash) — an equi-join, never a cartesian
+    or nested loop — and verification/best-match windows run at candidate
+    grain (no data-grain single-partition window)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["dedup_incremental_lsh"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert single_partition_window_count(df) == 0

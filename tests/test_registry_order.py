@@ -12,12 +12,12 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 41
+# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 40
 # of the 48 queries whose latest driver evidence is round-3 (the oldest
-# tier left after r7 retired the r2 tier; the remaining 7 queue for r9),
-# plus 9 slots for the round's changes (first contact for
+# tier left after r7 retired the r2 tier; the remaining 8 queue for r9),
+# plus 10 slots for the round's changes (first contact for
 # streaming_psi_bins — the catalog's only zero-evidence query — and the
-# two NEW r8 queries, plus one regression guard per rewritten path: the
+# three NEW r8 queries, plus one regression guard per rewritten path: the
 # shared drift-monitor preamble rewrote both numeric monitors, the BPE
 # NULL coalesce, the _query_lut_col signature + fused composed fits
 # cover both IVF-PQ probes, the session-evicting LSH pair-set cache).
@@ -38,6 +38,7 @@ REQUIRED_IN_WINDOW = {
         "dedup_semantic",
         "dedup_incremental_exact",
         "dedup_cluster_lsh",
+        "dedup_incremental_lsh",
         "text_passage_dedup_rebuild",
     ],
     "vector": [
@@ -53,7 +54,7 @@ REQUIRED_IN_WINDOW = {
         "curation_domain_mix",
         "curation_build_vocab",
         "curation_bpe_encode",
-    ],
+    ],  # curation_tokenize_apply rotated to the r9 queue
     "streaming": ["streaming_psi_bins"],
     "pipeline": ["pipeline_corpus_curation"],
 }
@@ -80,7 +81,7 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     for name in PRIORITY_WINDOW:
         assert name in qs
     # The r8 rotation's r3-evidence tier is fully oracle-backed, and so
-    # are the round's three first contacts and six guards — the catalog's
+    # are the round's four first contacts and six guards — the catalog's
     # two BY-DESIGN rows-only entries (agg_approx_sketches,
     # multimodal_features) hold fresh r7 driver rows and sit this round
     # out, so EVERY window member is oracle-backed.

@@ -395,3 +395,14 @@ def test_order_statistic_preamble_cache_reuse(spark):
     assert sorted(r["one_cum"] for r in cum.collect()) == sorted(
         r["one_cum"] for r in plain.collect()
     )
+
+
+def test_zip_with_global_index_return_count_tuple(spark):
+    """return_count=True returns (df, n) with n from the partition-count
+    job — the tuple shape distributed_ntile consumes (ADVICE r7: the flag
+    exists WITH a caller and this pin, or not at all)."""
+    df = spark.range(57).selectExpr("id AS k", "CAST(id * 7 % 13 AS BIGINT) AS h")
+    out, n = zip_with_global_index(df, "h", "k", num_partitions=4, return_count=True)
+    assert n == 57
+    rows = out.collect()
+    assert sorted(r["global_index"] for r in rows) == list(range(57))

@@ -235,6 +235,49 @@ def _minhash_signatures(
     return hashed.select("id", sig.alias("sig")).repartition(F.col("id"))
 
 
+def minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document banded MinHash signatures ``(id, band_id, band_hash)``
+    — the LSH INDEX rows (what a maintained near-dup index stores per
+    document). Shared by the symmetric candidate miner
+    (:func:`minhash_lsh_candidates`) and the asymmetric incremental probe
+    (new batch vs frozen corpus index, ``queries/dedup.py:
+    dedup_incremental_lsh``). Signatures ride the scan (zero shuffle
+    before the consumer's band join)."""
+    rows_per_band = num_hashes // bands
+    sig = _minhash_signatures(
+        token_set_df(df, id_col, text_col, shingle_size), num_hashes, portable=portable
+    )
+
+    def band_key(b: int) -> Column:
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws("-", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_key(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_id", "bh.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -260,31 +303,9 @@ def minhash_lsh_candidates(
     instead of a long, in exchange for DuckDB being able to replay the
     candidate set exactly.
     """
-    rows_per_band = num_hashes // bands
-    sig = _minhash_signatures(
-        token_set_df(df, id_col, text_col, shingle_size), num_hashes, portable=portable
+    banded = minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_size, portable=portable
     )
-
-    def band_key(b: int) -> Column:
-        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if portable:
-            return F.concat_ws("-", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        band_key(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "bh.band_id", "bh.band_hash")
     l = banded.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("doc_a"))
     r = banded.select(
         F.col("band_id").alias("band_id_r"),

@@ -193,7 +193,8 @@ def zip_with_global_index(
     order_col: str,
     tiebreak_col: str,
     num_partitions: int = 32,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Dense 0-based index over the total order (order_col, tiebreak_col),
     computed distributively.
 
@@ -219,6 +220,12 @@ def zip_with_global_index(
     eviction — wrong offsets; a checkpoint read either succeeds or fails).
     Checkpoint blocks are released by the ContextCleaner when the returned
     frame is dropped, unlike an explicit persist which would leak per call.
+
+    ``return_count=True`` returns ``(df, n)``: the total row count falls
+    out of the per-partition count job for free. :func:`distributed_ntile`
+    is the consumer — with ``n`` as a driver literal its NTILE arithmetic
+    needs no separate counting aggregate or 1-row broadcast (one fewer
+    job per tiling pass; events_rfm_segmentation runs three).
     """
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
@@ -250,7 +257,8 @@ def zip_with_global_index(
             pos += len(pdf)
             yield out
 
-    return ranged.mapInPandas(enumerate_partition, out_schema)
+    out = ranged.mapInPandas(enumerate_partition, out_schema)
+    return (out, acc) if return_count else out
 
 
 def global_order_values(
@@ -428,10 +436,12 @@ def distributed_ntile(
     ONE task — fine at fixture scale, a single-executor sort of the whole
     key space at 100 TB. Instead: the 0-based dense global rank comes from
     :func:`zip_with_global_index` (range repartition + per-partition prefix
-    sums — fully distributed), the total row count ``n`` is a 1-row
-    broadcast, and the tile is SQL-standard NTILE arithmetic on ``(rank, n,
-    k)``: with ``q = n div k`` and ``rem = n mod k``, the first ``rem``
-    tiles hold ``q+1`` rows and the rest hold ``q``::
+    sums — fully distributed), the total row count ``n`` falls out of that
+    pass's partition-count job as a DRIVER LITERAL (``return_count`` — no
+    separate counting aggregate, no 1-row broadcast), and the tile is
+    SQL-standard NTILE arithmetic on ``(rank, n, k)``: with ``q = n div k``
+    and ``rem = n mod k``, the first ``rem`` tiles hold ``q+1`` rows and
+    the rest hold ``q``::
 
         tile(r) = r div (q+1) + 1                      if r < rem*(q+1)
                 = rem + (r - rem*(q+1)) div q + 1      otherwise
@@ -448,20 +458,22 @@ def distributed_ntile(
     """
     if k < 1:
         raise ValueError(f"ntile k must be >= 1, got {k}")
-    idx = zip_with_global_index(
-        df.select(tiebreak_col, order_col), order_col, tiebreak_col, num_partitions
+    idx, n = zip_with_global_index(
+        df.select(tiebreak_col, order_col), order_col, tiebreak_col,
+        num_partitions, return_count=True,
     )
-    n = idx.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    # pure BIGINT arithmetic (div, %) — no float floor, exact at any n
-    tile = F.expr(
-        f"CASE WHEN __n % {k} = 0 THEN global_index div (__n div {k}) + 1 "
-        f"WHEN global_index < (__n % {k}) * (__n div {k} + 1) "
-        f"THEN global_index div (__n div {k} + 1) + 1 "
-        f"ELSE __n % {k} + (global_index - (__n % {k}) * (__n div {k} + 1)) "
-        f"div (__n div {k}) + 1 END"
-    )
-    tiles = (
-        idx.crossJoin(F.broadcast(n))
-        .select(tiebreak_col, tile.cast("long").alias(out_col))
-    )
+    # pure BIGINT arithmetic (div, %) — no float floor, exact at any n;
+    # n is a Python int, so the branch structure resolves driver-side
+    q, rem = n // k, n % k
+    if rem == 0:
+        # q = 0 (empty input) divides by zero -> NULL tile on zero rows,
+        # same as the pre-literal crossJoin form
+        tile = F.expr(f"global_index div {q} + 1")
+    else:
+        tile = F.expr(
+            f"CASE WHEN global_index < {rem * (q + 1)} "
+            f"THEN global_index div {q + 1} + 1 "
+            f"ELSE {rem} + (global_index - {rem * (q + 1)}) div {q} + 1 END"
+        )
+    tiles = idx.select(tiebreak_col, tile.cast("long").alias(out_col))
     return df.join(tiles, tiebreak_col)

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     jaccard_similarity_pairs,
     minhash_neardup_pairs,
     simhash_neardup_pairs,
+    token_set_df,
 )
 from ..tables import load
 from . import register
@@ -155,11 +156,12 @@ SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
 
-def _minhash_pair_ctes(
-    num_hashes: int, bands: int, shingle_size: int, threshold: float
-) -> str:
-    """CTE chain ending in ``lsh_pairs(doc_a, doc_b, jaccard)`` — shared by
-    the pair oracle and the cluster (recursive-CC) oracle."""
+def _minhash_sig_ctes(num_hashes: int, bands: int, shingle_size: int) -> str:
+    """The signature/index prefix of the portable-MinHash replay — CTEs
+    ``sh .. banded`` plus the hashed-shingle sets ``t13`` used by exact
+    verification. Shared by the symmetric pair chain and the incremental
+    (new-batch vs frozen-index) oracle so index semantics can never
+    drift between them."""
     p = 2147483647
     r = num_hashes // bands
     k = shingle_size
@@ -199,7 +201,15 @@ sigs AS (
 ),
 banded AS (
   {band_legs}
-),
+)"""
+
+
+def _minhash_pair_ctes(
+    num_hashes: int, bands: int, shingle_size: int, threshold: float
+) -> str:
+    """CTE chain ending in ``lsh_pairs(doc_a, doc_b, jaccard)`` — shared by
+    the pair oracle and the cluster (recursive-CC) oracle."""
+    return f"""{_minhash_sig_ctes(num_hashes, bands, shingle_size)},
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM banded l JOIN banded r
@@ -918,6 +928,165 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_old_id").isNotNull().alias("is_dup_of_corpus"),
         "first_old_id",
         F.coalesce("n_old_copies", F.lit(0)).cast("long").alias("n_old_copies"),
+    )
+
+
+# Incremental NEAR-dup (r8): the LSH analog of dedup_incremental_exact and
+# the dedup twin of ann_ivfpq_add_batch's frozen-model contract — the new
+# batch's banded signatures probe the EXISTING corpus's band index
+# asymmetrically (new x old only; the quadratic old x old bulk a full
+# re-mine would redo daily is never generated), candidates exact-verified,
+# and each new doc reports its best existing near-dup. The oracle reuses
+# the SAME signature/index CTEs as the symmetric miner (_minhash_sig_ctes)
+# so index semantics cannot drift between the daily path and the full run.
+def _minhash_incremental_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.9,
+) -> str:
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, bands, shingle_size)},
+cut AS (SELECT CAST(MAX(doc_id) * 0.8 AS BIGINT) AS cut FROM documents),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded n
+  JOIN banded o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  CROSS JOIN cut
+  WHERE n.doc_id >= cut.cut AND o.doc_id < cut.cut
+),
+t13 AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(ws, s -> substr(md5(s), 1, 13))) AS hs
+  FROM shingled
+),
+hits AS (
+  SELECT c.new_id, c.old_id,
+    CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN t13 ta ON ta.doc_id = c.new_id
+  JOIN t13 tb ON tb.doc_id = c.old_id
+  WHERE CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      >= {threshold}
+),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_old_matches FROM hits GROUP BY new_id
+),
+best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+      ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_old_matches, 0) AS BIGINT) AS n_old_matches,
+  b.old_id AS best_match_old_id,
+  ROUND(b.jaccard, 4) AS best_jaccard,
+  (a.new_id IS NOT NULL) AS is_near_dup_of_corpus
+FROM documents d CROSS JOIN cut
+LEFT JOIN agg a ON a.new_id = d.doc_id
+LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.doc_id >= cut.cut
+"""
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_minhash_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against a frozen corpus index: each NEW
+    document (top-20%-of-ids stand-in for today's batch, the
+    dedup_incremental_exact convention) probes the EXISTING corpus's
+    banded-MinHash index, candidates are exact-Jaccard verified at 0.9,
+    and the batch reports (n_old_matches, best existing match + its
+    jaccard, is_near_dup flag). The production daily path: the old side
+    is the maintained signature index (here derived in-plan from the
+    same ``minhash_banded`` operator that builds it), and old x old pairs
+    — the quadratic bulk a full re-mine would redo — are never generated,
+    the asymmetric-join posture ann_ivfpq_add_batch applies to ANN and
+    dedup_incremental_exact to exact dedup.
+
+    Scale shape: signatures ride the scan (zero shuffle before the band
+    join); the band join is new-batch x bucket-occupancy, never
+    all-pairs; verification joins fixed-width hashed-shingle sets for
+    candidate rows only; the final per-new-doc rollup and best-match
+    window run at candidate grain. md5-portable hashing end to end, so
+    the oracle replays candidates, verification, and the best-match
+    choice exactly."""
+    from ..operators.dedup import minhash_banded
+
+    (docs,) = load(spark, sf_dir, "documents")
+    cutoff = docs.agg((F.max("doc_id") * 0.8).cast("long").alias("cut"))
+    banded = minhash_banded(docs, "doc_id", "text", portable=True).crossJoin(
+        F.broadcast(cutoff)
+    )
+    bn = banded.filter(F.col("id") >= F.col("cut")).select(
+        "band_id", "band_hash", F.col("id").alias("new_id")
+    )
+    bo = banded.filter(F.col("id") < F.col("cut")).select(
+        F.col("band_id").alias("band_id_o"),
+        F.col("band_hash").alias("band_hash_o"),
+        F.col("id").alias("old_id"),
+    )
+    cand = (
+        bn.join(
+            bo,
+            (F.col("band_id") == F.col("band_id_o"))
+            & (F.col("band_hash") == F.col("band_hash_o")),
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    toks = (
+        token_set_df(docs, "doc_id", "text", 3)
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform("ws", lambda t: F.substring(F.md5(t), 1, 13))
+            ).alias("ws"),
+        )
+        .repartition(F.col("id"))
+    )
+    ta = toks.select(F.col("id").alias("new_id"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("old_id"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    hits = (
+        cand.join(ta, "new_id")
+        .join(tb, "old_id")
+        .select("new_id", "old_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    agg = hits.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old_matches")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("best_new_id"), "old_id", "jaccard"
+        )
+    )
+    newdocs = (
+        docs.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("doc_id") >= F.col("cut"))
+        .select("doc_id")
+    )
+    return (
+        newdocs.join(agg, newdocs["doc_id"] == agg["new_id"], "left")
+        .join(best, newdocs["doc_id"] == F.col("best_new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_old_matches", F.lit(0)).cast("long").alias("n_old_matches"),
+            F.col("old_id").alias("best_match_old_id"),
+            F.round("jaccard", 4).alias("best_jaccard"),
+            F.col("new_id").isNotNull().alias("is_near_dup_of_corpus"),
+        )
     )
 
 

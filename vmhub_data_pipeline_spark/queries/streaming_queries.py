@@ -488,17 +488,19 @@ def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100.0).cast("long").alias("cents"),
         )
     )
+    from .stats import ntile_end_ranks
+
     # cache_key shares the fit's ranged/checkpointed frame across
     # invocations (the drift monitors' fitted-model contract — a deployed
     # monitor freezes its training-period bins; only the first fit pays
-    # the checkpoint pass)
+    # the checkpoint pass); ranks come from the shared NTILE-end helper
+    # so all three drift monitors derive boundaries the same way
     bs = sorted(
         global_order_values(
             base,
             "cents",
             "event_id",
-            lambda n: {t * (n // 10) + min(t, n % 10) - 1 for t in range(1, 10)}
-            - {-1},
+            lambda n: ntile_end_ranks(n, 10),
             num_partitions=8,
             cache_key=(spark.sparkContext.applicationId, sf_dir, "events-cents"),
         )
