@@ -1,0 +1,90 @@
+"""Behavioral pins for the round-8 query additions — hand-computed
+expectations the oracle parity check can't distinguish from a
+both-engines-wrong-the-same-way bug: passage-removal keep-first
+semantics, and the incremental LSH probe's asymmetry (new x new pairs
+must NOT match)."""
+
+from __future__ import annotations
+
+from vmhub_data_pipeline_spark import queries as catalog
+
+catalog._load_all()
+Q = {n: q.fn for n, q in catalog.REGISTRY.items()}
+
+
+def test_passage_rebuild_hand_corpus(spark, tmp_path):
+    """Crafted corpus: doc 2 repeats doc 1's first 10-token window (doc 1
+    keeps it — first occurrence corpus-wide — doc 2 loses everything);
+    doc 5 repeats the same passage twice, so BOTH its occurrences are
+    non-first and the whole doc is excised; unique and too-short docs
+    pass through byte-identical."""
+    w = [f"w{i}" for i in range(1, 13)]
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, " ".join(w)),                       # holds the FIRST occurrence
+        (2, " ".join(w[:10])),                  # 2nd occurrence -> fully excised
+        (3, uniq),                              # unique -> intact
+        (4, "a b c"),                           # < 10 tokens -> intact
+        (5, " ".join(w[:10]) + " " + " ".join(w[:10])),  # 3rd + 4th occurrence
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in Q["text_passage_dedup_rebuild"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: its w1..w10 window is the corpus-wide first occurrence; the
+    # two seam windows (w2..w11, w3..w12) are unique -> nothing excised
+    assert out[1]["n_excised_windows"] == 0
+    assert out[1]["n_tokens"] == 12 and out[1]["n_tokens_kept"] == 12
+    assert out[1]["cleaned_text"] == " ".join(w)
+    # doc 2: single window, non-first -> every token covered
+    assert out[2]["n_excised_windows"] == 1
+    assert out[2]["n_tokens_kept"] == 0 and out[2]["cleaned_text"] == ""
+    # doc 3 / doc 4: untouched (doc 4 emits no windows at all)
+    assert out[3]["cleaned_text"] == uniq and out[3]["n_excised_windows"] == 0
+    assert out[4]["n_tokens"] == 3 and out[4]["n_tokens_kept"] == 3
+    assert out[4]["cleaned_text"] == "a b c"
+    # doc 5: windows at positions 1 and 11 are the 3rd/4th occurrences of
+    # the shared passage (the 9 seam windows are unique) -> both excised,
+    # covering all 20 tokens
+    assert out[5]["n_excised_windows"] == 2
+    assert out[5]["n_tokens"] == 20 and out[5]["n_tokens_kept"] == 0
+    assert out[5]["cleaned_text"] == ""
+
+
+def test_incremental_lsh_asymmetry_hand_corpus(spark, tmp_path):
+    """Crafted corpus with max(doc_id)=10 -> cutoff 8: new batch {8,9,10}
+    probes old corpus {1..7} ONLY. Doc 8 duplicates old doc 3 (must
+    match, jaccard 1.0); doc 9 is unique; doc 10 duplicates NEW doc 9 —
+    and must NOT match, because new x new pairs are outside the
+    incremental contract (a full re-mine would catch them; the daily
+    probe's job is strictly batch-vs-index)."""
+    olds = [
+        (i, " ".join(f"d{i}t{j}" for j in range(12))) for i in range(1, 8)
+    ]
+    nine = " ".join(f"n9t{j}" for j in range(12))
+    rows = olds + [
+        (8, olds[2][1]),  # copy of old doc 3
+        (9, nine),        # unique new doc
+        (10, nine),       # copy of NEW doc 9 -> must not match
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in Q["dedup_incremental_lsh"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {8, 9, 10}
+    assert out[8]["is_near_dup_of_corpus"] is True
+    assert out[8]["n_old_matches"] == 1
+    assert out[8]["best_match_old_id"] == 3
+    assert out[8]["best_jaccard"] == 1.0
+    for new_id in (9, 10):
+        assert out[new_id]["is_near_dup_of_corpus"] is False
+        assert out[new_id]["n_old_matches"] == 0
+        assert out[new_id]["best_match_old_id"] is None
+        assert out[new_id]["best_jaccard"] is None
