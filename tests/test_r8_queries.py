@@ -26,6 +26,7 @@ def test_passage_rebuild_hand_corpus(spark, tmp_path):
         (3, uniq),                              # unique -> intact
         (4, "a b c"),                           # < 10 tokens -> intact
         (5, " ".join(w[:10]) + " " + " ".join(w[:10])),  # 3rd + 4th occurrence
+        (6, None),                              # NULL text -> empty doc, kept
     ]
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
         "overwrite"
@@ -34,7 +35,7 @@ def test_passage_rebuild_hand_corpus(spark, tmp_path):
         r["doc_id"]: r
         for r in Q["text_passage_dedup_rebuild"](spark, str(tmp_path)).collect()
     }
-    assert set(out) == {1, 2, 3, 4, 5}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
     # doc 1: its w1..w10 window is the corpus-wide first occurrence; the
     # two seam windows (w2..w11, w3..w12) are unique -> nothing excised
     assert out[1]["n_excised_windows"] == 0
@@ -47,6 +48,11 @@ def test_passage_rebuild_hand_corpus(spark, tmp_path):
     assert out[3]["cleaned_text"] == uniq and out[3]["n_excised_windows"] == 0
     assert out[4]["n_tokens"] == 3 and out[4]["n_tokens_kept"] == 3
     assert out[4]["cleaned_text"] == "a b c"
+    # doc 6: NULL text behaves as the empty document on BOTH engines
+    # (split('') = one empty token; no windows, nothing excised) — the
+    # row must exist, matching the oracle's COALESCE
+    assert out[6]["n_tokens"] == 1 and out[6]["n_tokens_kept"] == 1
+    assert out[6]["n_excised_windows"] == 0 and out[6]["cleaned_text"] == ""
     # doc 5: windows at positions 1 and 11 are the 3rd/4th occurrences of
     # the shared passage (the 9 seam windows are unique) -> both excised,
     # covering all 20 tokens
@@ -88,3 +94,24 @@ def test_incremental_lsh_asymmetry_hand_corpus(spark, tmp_path):
         assert out[new_id]["n_old_matches"] == 0
         assert out[new_id]["best_match_old_id"] is None
         assert out[new_id]["best_jaccard"] is None
+
+
+def test_incremental_cutoff_truncates_on_both_engines(spark, tmp_path):
+    """max(doc_id)=11 makes the 80% cutoff 8.8 — Spark must FLOOR it to 8
+    (matching the oracle's explicit FLOOR; a bare BIGINT cast rounds to 9
+    in DuckDB but truncates in Spark, silently shifting one doc across
+    the new/old boundary)."""
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(12))) for i in range(1, 12)]
+    rows[7] = (8, rows[2][1])  # new doc 8 duplicates old doc 3
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in Q["dedup_incremental_lsh"](spark, str(tmp_path)).collect()
+    }
+    # floor(8.8) = 8 -> docs 8..11 are the new batch (a rounding cutoff
+    # of 9 would have dropped doc 8 and its match from the batch)
+    assert set(out) == {8, 9, 10, 11}
+    assert out[8]["is_near_dup_of_corpus"] is True
+    assert out[8]["best_match_old_id"] == 3

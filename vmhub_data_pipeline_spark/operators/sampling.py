@@ -63,10 +63,16 @@ def _ranged_preamble(
     be the current applicationId) makes the materialized frame and its
     driver rows reusable across invocations; ``tag`` namespaces the
     entry so callers with the same corpus key but different shapes
-    (row-grain counts vs value-grain subtotals) cannot collide."""
+    (row-grain counts vs value-grain subtotals) cannot collide. The
+    input PLAN's semantic hash also rides in the key, so two callers
+    sharing a corpus label but passing differently-FILTERED frames
+    (e.g. two baseline periods) can never be served each other's
+    materialized data — key misuse becomes a cache miss, never a wrong
+    answer."""
     key = None
     if cache_key is not None:
-        key = (cache_key[0],) + tag + tuple(cache_key[1:])
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (cache_key[0],) + tag + tuple(cache_key[1:]) + (plan_hash,)
         hit = _PREAMBLE_CACHE.get(key)
         if hit is not None:
             return hit
@@ -227,13 +233,16 @@ def zip_with_global_index(
     needs no separate counting aggregate or 1-row broadcast (one fewer
     job per tiling pass; events_rfm_segmentation runs three).
     """
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col), F.col(tiebreak_col))
-        .sortWithinPartitions(order_col, tiebreak_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged, rows = _ranged_preamble(
+        df,
+        order_col,
+        tiebreak_col,
+        num_partitions,
+        [F.count(F.lit(1)).alias("count")],
+        None,
+        ("zwgi", order_col, tiebreak_col, num_partitions),
     )
-    counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
+    counts = {r["__pid"]: r["count"] for r in rows}
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
