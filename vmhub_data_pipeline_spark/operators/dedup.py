@@ -324,6 +324,46 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_pairs_from_index(
+    banded: DataFrame, toks: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """MinHash-LSH verified pairs computed FROM the maintained index
+    artifacts — ``banded`` (id, band_id, band_hash) and ``toks``
+    (id, ws hashed-shingle sets), the frames ``queries/dedup.py:
+    lsh_index_cached`` materializes — instead of re-mining signatures
+    from text. Same candidate self-join and exact-Jaccard verification
+    as :func:`minhash_neardup_pairs` (output pairs are identical), but
+    the signature/shingle computation is paid once per corpus by the
+    index build and every pair/cluster/probe consumer reads it — the
+    pipeline-DAG topology a production dedup actually runs."""
+    l = banded.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("doc_a"))
+    r = banded.select(
+        F.col("band_id").alias("band_id_r"),
+        F.col("band_hash").alias("band_hash_r"),
+        F.col("id").alias("doc_b"),
+    )
+    cands = (
+        l.join(
+            r,
+            (F.col("band_id") == F.col("band_id_r"))
+            & (F.col("band_hash") == F.col("band_hash_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
