@@ -1869,15 +1869,17 @@ def text_passage_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: window fingerprints are md5'd scan-side, so the
     digest-grain first-occurrence window and the per-doc excised-start
-    rollup — the only pre-rebuild shuffles — carry digests and integer
+    rollup — the only data-sized shuffles — carry digests and integer
     positions, never passage text (dedup_exact_substring's no-self-join
     argument verbatim; duplication is a window rank, not a pair join).
-    Document text crosses exactly ONE doc-grain exchange — the rebuild
-    floor, same as text_line_dedup_rebuild — as the token ARRAY joining
-    its excised-start list; the keep mask and reassembly are then pure
-    scan-side array ops (per-doc cost O(n_tokens x excised_starts),
-    bounded by document length — per-document work, never cross-corpus).
-    """
+    Document TEXT never shuffles at all: the per-doc excised-start lists
+    (integer arrays, duplicated-passage-count-sized) broadcast onto the
+    document scan, beating even the one-exchange rebuild floor
+    text_line_dedup_rebuild pays; if the start lists ever outgrow the
+    broadcast threshold the join degrades gracefully to that one
+    doc-grain exchange. The keep mask and reassembly are pure scan-side
+    array ops (per-doc cost O(n_tokens x excised_starts), bounded by
+    document length — per-document work, never cross-corpus)."""
     (docs,) = load(spark, sf_dir, "documents")
     # NULL text behaves as the empty document on BOTH engines (the
     # curation_bpe_encode convention): without the coalesce, Spark keeps
