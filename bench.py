@@ -350,23 +350,33 @@ def main() -> None:
             "ann_ivfpq_residual_topk",
         ),
     }
-    # r8: the coarse quantizer over the unit corpus is one shared artifact
-    # for BOTH IVF-PQ variants (the FAISS shared-quantizer layout) — its
-    # own line, so ann_ivfpq_fit / ann_ivfpqr_fit below measure each
-    # variant's MARGINAL fit against a warm quantizer (a cold standalone
-    # composed fit runs the fused one-job-per-round recursion instead —
-    # ivfpq_fit_fused — and costs less than coarse + marginal summed).
+    # r8: the coarse quantizer AND the PQ sub-codebooks over the unit
+    # corpus are shared model artifacts (the quantizer across both IVF-PQ
+    # variants — the FAISS shared-quantizer layout; the books between the
+    # flat PQ index and the non-residual composed index, which train the
+    # bit-identical model) — each gets its own line, so the per-index
+    # ann_*_fit entries below measure MARGINAL cost against warm shared
+    # models (mostly the encode scans; a cold standalone composed fit
+    # runs the fused one-job-per-round recursion instead — ivfpq_fit_fused
+    # — and costs less than the shared lines summed).
     from vmhub_data_pipeline_spark.queries.vector import (
         _COARSE_FIT_CACHE,
+        _PQ_BOOKS_CACHE,
         coarse_cents_cached,
+        pq_books_cached,
     )
 
+    _PQ_BOOKS_CACHE.clear()
+    t0 = time.perf_counter()
+    pq_books_cached(spark, sec_dir)
+    secondary["ann_books_fit"] = round(time.perf_counter() - t0, 3)
     _COARSE_FIT_CACHE.clear()
     t0 = time.perf_counter()
     coarse_cents_cached(spark, sec_dir)
     secondary["ann_coarse_fit"] = round(time.perf_counter() - t0, 3)
     print(
-        f"# [secondary sf{sec_sf}] ann_coarse_fit: {secondary['ann_coarse_fit']:.3f}s",
+        f"# [secondary sf{sec_sf}] ann_books_fit: {secondary['ann_books_fit']:.3f}s, "
+        f"ann_coarse_fit: {secondary['ann_coarse_fit']:.3f}s",
         file=sys.stderr,
     )
     for fit_label, probe_label, kind in ANN_SPLIT:

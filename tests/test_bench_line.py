@@ -28,6 +28,7 @@ def _worst_case_line() -> str:
         secondary[fit_label] = 88.88
         secondary[probe_label] = 88.88
     secondary["ann_coarse_fit"] = 88.88
+    secondary["ann_books_fit"] = 88.88
     scaling = {n: -1.88 for n in bench.SCALING_TABLES}
     builds = {"lsh_pairs_build": 88.88}
     return bench.build_stdout_line(
