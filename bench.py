@@ -107,6 +107,13 @@ HEADLINE = [
     # r8: incremental near-dup probe against the frozen band index
     # (detail-only; the asymmetric daily path next to minhash's full mine)
     "dedup_incremental_lsh",
+    # r8: online ANN serving — 9th real streaming execution (detail-only;
+    # stream-static probe against the resident IVF index, so its timing is
+    # micro-batch machinery + the celled join, comparable to ann_ivf_probe)
+    "streaming_ann_route",
+    # r8: inverted-list occupancy audit over the warm IVF index
+    # (detail-only; cell-grain groupBy — the serving-health monitor)
+    "ann_ivf_cell_stats",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -210,10 +217,15 @@ SCALING_TABLES = {
     # r8 (VERDICT r7 task 9): the IVF-PQ PROBE against a resident index —
     # the cells-not-scan property measured, not argued. The fit is
     # prewarmed per sf_dir outside the timed runs (a probe never refits),
-    # so the exponent isolates corpus-side probe cost: the celled code
-    # join touches ~nprobe/n_cells of the code table, so e must sit well
-    # below the flat-PQ probe's full-scan slope (both also carry a
-    # per-query-batch constant that flattens e at fixture scale).
+    # so the exponent isolates corpus-side probe cost. The probe is
+    # DEPLOYMENT-SHAPED: n_cells grows as sqrt(N) with the corpus
+    # (anchored at 16 cells on the small fixture — the FAISS sizing
+    # discipline; a fixed cell count would leave each cell growing
+    # linearly and the measured e would say "linear scan" about a layout
+    # nobody deploys that way), nprobe stays 4, so ADC work per query is
+    # ~nprobe*N/n_cells ~ 4*sqrt(N) and e should sit near 0.5 plus the
+    # per-query-batch constant that flattens it at fixture scale —
+    # well below the flat-PQ probe's full-scan slope either way.
     "ann_ivfpq_probe": "embeddings",
 }
 
@@ -437,21 +449,41 @@ def main() -> None:
                 row_counts[key] = spark.read.parquet(f"{d}/{table}.parquet").count()
             return row_counts[key]
 
+        def _scaled_cells(d: str) -> int:
+            # deployment sizing: n_cells ~ sqrt(N), anchored at 16 cells
+            # on the small corpus (so the lo point shares the registered
+            # query's warm 16-cell index)
+            lo = nrows(sec_dir, "embeddings")
+            return max(16, round(16 * math.sqrt(nrows(d, "embeddings") / lo)))
+
+        def _ivfpq_probe_scaled(s, d):
+            from vmhub_data_pipeline_spark.operators.similarity import ivfpq_knn
+            from vmhub_data_pipeline_spark.queries.vector import _pq_unit_corpus
+
+            q, c = _pq_unit_corpus(s, d)
+            cents, books, index = ivfpq_index_cached(s, d, n_cells=_scaled_cells(d))
+            return ivfpq_knn(
+                c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+                cents=cents, books=books, nprobe=4, rerank_shortlist=40,
+                index=index,
+            )
+
         def probe_fn(name):
             if name == "jaccard_capped_100":
                 return _jaccard_capped
             if name == "ann_ivfpq_probe":
-                return lambda s, d: qs["ann_ivfpq_topk"](s, d)
+                return _ivfpq_probe_scaled
             return lambda s, d: qs[name](s, d)
 
         for name, table in SCALING_TABLES.items():
             fn = probe_fn(name)
             if name == "ann_ivfpq_probe":
                 # resident-index posture: fit once per sf_dir OUTSIDE the
-                # timed probes (sec_dir's fit is already warm from the
-                # ANN_SPLIT section; sf_dir pays its one fit here)
-                ivfpq_index_cached(spark, sec_dir)
-                ivfpq_index_cached(spark, sf_dir)
+                # timed probes (sec_dir's 16-cell fit is already warm from
+                # the ANN_SPLIT section; sf_dir pays its sqrt(N)-sized fit
+                # here)
+                ivfpq_index_cached(spark, sec_dir, n_cells=_scaled_cells(sec_dir))
+                ivfpq_index_cached(spark, sf_dir, n_cells=_scaled_cells(sf_dir))
             rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
 
             def once(d):

@@ -115,3 +115,21 @@ def test_incremental_cutoff_truncates_on_both_engines(spark, tmp_path):
     assert set(out) == {8, 9, 10, 11}
     assert out[8]["is_near_dup_of_corpus"] is True
     assert out[8]["best_match_old_id"] == 3
+
+
+def test_streaming_ann_route_equals_batch_probe(spark, sf_dir):
+    """The streamed route must reproduce the batch IVF probe EXACTLY — same
+    frozen index, same probe-cell tie conventions, so row-for-row equality
+    with ann_ivf_topk (which hash-matches the Lloyd-replay oracle) proves
+    the stream-static join + streaming top-k aggregation introduced no
+    semantic drift."""
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_r"])
+        for r in Q["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    routed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_r"])
+        for r in Q["streaming_ann_route"](spark, sf_dir).collect()
+    }
+    assert routed == batch
+    assert len(routed) == 50  # 10 queries x top-5

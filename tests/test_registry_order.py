@@ -12,12 +12,12 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 40
+# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 38
 # of the 48 queries whose latest driver evidence is round-3 (the oldest
-# tier left after r7 retired the r2 tier; the remaining 8 queue for r9),
-# plus 10 slots for the round's changes (first contact for
+# tier left after r7 retired the r2 tier; the remaining 10 queue for r9),
+# plus 12 slots for the round's changes (first contact for
 # streaming_psi_bins — the catalog's only zero-evidence query — and the
-# three NEW r8 queries, plus one regression guard per rewritten path: the
+# five NEW r8 queries, plus one regression guard per rewritten path: the
 # shared drift-monitor preamble rewrote both numeric monitors, the BPE
 # NULL coalesce, the _query_lut_col signature + fused composed fits
 # cover both IVF-PQ probes, the session-evicting LSH pair-set cache).
@@ -45,6 +45,7 @@ REQUIRED_IN_WINDOW = {
         "ann_ivfpq_topk",
         "ann_ivfpq_residual_topk",
         "ann_ivfpq_add_batch",
+        "ann_ivf_cell_stats",
         "knn_int8_rerank",
     ],
     "graph": ["graph_pagerank_dups"],
@@ -52,10 +53,9 @@ REQUIRED_IN_WINDOW = {
     "stats": ["stats_psi_drift", "stats_ks_drift"],
     "curation": [
         "curation_domain_mix",
-        "curation_build_vocab",
         "curation_bpe_encode",
-    ],  # curation_tokenize_apply rotated to the r9 queue
-    "streaming": ["streaming_psi_bins"],
+    ],  # curation_build_vocab + curation_tokenize_apply rotated to the r9 queue
+    "streaming": ["streaming_psi_bins", "streaming_ann_route"],
     "pipeline": ["pipeline_corpus_curation"],
 }
 

@@ -525,3 +525,120 @@ def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, stream, "stream_psi")
+
+
+# (app_id, sf_dir) -> NDJSON scratch dir holding the query-vector batch
+# (query_id, v DOUBLE[]) — the online half of the ANN serving story. Same
+# lifecycle/keying discipline as _LANDED.
+_LANDED_QUERIES: dict[tuple[str, str], str] = {}
+
+
+def _landed_queries(spark: SparkSession, sf_dir: str) -> str:
+    """Land the fixture's query vectors (vec_id < 10, the catalog-wide ANN
+    query-set convention) as NDJSON once per app+sf_dir. Vectors are cast
+    to double BEFORE landing: Spark's JSON writer emits shortest
+    round-trip decimals for doubles, so the streamed ``v`` is bit-equal
+    to the batch path's ``_as_double(embedding)``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANDED_QUERIES:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        scratch = tempfile.mkdtemp(prefix="vmhub_annq_")
+        (
+            emb.filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(scratch)
+        )
+        session_cache_put(_LANDED_QUERIES, key, scratch)
+    return _LANDED_QUERIES[key]
+
+
+def _ann_route_oracle() -> str:
+    from .vector import _ivf_ann_oracle
+
+    return _ivf_ann_oracle()
+
+
+@register("streaming_ann_route", oracle=_ann_route_oracle(), tags=("streaming", "vector"))
+def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving as a REAL streaming execution — the ninth in the
+    catalog: a micro-batched stream of query vectors is routed against the
+    FROZEN flat-IVF serving index (``ivf_index_cached`` — the same
+    resident centroids + localCheckpointed inverted lists every batch
+    probe uses) via a stream-static equi-join on the probed cell ids, with
+    the exact-cosine top-5 re-rank expressed as a streaming aggregation.
+
+    This is the deployment shape of the ANN tier: the index is fitted
+    offline (batch) and held resident; queries arrive unbounded; each
+    micro-batch pays probe-cell selection as a scan-side projection
+    (centroid literals, JVM built-ins), joins ONLY the probed cells'
+    inverted-list rows (nprobe/n_cells of the corpus — the static side of
+    a stream-static join is re-broadcast per micro-batch, never
+    re-shuffled), and emits per-query top-k. Ranking inside a stream
+    can't use row_number windows, so top-5 is an aggregation:
+    collect_list of (−cosine, neighbor_id) structs, array_sort (total
+    order, ties by neighbor id ASC — the catalog's kNN convention),
+    slice 5 — per-query state is ≤ |probed candidates| during a batch
+    and exactly 5 structs after, so state is O(queries × k), not
+    O(corpus). Hash-checked against the SAME unrolled Lloyd-fit oracle
+    as ``ann_ivf_topk`` (``_ivf_ann_oracle``): the streamed route must
+    reproduce the batch probe bit-for-bit, fit included."""
+    from ..operators.similarity import _centroid_scores, cosine_expr
+    from .vector import ivf_index_cached
+
+    n_clusters, nprobe, topk = 16, 4, 5
+    cents, index = ivf_index_cached(spark, sf_dir, n_clusters=n_clusters, max_iter=3)
+    scratch = _landed_queries(spark, sf_dir)
+
+    qstream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").json(scratch)
+    # probe selection — identical construction to ivf_knn (operators/
+    # similarity.py): score all centroids once into an array column, build
+    # (score, idx) structs, reverse(array_sort) so ties prefer the LARGER
+    # centroid index (the probes-CTE convention in the oracle)
+    probes = [
+        F.struct(
+            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
+        )
+        for i in range(len(cents))
+    ]
+    qb = (
+        qstream.withColumn("__cscores", _centroid_scores(cents, F.col("v")))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.c").alias("bucket"))
+    )
+    scored = qb.join(index, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cosine")).alias("negcos"),
+                        F.col("neighbor_id").alias("nid"),
+                    )
+                )
+            ),
+            1,
+            topk,
+        ).alias("top")
+    )
+    sink = _run_to_memory(spark, ranked, "ann_route")
+    return sink.select("query_id", F.posexplode("top")).select(
+        "query_id",
+        F.col("col.nid").alias("neighbor_id"),
+        F.round(-F.col("col.negcos"), 4).alias("cosine_r"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )

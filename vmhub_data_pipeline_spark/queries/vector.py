@@ -139,23 +139,22 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_ann_oracle(
-    dim: int = 64, k_clusters: int = 16, nprobe: int = 4, max_iter: int = 3,
-    topk: int = 5,
-) -> str:
-    """Unrolled-CTE replay of the ENTIRE IVF pipeline — coarse-quantizer
-    k-means fit included — in plain SQL (the ``_pq_ann_oracle`` technique
-    with one dim-64 codebook instead of 8 dim-8 sub-codebooks).
+def _ivf_fit_block(
+    dim: int = 64, k_clusters: int = 16, max_iter: int = 3
+) -> tuple[str, str]:
+    """The shared unrolled-CTE replay of the flat-IVF FIT — corpus,
+    smallest-id seeding, ``max_iter`` exact-integer-mean Lloyd rounds,
+    and the final ``bkt`` assignment (vec_id -> bucket) — as a WITH-body
+    fragment. Returned as ``(block, final_c)`` so every consumer oracle
+    (the ANN probe replay AND the cell-occupancy audit) derives the
+    inverted lists from the IDENTICAL fit text and can never drift from
+    it (the ``_ivfpq_fit_ctes`` sharing discipline applied to flat IVF).
 
-    Parity invariants mirror the PQ oracle's: exact-integer centroid means
-    (``kmeans_fit exact_mean=True``); sequential-fold dot products both
+    Parity invariants (mirrored by ``kmeans_fit exact_mean=True``):
+    exact-integer centroid means; sequential-fold dot products both
     engines; assignment argmax ties by SMALLEST centroid index
     (``array_position`` first-match == ``ROW_NUMBER ... ORDER BY score
-    DESC, cidx ASC``). One IVF-specific wrinkle: the query probe list is
-    built with ``reverse(array_sort(...))`` on (score, cidx) structs, so a
-    probe-score tie prefers the LARGEST centroid index — hence
-    ``ORDER BY score DESC, cidx DESC`` in the probes CTE, deliberately
-    opposite to the assignment tie."""
+    DESC, cidx ASC``)."""
     iters = []
     for t in range(1, max_iter + 1):
         prev = f"c{t-1}"
@@ -186,13 +185,8 @@ c{t} AS (
   ) n USING (cidx)
 )""")
     final_c = f"c{max_iter}"
-    return f"""
-WITH corp AS (
+    block = f"""corp AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10
-),
-qry AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id < 10
 ),
 init_ids AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
@@ -209,6 +203,29 @@ bkt AS (
                        - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
     FROM corp s CROSS JOIN {final_c} c
   ) WHERE rn = 1
+)"""
+    return block, final_c
+
+
+def _ivf_ann_oracle(
+    dim: int = 64, k_clusters: int = 16, nprobe: int = 4, max_iter: int = 3,
+    topk: int = 5,
+) -> str:
+    """Unrolled-CTE replay of the ENTIRE IVF pipeline — coarse-quantizer
+    k-means fit included — in plain SQL (the ``_pq_ann_oracle`` technique
+    with one dim-64 codebook instead of 8 dim-8 sub-codebooks). The fit
+    text comes from the shared ``_ivf_fit_block``; this adds the
+    query-side replay. One IVF-specific wrinkle: the query probe list is
+    built with ``reverse(array_sort(...))`` on (score, cidx) structs, so a
+    probe-score tie prefers the LARGEST centroid index — hence
+    ``ORDER BY score DESC, cidx DESC`` in the probes CTE, deliberately
+    opposite to the assignment tie."""
+    block, final_c = _ivf_fit_block(dim, k_clusters, max_iter)
+    return f"""
+WITH {block},
+qry AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 10
 ),
 probes AS (
   SELECT query_id, cidx AS bucket FROM (
@@ -315,6 +332,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
+def _ivf_cell_stats_oracle(
+    dim: int = 64, k_clusters: int = 16, max_iter: int = 3
+) -> str:
+    """Cell-occupancy replay over the SHARED fit block: the inverted-list
+    audit derives from the identical Lloyd text the ANN probe oracle
+    uses, then just GROUP BYs the assignments. Integer division (``//``,
+    Spark ``DIV``) keeps the ppm shares engine-exact."""
+    block, _ = _ivf_fit_block(dim, k_clusters, max_iter)
+    return f"""
+WITH {block},
+tot AS (SELECT COUNT(*) AS n FROM bkt)
+SELECT
+  CAST(b.bucket AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST((COUNT(*) * 1000000) // tot.n AS BIGINT) AS share_ppm,
+  CAST((COUNT(*) * {k_clusters} * 1000000) // tot.n AS BIGINT) AS balance_ppm
+FROM bkt b CROSS JOIN tot
+GROUP BY b.bucket, tot.n
+"""
+
+
+@register(
+    "ann_ivf_cell_stats",
+    oracle=_ivf_cell_stats_oracle(),
+    tags=("vector", "ivf", "audit"),
+)
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy audit over the resident IVF index — the
+    serving-health monitor a deployed ANN system runs continuously: per
+    cell, the vector count, its share of the corpus in exact ppm, and a
+    balance factor (share x n_cells; 1,000,000 = perfectly even). Skewed
+    cells are THE flat-IVF failure mode at scale — a hot cell makes every
+    probe that touches it scan far more than nprobe/n_cells of the
+    corpus, and a near-empty cell wastes its slot — so this is the signal
+    that drives the refit / rebalance / add-batch cadence
+    (``ann_ivfpq_add_batch`` grows lists; this decides when growth has
+    degraded them).
+
+    Scale shape: reads the session's resident index (no refit — same
+    ``ivf_index_cached`` artifact every probe uses), one groupBy at CELL
+    grain (n_cells rows), and the corpus total rides in as a 1-row
+    broadcast. Integer ppm math both engines (Spark ``DIV`` == DuckDB
+    ``//`` on non-negative counts), so the audit is engine-exact; the
+    oracle replays the fit from the shared ``_ivf_fit_block`` text."""
+    cents, index = ivf_index_cached(spark, sf_dir, n_clusters=16, max_iter=3)
+    tot = index.agg(F.count(F.lit(1)).alias("n"))
+    per = index.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_vecs",
+        F.expr("n_vecs * 1000000 DIV n").cast("long").alias("share_ppm"),
+        F.expr("n_vecs * 16 * 1000000 DIV n").cast("long").alias("balance_ppm"),
     )
 
 
