@@ -114,6 +114,14 @@ HEADLINE = [
     # r8: inverted-list occupancy audit over the warm IVF index
     # (detail-only; cell-grain groupBy — the serving-health monitor)
     "ann_ivf_cell_stats",
+    # r8: hot-cell split against the warm index (detail-only; k=2 Lloyd
+    # over one inverted list — the repair the audit drives, priced next
+    # to the full ann_ivf_fit it avoids)
+    "ann_ivf_rebalance",
+    # r8: watermark late-data drop — 10th real streaming execution
+    # (detail-only; 4 micro-batches over the 3-file arrival history, so
+    # its wall time is micro-batch machinery like the other streams)
+    "streaming_late_data_drop",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries

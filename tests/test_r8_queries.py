@@ -133,3 +133,53 @@ def test_streaming_ann_route_equals_batch_probe(spark, sf_dir):
     }
     assert routed == batch
     assert len(routed) == 50  # 10 queries x top-5
+
+
+def test_ivf_rebalance_splits_the_audited_hot_cell(spark, sf_dir):
+    """The split must (a) target exactly the cell the occupancy audit
+    ranks hottest (same count-DESC, bucket-ASC tie rule), (b) cover that
+    cell's members exactly once, and (c) actually split — both
+    sub-clusters non-empty, so the hot list shrinks and the appended cell
+    16 is born with the remainder."""
+    audit = Q["ann_ivf_cell_stats"](spark, sf_dir).collect()
+    hot = sorted(audit, key=lambda r: (-r["n_vecs"], r["bucket"]))[0]
+    moves = Q["ann_ivf_rebalance"](spark, sf_dir).collect()
+    assert {r["old_bucket"] for r in moves} == {hot["bucket"]}
+    assert len(moves) == hot["n_vecs"]
+    assert len({r["vec_id"] for r in moves}) == len(moves)
+    kept = sum(1 for r in moves if r["new_bucket"] == hot["bucket"])
+    appended = sum(1 for r in moves if r["new_bucket"] == 16)
+    assert kept + appended == len(moves)
+    assert kept > 0 and appended > 0  # a real split, not a rename
+
+
+def test_late_data_drop_semantics_hand_corpus(spark, tmp_path):
+    """Crafted arrival history pinning BOTH probed Spark semantics the
+    oracle replays: the drop predicate is window-end vs watermark (user 3
+    has ts BELOW the watermark but an open window -> admitted), and
+    closed-window stragglers are dropped (user 10's day-2 window closed
+    long before the late batch -> gone). Watermark = max on-time ts
+    (user 2, day5 07:33) minus 1 day = day4 07:33."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "c", 2.0, None),   # on-time (1%7=1)
+        (2, "2024-01-05 07:33:00", 2, "c", 4.0, None),   # on-time max
+        (3, "2024-01-04 03:00:00", 3, "c", 8.0, None),   # late, open window -> kept
+        (4, "2024-01-02 12:00:00", 10, "c", 16.0, None), # late, closed window -> dropped
+    ]
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in Q["streaming_late_data_drop"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": (1, 2.0),
+        "2024-01-04 00:00:00": (1, 8.0),   # the admitted straggler
+        "2024-01-05 00:00:00": (1, 4.0),
+    }  # no day-2 row (dropped), no sentinel window (never finalized)

@@ -12,12 +12,12 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 38
+# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 36
 # of the 48 queries whose latest driver evidence is round-3 (the oldest
-# tier left after r7 retired the r2 tier; the remaining 10 queue for r9),
-# plus 12 slots for the round's changes (first contact for
+# tier left after r7 retired the r2 tier; the remaining 12 queue for r9),
+# plus 14 slots for the round's changes (first contact for
 # streaming_psi_bins — the catalog's only zero-evidence query — and the
-# five NEW r8 queries, plus one regression guard per rewritten path: the
+# seven NEW r8 queries, plus one regression guard per rewritten path: the
 # shared drift-monitor preamble rewrote both numeric monitors, the BPE
 # NULL coalesce, the _query_lut_col signature + fused composed fits
 # cover both IVF-PQ probes, the session-evicting LSH pair-set cache).
@@ -46,6 +46,7 @@ REQUIRED_IN_WINDOW = {
         "ann_ivfpq_residual_topk",
         "ann_ivfpq_add_batch",
         "ann_ivf_cell_stats",
+        "ann_ivf_rebalance",
         "knn_int8_rerank",
     ],
     "graph": ["graph_pagerank_dups"],
@@ -55,7 +56,11 @@ REQUIRED_IN_WINDOW = {
         "curation_domain_mix",
         "curation_bpe_encode",
     ],  # curation_build_vocab + curation_tokenize_apply rotated to the r9 queue
-    "streaming": ["streaming_psi_bins", "streaming_ann_route"],
+    "streaming": [
+        "streaming_psi_bins",
+        "streaming_ann_route",
+        "streaming_late_data_drop",
+    ],
     "pipeline": ["pipeline_corpus_curation"],
 }
 
@@ -81,7 +86,7 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     for name in PRIORITY_WINDOW:
         assert name in qs
     # The r8 rotation's r3-evidence tier is fully oracle-backed, and so
-    # are the round's four first contacts and six guards — the catalog's
+    # are the round's eight first contacts and six guards — the catalog's
     # two BY-DESIGN rows-only entries (agg_approx_sketches,
     # multimodal_features) hold fresh r7 driver rows and sit this round
     # out, so EVERY window member is oracle-backed.

@@ -642,3 +642,129 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("col.negcos"), 4).alias("cosine_r"),
         (F.col("pos") + 1).cast("long").alias("rank"),
     )
+
+
+# (app_id, sf_dir) -> scratch dir holding the three ARRIVAL files of the
+# late-data demonstration, mtime-ordered: on-time cohort, watermark
+# sentinel, late cohort. Same lifecycle/keying discipline as _LANDED.
+_LANDED_ARRIVALS: dict[tuple[str, str], str] = {}
+
+
+def _landed_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Land events as THREE mtime-ordered NDJSON arrival files so the file
+    source replays a fixed arrival history (maxFilesPerTrigger=1, one
+    file per micro-batch, oldest mtime first):
+
+    0. the ON-TIME cohort (``user_id % 7 != 3``) — establishes the
+       watermark at ``max(on-time ts) - 1 day``;
+    1. a SENTINEL (the max on-time row shifted +40 days) — advances the
+       eviction watermark past every real window's end so append mode
+       flushes them all; its own window never finalizes, so it never
+       reaches the sink;
+    2. the LATE cohort (``user_id % 7 == 3``) — arrives after the
+       watermark has passed; Spark must drop exactly the rows whose
+       1-day window closed before it.
+    """
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANDED_ARRIVALS:
+        (events,) = load(spark, sf_dir, "events")
+        scratch = tempfile.mkdtemp(prefix="vmhub_arrivals_")
+        late_pred = F.col("user_id") % 7 == 3
+        ontime = events.filter(~late_pred)
+        sentinel = (
+            ontime.orderBy(F.desc("ts"), F.asc("event_id"))
+            .limit(1)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        )
+        base = _time.time() - 600
+        for i, df in enumerate((ontime, sentinel, events.filter(late_pred))):
+            sub = tempfile.mkdtemp(prefix="vmhub_arrivals_part_")
+            df.coalesce(1).write.mode("overwrite").option(
+                "timestampFormat", TS_FORMAT
+            ).json(sub)
+            (part,) = glob.glob(os.path.join(sub, "part-*.json"))
+            dst = os.path.join(scratch, f"{i}_arrival.json")
+            shutil.move(part, dst)
+            os.utime(dst, (base + 30 * i, base + 30 * i))
+            shutil.rmtree(sub, ignore_errors=True)
+        session_cache_put(_LANDED_ARRIVALS, key, scratch)
+    return _LANDED_ARRIVALS[key]
+
+
+# The oracle replays Spark's late-record filter exactly: a late-cohort row
+# survives iff its WINDOW END is still above the filtering watermark
+# (max on-time ts - 1 day). Window-END-based — not event-time-based — and
+# the filtering watermark lags eviction by one micro-batch: both semantics
+# probed empirically on Spark 4 (a row with ts below the watermark but
+# window end above it IS admitted) and pinned by the crafted-corpus test.
+# The fixtures have no window-end == watermark collision at any sf (the
+# <= / < boundary is unobservable there); the crafted test pins the
+# strict form.
+_STREAM_LATE_DROP_ORACLE = f"""
+WITH ot AS (
+  SELECT ts, value FROM events WHERE user_id % 7 <> 3
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM ot),
+kept AS (
+  SELECT ts, value FROM ot
+  UNION ALL
+  SELECT e.ts, e.value FROM events e CROSS JOIN wm
+  WHERE e.user_id % 7 = 3
+    AND date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w
+)
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 2, 'sum_value')}
+FROM kept GROUP BY window_start
+"""
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle=_STREAM_LATE_DROP_ORACLE,
+    tags=("streaming",),
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, actually exercised — the tenth real
+    streaming execution, and the first where the watermark's contract
+    (SURVEY §2.7 T3) is the RESULT rather than a no-op safety bound: the
+    catalog's other windowed streams feed data in event-time order, so
+    their watermarks never drop anything; here the arrival history is
+    replayed out of order (on-time cohort, then a sentinel that advances
+    the watermark, then the late cohort) and Spark demonstrably drops the
+    closed-window stragglers — at sf0.01, 1322 of the 1412 late-cohort
+    rows — while still ADMITTING late rows whose window is open.
+
+    Append output mode (complete mode disables late-record filtering
+    entirely, which is why the other windowed streams can't show this).
+    Two probed-and-pinned Spark semantics the oracle replays: (a) the
+    drop predicate is WINDOW-END vs watermark, not event-time — a
+    straggler whose window is still open is folded in even when its own
+    timestamp is below the watermark; (b) late-record filtering uses the
+    PREVIOUS micro-batch's watermark (eviction uses the current one), so
+    the demonstration needs the sentinel batch between the cohorts.
+    State: one row per open (≤ 2-day) window; every closed window was
+    flushed to the sink and evicted, so state is O(open windows), not
+    O(history) — the property that lets this run forever at production
+    rates. The sentinel's own window never finalizes and never reaches
+    the sink."""
+    scratch = _landed_arrivals(spark, sf_dir)
+    stream = (
+        events_file_stream(spark, scratch, max_files_per_trigger=1)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+    return _run_to_memory(spark, stream, "stream_late", output_mode="append")

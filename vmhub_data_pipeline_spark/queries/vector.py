@@ -392,6 +392,141 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_rebalance_oracle(
+    dim: int = 64, k_clusters: int = 16, max_iter: int = 3, split_iter: int = 2
+) -> str:
+    """Hot-cell split replay over the SHARED fit block: pick the fullest
+    cell (tie -> smaller bucket id), refit k=2 inside it with the SAME
+    Lloyd template the coarse fit uses (smallest-id seeding, exact-integer
+    means, argmax ties by smaller sub-index), and emit the cell's new
+    assignment — sub-0 keeps the hot bucket id, sub-1 takes the appended
+    slot ``k_clusters``. The sub-fit CTEs (``sa/sm/s{t}``) are the
+    ``_ivf_fit_block`` iteration text re-instantiated over ``mem``, so
+    both fits share one parity convention."""
+    block, _ = _ivf_fit_block(dim, k_clusters, max_iter)
+    sub_iters = []
+    for t in range(1, split_iter + 1):
+        prev = f"s{t-1}"
+        sub_iters.append(f"""
+sa{t} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM mem s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+sm{t} AS (
+  SELECT a.cidx, p.pos,
+         CAST(SUM(CAST(FLOOR(s.v[p.pos]*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS comp
+  FROM sa{t} a
+  JOIN mem s USING (vec_id)
+  CROSS JOIN (SELECT UNNEST(RANGE(1, {dim + 1})) AS pos) p
+  GROUP BY a.cidx, p.pos
+),
+s{t} AS (
+  SELECT p.cidx, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT cidx, array_agg(comp ORDER BY pos) AS cv FROM sm{t} GROUP BY cidx
+  ) n USING (cidx)
+)""")
+    final_s = f"s{split_iter}"
+    return f"""
+WITH {block},
+hotc AS (
+  SELECT bucket FROM bkt GROUP BY bucket
+  ORDER BY COUNT(*) DESC, bucket ASC LIMIT 1
+),
+mem AS (
+  SELECT b.vec_id, s.v
+  FROM bkt b JOIN hotc h ON b.bucket = h.bucket
+  JOIN corp s USING (vec_id)
+),
+sinit AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM mem QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 2
+),
+s0 AS (
+  SELECT i.cidx, m.v AS cv FROM mem m JOIN sinit i USING (vec_id)
+),{",".join(sub_iters)},
+fin AS (
+  SELECT vec_id, cidx FROM (
+    SELECT s.vec_id, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.v, c.cv)
+                       - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
+    FROM mem s CROSS JOIN {final_s} c
+  ) WHERE rn = 1
+)
+SELECT
+  f.vec_id,
+  CAST(h.bucket AS INT) AS old_bucket,
+  CAST(CASE WHEN f.cidx = 0 THEN h.bucket ELSE {k_clusters} END AS INT)
+    AS new_bucket
+FROM fin f CROSS JOIN hotc h
+"""
+
+
+@register(
+    "ann_ivf_rebalance",
+    oracle=_ivf_rebalance_oracle(),
+    tags=("vector", "ivf", "audit"),
+)
+def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell split — the ACTION the occupancy audit drives, completing
+    the serving-ops triad (``ann_ivf_cell_stats`` detects skew,
+    ``ann_ivfpq_add_batch`` grows lists, this repairs them): take the
+    fullest inverted list of the resident IVF index (tie -> smaller
+    bucket id, the audit's own ordering), run a k=2 exact-integer-mean
+    Lloyd fit on ONLY that cell's members (2 rounds, smallest-id seeding
+    — the coarse fit's own conventions via ``kmeans_fit``), and emit the
+    cell's new assignment: sub-cluster 0 keeps the hot bucket id,
+    sub-cluster 1 moves to the appended slot ``n_cells`` (FAISS-style
+    grow-by-split; probes see 17 cells next refresh). This is how a
+    deployed system fixes a degraded cell WITHOUT the O(corpus x iters)
+    full refit: the split touches one list (~1/n_cells of the corpus),
+    every other inverted list and the other 15 centroids stay frozen.
+
+    Scale shape: hot-cell detection is a cell-grain groupBy with an
+    O(n_cells) driver fetch (1 row); the sub-fit is Lloyd over one cell
+    (O(|cell| x 2 rounds) distributed, O(2 x dim) driver state); the
+    reassignment is a scan-side projection over the cell's members with
+    2-centroid literals. No shuffle at data grain beyond the sub-fit's
+    component means. Oracle replays fit + hot pick + sub-fit +
+    reassignment from the shared ``_ivf_fit_block`` text, so this, the
+    probe, and the audit can never drift apart."""
+    from ..operators.similarity import _nearest_centroid_expr, kmeans_fit
+
+    n_cells = 16
+    cents, index = ivf_index_cached(spark, sf_dir, n_clusters=n_cells, max_iter=3)
+    hot = int(
+        index.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(1)
+        .collect()[0]["bucket"]
+    )
+    members = index.filter(F.col("bucket") == hot).select("neighbor_id", "cv")
+    sub = kmeans_fit(
+        members, "neighbor_id", "cv", k=2, max_iter=2, exact_mean=True
+    )
+    return members.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.lit(hot).cast("int").alias("old_bucket"),
+        _nearest_centroid_expr(sub, F.col("cv")).alias("__sub"),
+    ).select(
+        "vec_id",
+        "old_bucket",
+        F.when(F.col("__sub") == 0, F.lit(hot))
+        .otherwise(F.lit(n_cells))
+        .cast("int")
+        .alias("new_bucket"),
+    )
+
+
 def _lsh_ann_oracle(n_planes: int = 8, n_tables: int = 2, dim: int = 64, k: int = 5) -> str:
     """Full-hash oracle for the hyperplane-LSH ANN: the planes are
     md5-derived (deterministic), so the ENTIRE approximate pipeline —
