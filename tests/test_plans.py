@@ -978,3 +978,26 @@ def test_incremental_lsh_asymmetric_never_cartesian(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert single_partition_window_count(df) == 0
+
+
+def test_cell_stats_single_index_scan_via_reused_exchange(spark, sf_dir):
+    """ann_ivf_cell_stats (r8): the audit must read the resident inverted
+    lists ONCE — the corpus total hangs off the per-cell counts' shuffle
+    (AQE ReusedExchange), not a second scan of the index. At 100 TB the
+    index scan IS the audit's cost; pinning the reuse keeps it halved."""
+    df = Q["ann_ivf_cell_stats"].fn(spark, sf_dir)
+    df.collect()  # AQE reuse materializes at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_ivf_rebalance_emission_is_pushed_scan(spark, sf_dir):
+    """ann_ivf_rebalance (r8): the reassignment emission must be a pure
+    scan over the hot cell — bucket filter pushed against the resident
+    index, sub-centroids inlined as literals, no shuffle exchange (the
+    only distributed aggregation lives inside the k=2 sub-fit's jobs,
+    not this plan)."""
+    df = Q["ann_ivf_rebalance"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -374,16 +374,20 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degraded them).
 
     Scale shape: reads the session's resident index (no refit — same
-    ``ivf_index_cached`` artifact every probe uses), one groupBy at CELL
-    grain (n_cells rows), and the corpus total rides in as a 1-row
-    broadcast. Integer ppm math both engines (Spark ``DIV`` == DuckDB
-    ``//`` on non-negative counts), so the audit is engine-exact; the
-    oracle replays the fit from the shared ``_ivf_fit_block`` text."""
+    ``ivf_index_cached`` artifact every probe uses) in ONE pass: a
+    groupBy at CELL grain (n_cells rows), whose exchange the corpus
+    total REUSES (the total is the sum of the per-cell counts, so its
+    aggregation hangs off the same shuffle — ``ReusedExchange`` in the
+    plan — rather than rescanning the inverted lists) before riding in
+    as a 1-row broadcast. Integer ppm math both engines (Spark ``DIV``
+    == DuckDB ``//`` on non-negative counts), so the audit is
+    engine-exact; the oracle replays the fit from the shared
+    ``_ivf_fit_block`` text."""
     cents, index = ivf_index_cached(spark, sf_dir, n_clusters=16, max_iter=3)
-    tot = index.agg(F.count(F.lit(1)).alias("n"))
     per = index.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
+    tot = per.agg(F.sum("n_vecs").alias("n"))
     return per.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "n_vecs",
