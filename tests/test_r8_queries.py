@@ -183,3 +183,57 @@ def test_late_data_drop_semantics_hand_corpus(spark, tmp_path):
         "2024-01-04 00:00:00": (1, 8.0),   # the admitted straggler
         "2024-01-05 00:00:00": (1, 4.0),
     }  # no day-2 row (dropped), no sentinel window (never finalized)
+
+
+def test_streaming_route_handles_zero_norm_candidates(spark, tmp_path):
+    """Crafted corpus where a zero-norm junk vector (vec_id 26) lands in a
+    cell EVERY query probes (orthogonal anchors; the small-norm cell wins
+    every probe ranking because probe score is <q,c> - |c|^2/2): its
+    cosine is NULL for all 10 queries, and the streamed route must sort it
+    LAST like the batch probe's NULLS-LAST window. Pre-fix, the route's
+    struct sort put the NULL field FIRST — making the junk vector the #1
+    streamed neighbor of every query while batch/oracle excluded it."""
+    import pyspark.sql.functions as F
+
+    def anchor(i, scale):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    rows = [(i, anchor(5, 1.0 + 0.1 * i)) for i in range(10)]  # queries
+    rows += [
+        (10 + j, anchor(j, 0.001 if j == 5 else 1.0 + 0.1 * j))
+        for j in range(16)
+    ]  # seeds: orthogonal anchors, one tiny-norm
+    rows.append((26, [0.0] * 64))  # zero-norm junk
+    rows += [(27 + t, anchor(5, 2.0 + 0.1 * t)) for t in range(5)]  # fillers
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/embeddings.parquet")
+
+    # precondition: the junk vector's cell is probed by EVERY query, so
+    # its NULL cosine is a live candidate in the route's sort
+    from vmhub_data_pipeline_spark.operators.similarity import _probe_cells_col
+    from vmhub_data_pipeline_spark.queries.vector import ivf_index_cached
+
+    cents, index = ivf_index_cached(spark, str(tmp_path), n_clusters=16, max_iter=3)
+    junk_cell = index.filter(F.col("neighbor_id") == 26).collect()[0]["bucket"]
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    probed = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+        .select(_probe_cells_col(cents, 4).alias("cells"))
+        .collect()
+    )
+    assert all(junk_cell in r["cells"] for r in probed)
+
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_r"])
+        for r in Q["ann_ivf_topk"](spark, str(tmp_path)).collect()
+    }
+    routed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_r"])
+        for r in Q["streaming_ann_route"](spark, str(tmp_path)).collect()
+    }
+    assert routed == batch
+    assert all(nid != 26 for nid, _ in routed.values())  # junk out of every top-5

@@ -24,13 +24,23 @@ from __future__ import annotations
 from typing import Any
 
 
-def session_cache_put(cache: dict, key: tuple, value: Any) -> Any:
+def session_cache_put(
+    cache: dict, key: tuple, value: Any, on_evict: Any = None
+) -> Any:
     """Insert ``value`` under ``key`` (whose first element must be the
-    current applicationId), evicting entries from other sessions."""
+    current applicationId), evicting entries from other sessions.
+
+    ``on_evict(old_value)`` runs for each evicted entry — required when
+    the cached value owns an external resource (the landed-NDJSON scratch
+    dirs in queries/streaming_queries.py pass ``shutil.rmtree``):
+    dropping the dict reference alone would leak one corpus copy on disk
+    per stopped session."""
     app_id = key[0]
     stale = [k for k in cache if k[0] != app_id]
     for k in stale:
-        del cache[k]
+        old = cache.pop(k)
+        if on_evict is not None:
+            on_evict(old)
     cache[key] = value
     return value
 

@@ -278,6 +278,58 @@ def minhash_banded(
     ).select("id", "bh.band_id", "bh.band_hash")
 
 
+def band_candidates(
+    banded_a: DataFrame,
+    banded_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    ordered: bool = True,
+) -> DataFrame:
+    """Candidate pairs from two banded-signature legs (``id``, ``band_id``,
+    ``band_hash``): equi-join on the band key, distinct pair output — the
+    ONE home for the LSH candidate join, shared by the symmetric miners
+    (``ordered=True`` adds the ``a < b`` self-join dedup) and the
+    asymmetric incremental probe (``ordered=False``: new x old, the legs
+    are already disjoint). A threshold or tie-rule change lands here once
+    instead of forking per copy."""
+    l = banded_a.select("band_id", "band_hash", F.col("id").alias(a_col))
+    r = banded_b.select(
+        F.col("band_id").alias("__band_id_r"),
+        F.col("band_hash").alias("__band_hash_r"),
+        F.col("id").alias(b_col),
+    )
+    cond = (F.col("band_id") == F.col("__band_id_r")) & (
+        F.col("band_hash") == F.col("__band_hash_r")
+    )
+    if ordered:
+        cond = cond & (F.col(a_col) < F.col(b_col))
+    return l.join(r, cond).select(a_col, b_col).distinct()
+
+
+def jaccard_verify(
+    cands: DataFrame,
+    toks: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over hashed-shingle
+    sets (``id``, ``ws``) — the shared verify stage of every
+    candidates->verify dedup path: joins the two token legs for CANDIDATE
+    rows only and keeps pairs at/above ``threshold``. Output:
+    (a_col, b_col, jaccard)."""
+    ta = toks.select(F.col("id").alias(a_col), F.col("ws").alias("ws_a"))
+    tb = toks.select(F.col("id").alias(b_col), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    return (
+        cands.join(ta, a_col)
+        .join(tb, b_col)
+        .select(a_col, b_col, (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -306,22 +358,7 @@ def minhash_lsh_candidates(
     banded = minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_size, portable=portable
     )
-    l = banded.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("doc_a"))
-    r = banded.select(
-        F.col("band_id").alias("band_id_r"),
-        F.col("band_hash").alias("band_hash_r"),
-        F.col("id").alias("doc_b"),
-    )
-    return (
-        l.join(
-            r,
-            (F.col("band_id") == F.col("band_id_r"))
-            & (F.col("band_hash") == F.col("band_hash_r"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return band_candidates(banded, banded, "doc_a", "doc_b", ordered=True)
 
 
 def minhash_pairs_from_index(
@@ -336,32 +373,8 @@ def minhash_pairs_from_index(
     the signature/shingle computation is paid once per corpus by the
     index build and every pair/cluster/probe consumer reads it — the
     pipeline-DAG topology a production dedup actually runs."""
-    l = banded.select(F.col("band_id"), F.col("band_hash"), F.col("id").alias("doc_a"))
-    r = banded.select(
-        F.col("band_id").alias("band_id_r"),
-        F.col("band_hash").alias("band_hash_r"),
-        F.col("id").alias("doc_b"),
-    )
-    cands = (
-        l.join(
-            r,
-            (F.col("band_id") == F.col("band_id_r"))
-            & (F.col("band_hash") == F.col("band_hash_r"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
-    return (
-        cands.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    cands = band_candidates(banded, banded, "doc_a", "doc_b", ordered=True)
+    return jaccard_verify(cands, toks, "doc_a", "doc_b", threshold)
 
 
 def minhash_neardup_pairs(
@@ -399,16 +412,7 @@ def minhash_neardup_pairs(
         # verify legs otherwise re-tokenize the corpus once each
         .repartition(F.col("id"))
     )
-    ta = toks.select(F.col("id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    tb = toks.select(F.col("id").alias("doc_b"), F.col("ws").alias("ws_b"))
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
-    return (
-        cands.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_verify(cands, toks, "doc_a", "doc_b", threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:

@@ -251,6 +251,27 @@ def _broadcast_matrix(df: DataFrame, mat, colname: str) -> DataFrame:
     return df.crossJoin(F.broadcast(one))
 
 
+def _mean_expr(exact_mean: bool):
+    """The per-component centroid-mean aggregate over a posexploded ``col``
+    — ONE definition shared by kmeans_fit, pq_fit, and ivfpq_fit_fused,
+    because the fused fit's bit-identity guarantee to the sequential fits
+    depends on all three aggregating with byte-identical expressions.
+    ``exact_mean`` is the repo's integer-quantization convention: quantize
+    each contribution to nano-units (``floor(x*1e9 + 0.5)``, a BIGINT),
+    sum EXACTLY, then divide — two correctly-rounded IEEE ops on
+    exactly-representable integers, replayable by any engine that sums
+    the same integers. COUNT(1) matches the oracles' COUNT(*) even if a
+    vector ever carried a NULL component (ADVICE r4)."""
+    if exact_mean:
+        return (
+            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e9)
+        ).alias("m")
+    return F.avg("col").alias("m")
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -286,17 +307,7 @@ def kmeans_fit(
     if not cents:
         raise ValueError("kmeans_fit: empty corpus")
     k = min(k, len(cents))  # corpus smaller than k: one centroid per row
-    if exact_mean:
-        mean_expr = (
-            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
-            .cast("double")
-            # COUNT(1) matches the oracle's COUNT(*) even if a vector ever
-            # carried a NULL component (ADVICE r4)
-            / F.count(F.lit(1))
-            / F.lit(1e9)
-        ).alias("m")
-    else:
-        mean_expr = F.avg("col").alias("m")
+    mean_expr = _mean_expr(exact_mean)
     for _ in range(max_iter):
         withm = _broadcast_matrix(v, [[float(x) for x in c] for c in cents], "__cents")
         assigned = withm.select(
@@ -389,25 +400,13 @@ def ivf_knn(
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    # score every centroid once into a materialized array column, then
-    # build the (score, idx) probe structs from element_at over it — the
-    # literal matrix appears ONCE in the plan instead of k copies
-    probes = [
-        F.struct(
-            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
-        )
-        for i in range(len(cents))
-    ]
+    # probe-cell selection is the SHARED cached expression (one tree, the
+    # centroid-matrix literal appears once) — the same _probe_cells_col
+    # the composed probes and the streamed route plan, so the probe tie
+    # convention (score desc, larger cell index first) has one home
     qb = (
-        q.withColumn("__cscores", _centroid_scores(cents))
-        .select(
-            "query_id",
-            F.col("v").alias("qv"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
-            ).alias("probe"),
-        )
-        .select("query_id", "qv", F.col("probe.c").alias("bucket"))
+        q.select("query_id", F.col("v").alias("qv"))
+        .withColumn("bucket", F.explode(_probe_cells_col(cents, nprobe)))
     )
 
     scored = qb.join(c, "bucket").select(
@@ -479,15 +478,7 @@ def pq_fit(
         [[float(x) for x in r["v"]][j * sub : (j + 1) * sub] for r in seed_rows[:k]]
         for j in range(m)
     ]
-    if exact_mean:
-        mean_expr = (
-            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
-            .cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1e9)
-        ).alias("m")
-    else:
-        mean_expr = F.avg("col").alias("m")
+    mean_expr = _mean_expr(exact_mean)
     for _ in range(max_iter):
         withm = _broadcast_matrix(
             v, [[[float(x) for x in c] for c in b] for b in books], "__books"
@@ -577,15 +568,7 @@ def ivfpq_fit_fused(
         [[float(x) for x in r["v"]][j * sub : (j + 1) * sub] for r in seed_rows[:k]]
         for j in range(m)
     ]
-    if exact_mean:
-        mean_expr = (
-            F.sum(F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5)).cast("long"))
-            .cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1e9)
-        ).alias("m")
-    else:
-        mean_expr = F.avg("col").alias("m")
+    mean_expr = _mean_expr(exact_mean)
     spark = df.sparkSession
     for t in range(max(coarse_iter, pq_iter)):
         do_g = t < coarse_iter

@@ -13,8 +13,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.dedup import (
+    band_candidates,
     exact_dedup,
     jaccard_similarity_pairs,
+    jaccard_verify,
     minhash_neardup_pairs,
     simhash_neardup_pairs,
     token_set_df,
@@ -1057,33 +1059,14 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded_idx, toks = lsh_index_cached(spark, sf_dir)
     cutoff = docs.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut"))
     banded = banded_idx.crossJoin(F.broadcast(cutoff))
-    bn = banded.filter(F.col("id") >= F.col("cut")).select(
-        "band_id", "band_hash", F.col("id").alias("new_id")
+    cand = band_candidates(
+        banded.filter(F.col("id") >= F.col("cut")),
+        banded.filter(F.col("id") < F.col("cut")),
+        "new_id",
+        "old_id",
+        ordered=False,  # new x old legs are disjoint by the cutoff
     )
-    bo = banded.filter(F.col("id") < F.col("cut")).select(
-        F.col("band_id").alias("band_id_o"),
-        F.col("band_hash").alias("band_hash_o"),
-        F.col("id").alias("old_id"),
-    )
-    cand = (
-        bn.join(
-            bo,
-            (F.col("band_id") == F.col("band_id_o"))
-            & (F.col("band_hash") == F.col("band_hash_o")),
-        )
-        .select("new_id", "old_id")
-        .distinct()
-    )
-    ta = toks.select(F.col("id").alias("new_id"), F.col("ws").alias("ws_a"))
-    tb = toks.select(F.col("id").alias("old_id"), F.col("ws").alias("ws_b"))
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
-    hits = (
-        cand.join(ta, "new_id")
-        .join(tb, "old_id")
-        .select("new_id", "old_id", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.9)
-    )
+    hits = jaccard_verify(cand, toks, "new_id", "old_id", 0.9)
     agg = hits.groupBy("new_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_old_matches")
     )

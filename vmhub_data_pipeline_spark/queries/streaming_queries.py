@@ -15,6 +15,7 @@ unflushed-final-window caveat).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -42,7 +43,9 @@ def _landed_events(spark: SparkSession, sf_dir: str) -> str:
         events.repartition(4).write.mode("overwrite").option(
             "timestampFormat", TS_FORMAT
         ).json(scratch)
-        session_cache_put(_LANDED, key, scratch)
+        session_cache_put(
+            _LANDED, key, scratch, on_evict=lambda p: shutil.rmtree(p, ignore_errors=True)
+        )
     return _LANDED[key]
 
 
@@ -178,7 +181,9 @@ def _landed_events_with_replay(spark: SparkSession, sf_dir: str) -> str:
         events.filter(F.col("user_id") % 7 == 0).repartition(2).write.option(
             "timestampFormat", TS_FORMAT
         ).mode("append").json(scratch)
-        session_cache_put(_LANDED_REPLAY, key, scratch)
+        session_cache_put(
+            _LANDED_REPLAY, key, scratch, on_evict=lambda p: shutil.rmtree(p, ignore_errors=True)
+        )
     return _LANDED_REPLAY[key]
 
 
@@ -274,7 +279,9 @@ def _landed_docs(spark: SparkSession, sf_dir: str) -> str:
         (docs,) = load(spark, sf_dir, "documents")
         scratch = tempfile.mkdtemp(prefix="vmhub_stream_docs_")
         docs.repartition(4).write.mode("overwrite").json(scratch)
-        session_cache_put(_LANDED, key, scratch)
+        session_cache_put(
+            _LANDED, key, scratch, on_evict=lambda p: shutil.rmtree(p, ignore_errors=True)
+        )
     return _LANDED[key]
 
 
@@ -553,7 +560,9 @@ def _landed_queries(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .json(scratch)
         )
-        session_cache_put(_LANDED_QUERIES, key, scratch)
+        session_cache_put(
+            _LANDED_QUERIES, key, scratch, on_evict=lambda p: shutil.rmtree(p, ignore_errors=True)
+        )
     return _LANDED_QUERIES[key]
 
 
@@ -580,14 +589,19 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stream-static join is re-broadcast per micro-batch, never
     re-shuffled), and emits per-query top-k. Ranking inside a stream
     can't use row_number windows, so top-5 is an aggregation:
-    collect_list of (−cosine, neighbor_id) structs, array_sort (total
-    order, ties by neighbor id ASC — the catalog's kNN convention),
-    slice 5 — per-query state is ≤ |probed candidates| during a batch
-    and exactly 5 structs after, so state is O(queries × k), not
+    collect_list of (−cosine, neighbor_id, cosine) structs, array_sort
+    (total order, ties by neighbor id ASC — the catalog's kNN
+    convention; a NULL cosine from a zero-norm vector is coalesced to
+    +inf on the sort key so degenerate candidates rank LAST, exactly the
+    batch path's NULLS-LAST ordering, while the emitted cosine stays
+    NULL), slice 5 — per-query state is ≤ |probed candidates| during a
+    batch and exactly 5 structs after, so state is O(queries × k), not
     O(corpus). Hash-checked against the SAME unrolled Lloyd-fit oracle
     as ``ann_ivf_topk`` (``_ivf_ann_oracle``): the streamed route must
-    reproduce the batch probe bit-for-bit, fit included."""
-    from ..operators.similarity import _centroid_scores, cosine_expr
+    reproduce the batch probe bit-for-bit, fit included. Probe-cell
+    selection reuses ``_probe_cells_col`` — the same cached expression
+    ``ivf_knn`` plans — so the probe tie convention cannot fork."""
+    from ..operators.similarity import _probe_cells_col, cosine_expr
     from .vector import ivf_index_cached
 
     n_clusters, nprobe, topk = 16, 4, 5
@@ -595,26 +609,9 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _landed_queries(spark, sf_dir)
 
     qstream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").json(scratch)
-    # probe selection — identical construction to ivf_knn (operators/
-    # similarity.py): score all centroids once into an array column, build
-    # (score, idx) structs, reverse(array_sort) so ties prefer the LARGER
-    # centroid index (the probes-CTE convention in the oracle)
-    probes = [
-        F.struct(
-            F.element_at(F.col("__cscores"), i + 1).alias("s"), F.lit(i).alias("c")
-        )
-        for i in range(len(cents))
-    ]
     qb = (
-        qstream.withColumn("__cscores", _centroid_scores(cents, F.col("v")))
-        .select(
-            "query_id",
-            F.col("v").alias("qv"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, nprobe)
-            ).alias("probe"),
-        )
-        .select("query_id", "qv", F.col("probe.c").alias("bucket"))
+        qstream.select("query_id", F.col("v").alias("qv"))
+        .withColumn("bucket", F.explode(_probe_cells_col(cents, nprobe)))
     )
     scored = qb.join(index, "bucket").select(
         "query_id",
@@ -626,8 +623,11 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (-F.col("cosine")).alias("negcos"),
+                        F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias(
+                            "negcos"
+                        ),
                         F.col("neighbor_id").alias("nid"),
+                        F.col("cosine").alias("cos"),
                     )
                 )
             ),
@@ -639,7 +639,7 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select("query_id", F.posexplode("top")).select(
         "query_id",
         F.col("col.nid").alias("neighbor_id"),
-        F.round(-F.col("col.negcos"), 4).alias("cosine_r"),
+        F.round(F.col("col.cos"), 4).alias("cosine_r"),
         (F.col("pos") + 1).cast("long").alias("rank"),
     )
 
@@ -667,7 +667,6 @@ def _landed_arrivals(spark: SparkSession, sf_dir: str) -> str:
     """
     import glob
     import os
-    import shutil
     import time as _time
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -692,7 +691,9 @@ def _landed_arrivals(spark: SparkSession, sf_dir: str) -> str:
             shutil.move(part, dst)
             os.utime(dst, (base + 30 * i, base + 30 * i))
             shutil.rmtree(sub, ignore_errors=True)
-        session_cache_put(_LANDED_ARRIVALS, key, scratch)
+        session_cache_put(
+            _LANDED_ARRIVALS, key, scratch, on_evict=lambda p: shutil.rmtree(p, ignore_errors=True)
+        )
     return _LANDED_ARRIVALS[key]
 
 
