@@ -122,6 +122,13 @@ HEADLINE = [
     # (detail-only; 4 micro-batches over the 3-file arrival history, so
     # its wall time is micro-batch machinery like the other streams)
     "streaming_late_data_drop",
+    # r8b: allow-list filtered vector search against the frozen model
+    # (detail-only; scan-side filter + encode + celled ADC, comparable
+    # to ann_ivfpq_probe at ~selectivity of its cost)
+    "ann_ivfpq_filtered_topk",
+    # r8b: tombstone remove_ids — broadcast anti-join compaction audit
+    # over the warm IVF index (detail-only; cell-grain output)
+    "ann_ivf_delete",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries

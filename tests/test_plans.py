@@ -946,6 +946,41 @@ def test_ivfpq_add_batch_is_pure_scan_no_lloyd(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivfpq_filtered_probe_filters_before_adc(spark, sf_dir):
+    """ann_ivfpq_filtered_topk (r8b): the attribute predicate must run at
+    the corpus SCAN — under the probe-cell join, before any ADC work —
+    so filtered search costs ~selectivity x the unfiltered probe. The
+    formatted plan lists scan-stage Filters before the join they feed:
+    the label predicate must appear, the scan must push at least the
+    IsNotNull(label) residual, and the probe keeps the composed-index
+    contract (bucket equi-join, no nested loop, query-grain windows)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_ivfpq_filtered_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "% 3) = 0" in plan, plan
+    assert "IsNotNull(label)" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert single_partition_window_count(df) == 0
+
+
+def test_ivf_delete_is_broadcast_anti_join(spark, sf_dir):
+    """ann_ivf_delete (r8b): the tombstone set is orders of magnitude
+    smaller than the corpus, so the surviving lists must come from a
+    BROADCAST left-anti hash join against the checkpointed index — never
+    a sort-merge join (that would shuffle the whole index on id at 100
+    TB) and never a nested loop; rollups and their join run at cell
+    grain."""
+    df = Q["ann_ivf_delete"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
 def test_passage_rebuild_shuffle_budget(spark, sf_dir):
     """text_passage_dedup_rebuild (r8): the keep decision rides
     digest/position shuffles; document TEXT crosses exactly one doc-grain

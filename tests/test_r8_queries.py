@@ -237,3 +237,59 @@ def test_streaming_route_handles_zero_norm_candidates(spark, tmp_path):
     }
     assert routed == batch
     assert all(nid != 26 for nid, _ in routed.values())  # junk out of every top-5
+
+
+def test_filtered_topk_respects_allow_list(spark, sf_dir):
+    """ann_ivfpq_filtered_topk (r8b): every returned neighbor must satisfy
+    the allow-list predicate (label % 3 = 0) — the guarantee
+    post-filtering a fixed shortlist cannot give — and the search must
+    still return a full top-5 per query, ranked by exact re-ranked
+    cosine. The unfiltered probe's results prove the filter did real
+    work: at least one forbidden id sits in some unfiltered top-5."""
+    import pyspark.sql.functions as F
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = Q["ann_ivfpq_filtered_topk"](spark, sf_dir).collect()
+    assert rows, "filtered search returned nothing"
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert labels[r["corpus_id"]] % 3 == 0, r
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, out in per_q.items():
+        ranks = sorted(x["rank"] for x in out)
+        assert ranks == list(range(1, len(out) + 1)), (qid, ranks)
+        by_rank = sorted(out, key=lambda x: x["rank"])
+        cosines = [x["cosine"] for x in by_rank]
+        assert cosines == sorted(cosines, reverse=True), (qid, cosines)
+    unfiltered = Q["ann_ivfpq_topk"](spark, sf_dir).collect()
+    assert any(labels[r["corpus_id"]] % 3 != 0 for r in unfiltered), (
+        "fixture degenerate: the unfiltered top-5s contain no forbidden "
+        "ids, so this test cannot distinguish filtered from unfiltered"
+    )
+
+
+def test_ivf_delete_audit_adds_up(spark, sf_dir):
+    """ann_ivf_delete (r8b): the audit must conserve rows — per cell
+    n_before = n_removed + n_after, the before-counts sum to the whole
+    corpus (every vector sits in exactly one inverted list), and the
+    removed-counts sum to exactly the tombstone batch size."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus_n = emb.filter(F.col("vec_id") >= 10).count()
+    tomb_n = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0)
+    ).count()
+    assert tomb_n > 0, "fixture degenerate: empty tombstone batch"
+    rows = Q["ann_ivf_delete"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_before"] == r["n_removed"] + r["n_after"], r
+        assert r["n_removed"] >= 0 and r["n_after"] >= 0, r
+    assert sum(r["n_before"] for r in rows) == corpus_n
+    assert sum(r["n_removed"] for r in rows) == tomb_n

@@ -531,6 +531,82 @@ def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_delete_oracle(
+    dim: int = 64, k_clusters: int = 16, max_iter: int = 3, modulus: int = 7
+) -> str:
+    """Tombstone-removal replay over the SHARED flat-IVF fit block: the
+    delete batch is ``vec_id % modulus = 0`` of the corpus, and the audit
+    is a cell-grain LEFT JOIN count — before, removed, after — against
+    the same ``bkt`` assignment the probe and occupancy oracles read."""
+    block, _ = _ivf_fit_block(dim, k_clusters, max_iter)
+    return f"""
+WITH {block},
+tomb AS (SELECT vec_id FROM corp WHERE vec_id % {modulus} = 0)
+SELECT
+  CAST(b.bucket AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_before,
+  CAST(COUNT(t.vec_id) AS BIGINT) AS n_removed,
+  CAST(COUNT(*) - COUNT(t.vec_id) AS BIGINT) AS n_after
+FROM bkt b LEFT JOIN tomb t USING (vec_id)
+GROUP BY b.bucket
+"""
+
+
+@register(
+    "ann_ivf_delete",
+    oracle=_ivf_delete_oracle(),
+    tags=("vector", "ivf", "audit", "incremental"),
+)
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone delete — the FAISS ``remove_ids`` contract, closing the
+    index-lifecycle set (``ann_ivfpq_add_batch`` grows lists,
+    ``ann_ivf_cell_stats`` detects degradation, ``ann_ivf_rebalance``
+    repairs it, this SHRINKS it): a delete batch (``vec_id % 7 = 0`` of
+    the corpus — the deterministic stand-in for a right-to-be-forgotten /
+    retention-expiry id list) is anti-joined out of the resident IVF
+    index, and the audit reports per cell what compaction did —
+    (n_before, n_removed, n_after). The model stays FROZEN: deleting
+    list rows never moves a centroid (exactly FAISS — ``remove_ids``
+    edits lists, retraining is a separate decision the occupancy audit
+    drives when n_after skews).
+
+    Scale shape: deletes arrive as an id SET orders of magnitude smaller
+    than the corpus, so the surviving lists come from a BROADCAST
+    left-anti hash join against the checkpointed index (no shuffle at
+    list grain — plan-gated in tests/test_plans.py); both rollups run at
+    CELL grain (n_cells rows) and their join is cell-grain too. The
+    oracle replays the fit from the shared ``_ivf_fit_block`` text, so
+    delete, probe, occupancy, and rebalance all read one ``bkt``."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    _cents, index = ivf_index_cached(spark, sf_dir, n_clusters=16, max_iter=3)
+    tomb = (
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+        .select("vec_id")
+    )
+    before = index.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    surviving = index.join(
+        F.broadcast(tomb), index["neighbor_id"] == tomb["vec_id"], "left_anti"
+    )
+    after = surviving.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    return (
+        # cell-grain audit join: n_cells rows a side, broadcast by
+        # construction (never a sort-merge shuffle of the audit itself)
+        before.join(F.broadcast(after), "bucket", "left")
+        .select(
+            "bucket",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        )
+    )
+
+
 def _lsh_ann_oracle(n_planes: int = 8, n_tables: int = 2, dim: int = 64, k: int = 5) -> str:
     """Full-hash oracle for the hyperplane-LSH ANN: the planes are
     md5-derived (deterministic), so the ENTIRE approximate pipeline —
@@ -1193,6 +1269,7 @@ def _ivfpq_ann_oracle(
     pq_iter: int = 3,
     shortlist: int = 40,
     topk: int = 5,
+    allowed_pred: str | None = None,
 ) -> str:
     """Unrolled-CTE replay of the COMPOSED IVF-PQ pipeline — both Lloyd
     fits included via the shared ``_ivfpq_fit_ctes`` prefix, then cell
@@ -1201,10 +1278,25 @@ def _ivfpq_ann_oracle(
     to the probed cells' codes, shortlist, and exact cosine re-rank. Both
     inits share the same k smallest-id seed rows. Parity invariants are
     the union of the two parent oracles' (exact-integer means,
-    left-fold dots, smallest-index assignment ties)."""
+    left-fold dots, smallest-index assignment ties).
+
+    ``allowed_pred`` (a SQL predicate over the raw ``embeddings`` row,
+    e.g. an attribute filter) replays FILTERED search: the fit, cell
+    assignment, and probe selection are untouched (the model is frozen;
+    filtering happens at query time), but only allowed corpus rows enter
+    the candidate set — the semantics ``ann_ivfpq_filtered_topk``
+    implements by filtering the list scan before ADC."""
     block, gfinal, pfinal = _ivfpq_fit_ctes(dim, n_cells, coarse_iter, m, k, pq_iter)
     adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
-    return f"""{block},
+    allowed_cte = (
+        f",\nallowed AS (SELECT vec_id FROM embeddings WHERE {allowed_pred})"
+        if allowed_pred
+        else ""
+    )
+    cand_filter = (
+        "  JOIN allowed a ON a.vec_id = b.vec_id\n" if allowed_pred else ""
+    )
+    return f"""{block}{allowed_cte},
 bkt AS (
   SELECT vec_id, cidx AS bucket FROM (
     SELECT s.vec_id, c.cidx,
@@ -1240,7 +1332,7 @@ lut AS (
 cand AS (
   SELECT p.query_id, b.vec_id AS corpus_id
   FROM probes p JOIN bkt b USING (bucket)
-),
+{cand_filter}),
 scored AS (
   SELECT cd.query_id, cd.corpus_id, {adc_sum} AS pq_dist
   FROM cand cd
@@ -1505,6 +1597,57 @@ def ann_ivfpq_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("__codes", j + 1).cast("long").alias(f"code_{j}")
             for j in range(len(books))
         ],
+    )
+
+
+@register(
+    "ann_ivfpq_filtered_topk",
+    oracle=_ivfpq_ann_oracle(allowed_pred="label % 3 = 0"),
+    tags=("vector", "ivf", "pq"),
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — approximate top-5 restricted to corpus
+    vectors whose ``label % 3 = 0`` (the deterministic stand-in for the
+    tenant / language / license predicate every production vector store
+    must honor; FAISS calls it an ``IDSelector``, Spark expresses it as
+    a plain Column filter). The model is FROZEN — coarse cells, PQ
+    sub-codebooks, and each query's probe list are exactly
+    ``ann_ivfpq_topk``'s — but only allowed rows enter the candidate
+    set, so the shortlist and re-rank never surface a forbidden id. The
+    pre-filter posture (restrict the lists, then search) is the only one
+    that guarantees k allowed results can be found; post-filtering a
+    fixed shortlist can return fewer.
+
+    Scale shape: the predicate is applied at the list SCAN, before ADC —
+    the filter sits under the probe-cell join (plan-gated in
+    tests/test_plans.py), so filtered search costs ~selectivity x the
+    unfiltered probe, never more. Here the attribute rides the same
+    corpus scan that yields the codes (one pass, zero shuffle, encode
+    arithmetic against frozen literal models); a serving deployment
+    stores label alongside each m-byte code in the inverted list and
+    skips even that. Oracle: the shared ``_ivfpq_ann_oracle`` replay with
+    the allow-list joined into its candidate CTE — fit text identical to
+    the unfiltered probe's, so the two cannot drift."""
+    from ..operators.similarity import dot_expr, ivfpq_knn
+
+    cents, books, _index = ivfpq_index_cached(
+        spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
+    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(dot_expr(v, v))
+    unit = emb.filter(nrm > 0).select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"), "label"
+    )
+    q = unit.filter(F.col("vec_id") < 10).drop("label")
+    fcorp = (
+        unit.filter(F.col("vec_id") >= 10)
+        .filter(F.col("label") % 3 == 0)
+        .drop("label")
+    )
+    return ivfpq_knn(
+        fcorp, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+        cents=cents, books=books, nprobe=4, rerank_shortlist=40,
     )
 
 
