@@ -129,6 +129,11 @@ HEADLINE = [
     # r8b: tombstone remove_ids — broadcast anti-join compaction audit
     # over the warm IVF index (detail-only; cell-grain output)
     "ann_ivf_delete",
+    # r8b: probe from the PERSISTED parquet artifact (detail-only; the
+    # write is paid on first touch, so this entry is write+load+probe
+    # cold and load+probe on the remaining reps — comparable to
+    # ann_ivfpq_probe plus the storage round-trip)
+    "ann_ivfpq_persist_probe",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries

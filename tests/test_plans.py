@@ -981,6 +981,22 @@ def test_ivf_delete_is_broadcast_anti_join(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 0
 
 
+def test_persist_probe_joins_on_cells_not_scan(spark, sf_dir):
+    """ann_ivfpq_persist_probe (r8b): probing from the reloaded parquet
+    artifact must keep the composed-index contract — the code-table
+    access is a bucket EQUI-join over the probed cells (at scale: read
+    O(nprobe/n_cells) of the lists parquet), never a nested loop or a
+    full-scan fallback; windows stay query-grain."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_ivfpq_persist_probe"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert single_partition_window_count(df) == 0
+
+
 def test_passage_rebuild_shuffle_budget(spark, sf_dir):
     """text_passage_dedup_rebuild (r8): the keep decision rides
     digest/position shuffles; document TEXT crosses exactly one doc-grain

@@ -293,3 +293,14 @@ def test_ivf_delete_audit_adds_up(spark, sf_dir):
         assert r["n_removed"] >= 0 and r["n_after"] >= 0, r
     assert sum(r["n_before"] for r in rows) == corpus_n
     assert sum(r["n_removed"] for r in rows) == tomb_n
+
+
+def test_persist_probe_equals_resident_probe(spark, sf_dir):
+    """ann_ivfpq_persist_probe (r8b): the probe from the PERSISTED
+    parquet artifact must reproduce the resident-index probe
+    row-for-row — the proof the serving handoff (write_index /
+    read_index) round-trips centroids, codebooks, and lists
+    losslessly."""
+    a = sorted(map(tuple, Q["ann_ivfpq_persist_probe"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, Q["ann_ivfpq_topk"](spark, sf_dir).collect()))
+    assert a == b

@@ -49,6 +49,7 @@ REQUIRED_IN_WINDOW = {
         "ann_ivf_rebalance",
         "ann_ivfpq_filtered_topk",
         "ann_ivf_delete",
+        "ann_ivfpq_persist_probe",
         "knn_int8_rerank",
     ],
     "graph": ["graph_pagerank_dups"],
@@ -88,7 +89,7 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     for name in PRIORITY_WINDOW:
         assert name in qs
     # The r8 rotation's r3-evidence tier is fully oracle-backed, and so
-    # are the round's ten first contacts and six guards — the catalog's
+    # are the round's eleven first contacts and six guards — the catalog's
     # two BY-DESIGN rows-only entries (agg_approx_sketches,
     # multimodal_features) hold fresh r7 driver rows and sit this round
     # out, so EVERY window member is oracle-backed.

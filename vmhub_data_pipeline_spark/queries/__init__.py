@@ -69,9 +69,10 @@ _LOADED = False
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # Round-8 composition (VERDICT r7 tasks 1+2): rotate the window onto
-    # the OLDEST evidence — 34 of the 48 queries whose latest driver row
-    # is round-3, taken in catalog registration order (the remaining 14 —
+    # the OLDEST evidence — 33 of the 48 queries whose latest driver row
+    # is round-3, taken in catalog registration order (the remaining 15 —
     # events_retention_cohort, text_corpus_quality_report,
+    # multimodal_chunk_sample,
     # curation_upsample_epochs, curation_decontaminate_exact,
     # curation_decontaminate_ngram, curation_build_vocab,
     # curation_tokenize_apply, curation_bpe_merges, curation_chunk_windows,
@@ -79,25 +80,26 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # streaming_dedup_replay, streaming_pii_redact,
     # streaming_incremental_dedup — are the r9 rotation; every other
     # registered query holds a fresher r4-r7 driver green and remains
-    # covered by the full-catalog local mirror at sf0.001) — plus 16 slots
+    # covered by the full-catalog local mirror at sf0.001) — plus 17 slots
     # for this round's changes: first driver contact for streaming_psi_bins
     # (the catalog's only zero-evidence query, VERDICT r7 task 1) and the
-    # nine NEW r8 queries (ExactSubstr passage REMOVAL rebuild, IVF-PQ
+    # ten NEW r8 queries (ExactSubstr passage REMOVAL rebuild, IVF-PQ
     # frozen-model add-batch, frozen-index incremental near-dup probe,
     # stream-routed ANN serving, IVF cell-occupancy audit, hot-cell
     # rebalance split, watermark late-data drop, filtered vector search,
-    # IVF tombstone delete), and one regression guard per REWRITTEN
+    # IVF tombstone delete, persisted-artifact probe), and one regression
+    # guard per REWRITTEN
     # path, each picked by its widest consumer (the shared drift-monitor
     # preamble cache rewrote BOTH numeric monitors; the BPE encode NULL
     # coalesce; the _query_lut_col signature + bounded expression cache
     # and the fused composed fits cover both IVF-PQ probes; the
     # session-keyed eviction on the shared LSH pair-set cache).
-    # 34 + 16 = the 50-slot window exactly; after this round, 14 registered
+    # 33 + 17 = the 50-slot window exactly; after this round, 15 registered
     # queries' latest driver evidence predates round 4 (vs the task's
     # done-bar of <= ~10; a zero-evidence NEW query outranks an
     # evidence-freshness rotation slot, per VERDICT r7's own ordering —
-    # the overflow is exactly the four slots the round's extra new
-    # queries took), all fourteen queued for r9.
+    # the overflow is exactly the five slots the round's extra new
+    # queries took), all fifteen queued for r9.
     #
     # -- r8 first driver contact --
     "streaming_psi_bins",           # 8th real streaming execution (r7-new)
@@ -110,6 +112,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_late_data_drop",     # 10th streaming execution: real watermark drop (r8-new)
     "ann_ivfpq_filtered_topk",      # allow-list filtered vector search (r8-new)
     "ann_ivf_delete",               # tombstone remove_ids + compaction audit (r8-new)
+    "ann_ivfpq_persist_probe",      # probe the persisted parquet artifact (r8-new)
     # -- r8-touched regression guards --
     "stats_psi_drift",              # value-grain boundaries off shared cum
     "stats_ks_drift",               # shared preamble + literal totals
@@ -117,7 +120,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_ivfpq_topk",               # fused composed fit + lut signature
     "ann_ivfpq_residual_topk",      # fused residual fit
     "dedup_cluster_lsh",            # session-evicting shared pair-set cache
-    # -- oldest-evidence rotation: 34 of the 48 round-3 greens,
+    # -- oldest-evidence rotation: 33 of the 48 round-3 greens,
     # registration order --
     "join_q13_order_distribution",
     "join_q17_small_quantity",
@@ -150,7 +153,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_kmv_distinct",
     "agg_hll_distinct",
     "multimodal_decode_dims",
-    "multimodal_chunk_sample",
     "multimodal_pixel_stats",
     "curation_domain_mix",
 )

@@ -481,7 +481,8 @@ FROM fin f CROSS JOIN hotc h
 )
 def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell split — the ACTION the occupancy audit drives, completing
-    the serving-ops triad (``ann_ivf_cell_stats`` detects skew,
+    the serving-ops lifecycle (``ann_ivf_cell_stats`` detects skew,
+    ``ann_ivf_delete`` shrinks lists,
     ``ann_ivfpq_add_batch`` grows lists, this repairs them): take the
     fullest inverted list of the resident IVF index (tie -> smaller
     bucket id, the audit's own ordering), run a k=2 exact-integer-mean
@@ -1500,6 +1501,83 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, cents=cents,
         books=books, nprobe=4, rerank_shortlist=40, index=index,
+    )
+
+
+# (app_id, sf_dir) -> scratch dir holding the PERSISTED serving artifact
+# (model/ one-row parquet of centroids+codebooks, lists/ the inverted-list
+# rows) — the durable handoff between the offline fit job and the serving
+# job. Same lifecycle/keying discipline as the streaming scratch dirs.
+_IVFPQ_DISK_CACHE: dict[tuple, str] = {}
+
+
+def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> tuple:
+    """Persist the resident IVF-PQ index to parquet once per
+    (session, sf_dir), then LOAD it back — centroids, sub-codebooks, and
+    inverted lists all round-trip through storage (parquet doubles are
+    IEEE-exact, so the reloaded model is bit-identical to the fitted
+    one). Returns (cents, books, lists_df) read from disk."""
+    import tempfile
+
+    from ..operators.caching import session_cache_put
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    scratch = _IVFPQ_DISK_CACHE.get(key)
+    if scratch is None:
+        import shutil
+
+        cents, books, index = ivfpq_index_cached(
+            spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16,
+            pq_iter=3,
+        )
+        scratch = tempfile.mkdtemp(prefix="vmhub_ivfpq_")
+        index.write.mode("overwrite").parquet(f"{scratch}/lists")
+        spark.createDataFrame(
+            [(cents, books)],
+            "cents array<array<double>>, books array<array<array<double>>>",
+        ).write.mode("overwrite").parquet(f"{scratch}/model")
+        session_cache_put(
+            _IVFPQ_DISK_CACHE, key, scratch,
+            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    row = spark.read.parquet(f"{scratch}/model").collect()[0]
+    cents = [[float(x) for x in c] for c in row["cents"]]
+    books = [[[float(x) for x in c] for c in b] for b in row["books"]]
+    lists = spark.read.parquet(f"{scratch}/lists")
+    return cents, books, lists
+
+
+@register(
+    "ann_ivfpq_persist_probe",
+    oracle=_ivfpq_ann_oracle(),
+    tags=("vector", "ivf", "pq", "storage"),
+)
+def ann_ivfpq_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the PERSISTED serving artifact — the durability step every
+    production deployment has between the offline fit job and the
+    serving fleet (FAISS ``write_index``/``read_index``): the coarse
+    centroids, the 8x16 sub-codebooks, and the inverted code lists are
+    written to parquet once per (session, corpus) and the probe runs
+    ENTIRELY from the reloaded copy. Output must be byte-identical to
+    ``ann_ivfpq_topk``'s resident-index probe — same oracle replay, and
+    a pin in tests/test_r8_queries.py asserts row-for-row equality — so
+    this is the proof that the artifact round-trips losslessly: parquet
+    doubles are IEEE-exact, the codes are plain BIGINT arrays, and no
+    re-fit or re-encode happens on load.
+
+    Scale shape: identical to the resident probe (the reloaded lists
+    frame joins on probed cell ids; the models inline as literals). The
+    write is paid once per corpus — at 100 TB the lists parquet is the
+    ~32x-compressed serving table a fleet mounts read-only, re-read per
+    executor at O(corpus/n_cells) per probed cell, while raw vectors
+    stay in the cold store the re-rank fetches from."""
+    from ..operators.similarity import ivfpq_knn
+
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    cents, books, lists = ivfpq_index_persisted(spark, sf_dir)
+    return ivfpq_knn(
+        c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, cents=cents,
+        books=books, nprobe=4, rerank_shortlist=40, index=lists,
     )
 
 
