@@ -1036,8 +1036,11 @@ def _pq_unit_corpus(spark: SparkSession, sf_dir: str):
         # brute_force_knn does
         v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         nrm = F.sqrt(dot_expr(v, v))
+        # label rides along (serving systems store filterable attributes
+        # WITH the vectors); consumers select explicit columns, so it is
+        # pruned everywhere except the attribute-bearing index build
         unit = emb.filter(nrm > 0).select(
-            "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding")
+            "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"), "label"
         )
         cached = (
             unit.filter(F.col("vec_id") < 10),
@@ -1463,11 +1466,16 @@ def ivfpq_index_cached(
         elif books is None:
             books = pq_books_cached(spark, sf_dir, dim, m, k, pq_iter)
         v = _as_double(F.col("embedding"))
+        # label rides in the inverted-list rows — filterable attributes
+        # are STORED with the codes in a serving table, so filtered
+        # search (ann_ivfpq_filtered_topk) is a scan-side predicate on
+        # the resident index, never a re-encode of the corpus
         index = checkpoint_index(
             c.select(
                 F.col("vec_id").alias("corpus_id"),
                 _nearest_centroid_expr(cents, v).alias("bucket"),
                 _pq_code_expr(v, books, dim // m).alias("codes"),
+                "label",
             )
         )
         cached = (cents, books, index)
@@ -1696,36 +1704,26 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that guarantees k allowed results can be found; post-filtering a
     fixed shortlist can return fewer.
 
-    Scale shape: the predicate is applied at the list SCAN, before ADC —
-    the filter sits under the probe-cell join (plan-gated in
-    tests/test_plans.py), so filtered search costs ~selectivity x the
-    unfiltered probe, never more. Here the attribute rides the same
-    corpus scan that yields the codes (one pass, zero shuffle, encode
-    arithmetic against frozen literal models); a serving deployment
-    stores label alongside each m-byte code in the inverted list and
-    skips even that. Oracle: the shared ``_ivfpq_ann_oracle`` replay with
+    Scale shape: the attribute is STORED in the inverted-list rows
+    (``ivfpq_index_cached`` keeps ``label`` beside each m-byte code —
+    how a serving table actually lays it out), so filtered search is a
+    scan-side predicate on the RESIDENT index under the probe-cell join
+    (plan-gated in tests/test_plans.py): ~selectivity x the unfiltered
+    probe's cost, zero re-encode, zero extra shuffle. The re-rank reads
+    the unfiltered raw store — the shortlist already contains only
+    allowed ids. Oracle: the shared ``_ivfpq_ann_oracle`` replay with
     the allow-list joined into its candidate CTE — fit text identical to
     the unfiltered probe's, so the two cannot drift."""
-    from ..operators.similarity import dot_expr, ivfpq_knn
+    from ..operators.similarity import ivfpq_knn
 
-    cents, books, _index = ivfpq_index_cached(
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    cents, books, index = ivfpq_index_cached(
         spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
     )
-    (emb,) = load(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(dot_expr(v, v))
-    unit = emb.filter(nrm > 0).select(
-        "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"), "label"
-    )
-    q = unit.filter(F.col("vec_id") < 10).drop("label")
-    fcorp = (
-        unit.filter(F.col("vec_id") >= 10)
-        .filter(F.col("label") % 3 == 0)
-        .drop("label")
-    )
     return ivfpq_knn(
-        fcorp, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+        c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
         cents=cents, books=books, nprobe=4, rerank_shortlist=40,
+        index=index.filter(F.col("label") % 3 == 0),
     )
 
 
