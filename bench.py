@@ -247,7 +247,20 @@ SCALING_TABLES = {
     # per-query-batch constant that flattens it at fixture scale —
     # well below the flat-PQ probe's full-scan slope either way.
     "ann_ivfpq_probe": "embeddings",
+    # r8b (detail-only): the asymmetric incremental near-dup probe against
+    # the warm maintained index — new x old band join + verify, so the
+    # exponent must stay well under the full re-mine's; index prewarmed
+    # per sf_dir outside the timed runs (the ann_ivfpq_probe convention)
+    "dedup_incremental_lsh": "documents",
+    # r8b (detail-only): passage REMOVAL rebuild — digest-grain windows +
+    # broadcast excised-starts, expect ~the audit's e~0.4-0.5
+    "text_passage_dedup_rebuild": "documents",
 }
+
+# Scaling probes recorded in BENCH_DETAIL.json only — kept OFF the stdout
+# line so its 1500-byte budget holds (tests/test_bench_line.py builds the
+# worst case from SCALING_TABLES minus this set).
+SCALING_DETAIL_ONLY = {"dedup_incremental_lsh", "text_passage_dedup_rebuild"}
 
 
 def build_stdout_line(
@@ -504,6 +517,13 @@ def main() -> None:
                 # here)
                 ivfpq_index_cached(spark, sec_dir, n_cells=_scaled_cells(sec_dir))
                 ivfpq_index_cached(spark, sf_dir, n_cells=_scaled_cells(sf_dir))
+            if name == "dedup_incremental_lsh":
+                # maintained-index posture: the banded-signature/shingle
+                # index is prewarmed per sf_dir so the timed runs measure
+                # the asymmetric probe's marginal cost (lsh_index_build is
+                # its own detail line)
+                lsh_index_cached(spark, sec_dir)
+                lsh_index_cached(spark, sf_dir)
             rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
 
             def once(d):
@@ -551,7 +571,11 @@ def main() -> None:
         sf,
         secondary,
         sec_sf,
-        {n: v["exponent"] for n, v in scaling.items()},
+        {
+            n: v["exponent"]
+            for n, v in scaling.items()
+            if n not in SCALING_DETAIL_ONLY
+        },
         builds,
     )
     print(line)

@@ -29,7 +29,11 @@ def _worst_case_line() -> str:
         secondary[probe_label] = 88.88
     secondary["ann_coarse_fit"] = 88.88
     secondary["ann_books_fit"] = 88.88
-    scaling = {n: -1.88 for n in bench.SCALING_TABLES}
+    scaling = {
+        n: -1.88
+        for n in bench.SCALING_TABLES
+        if n not in bench.SCALING_DETAIL_ONLY
+    }
     builds = {"lsh_pairs_build": 88.88}
     return bench.build_stdout_line(
         line_timings, 0.1, secondary, 0.01, scaling, builds
