@@ -246,8 +246,6 @@ def test_filtered_topk_respects_allow_list(spark, sf_dir):
     still return a full top-5 per query, ranked by exact re-ranked
     cosine. The unfiltered probe's results prove the filter did real
     work: at least one forbidden id sits in some unfiltered top-5."""
-    import pyspark.sql.functions as F
-
     labels = {
         r["vec_id"]: r["label"]
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -283,7 +281,7 @@ def test_ivf_delete_audit_adds_up(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus_n = emb.filter(F.col("vec_id") >= 10).count()
     tomb_n = emb.filter(
-        (F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0)
+        (F.col("vec_id") >= 10) & (F.col("vec_id") % 97 == 0)
     ).count()
     assert tomb_n > 0, "fixture degenerate: empty tombstone batch"
     rows = Q["ann_ivf_delete"](spark, sf_dir).collect()

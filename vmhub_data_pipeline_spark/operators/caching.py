@@ -21,6 +21,7 @@ for everything else.
 
 from __future__ import annotations
 
+import atexit
 from typing import Any
 
 
@@ -52,3 +53,34 @@ def bounded_cache_put(cache: dict, key: tuple, value: Any, max_entries: int = 64
         del cache[next(iter(cache))]
     cache[key] = value
     return value
+
+
+# Caches whose values own on-disk scratch (landed NDJSON fixtures, the
+# persisted IVF-PQ index copy) registered for a process-exit sweep: the
+# evict-on-insert path only reclaims a session's scratch when a LATER
+# session inserts into the same cache, so the FINAL session's dirs would
+# outlive the process (ADVICE r8). One atexit hook drains them all.
+_EXIT_SWEEPS: list[tuple[dict, Any]] = []
+
+
+def sweep_at_exit(cache: dict, on_evict: Any) -> dict:
+    """Register ``cache`` for the process-exit sweep (idempotent per cache
+    object): at interpreter shutdown every remaining value is passed to
+    ``on_evict`` and the cache cleared. Returns the cache so call sites
+    can register at definition time."""
+    for c, _ in _EXIT_SWEEPS:
+        if c is cache:
+            return cache
+    _EXIT_SWEEPS.append((cache, on_evict))
+    return cache
+
+
+@atexit.register
+def _sweep_all() -> None:
+    for cache, on_evict in _EXIT_SWEEPS:
+        for v in list(cache.values()):
+            try:
+                on_evict(v)
+            except Exception:
+                pass  # shutdown-path cleanup must never mask the exit
+        cache.clear()

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dsum, sql_dsum
-from ..operators.caching import session_cache_put
+from ..operators.caching import session_cache_put, sweep_at_exit
 from ..streaming.events import TS_FORMAT, events_file_stream
 from ..tables import load
 from . import register
@@ -31,7 +31,9 @@ from . import register
 # (spark_app_id, sf_dir) -> NDJSON scratch dir. Keyed by app id so a fresh
 # SparkSession (new test run, new driver process) never trusts a stale
 # tempdir another process may have cleaned up.
-_LANDED: dict[tuple[str, str], str] = {}
+_LANDED: dict[tuple[str, str], str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
 
 
 def _landed_events(spark: SparkSession, sf_dir: str) -> str:
@@ -164,7 +166,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (spark_app_id, sf_dir) -> scratch dir holding fixture + replayed files
-_LANDED_REPLAY: dict[tuple[str, str], str] = {}
+_LANDED_REPLAY: dict[tuple[str, str], str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
 
 
 def _landed_events_with_replay(spark: SparkSession, sf_dir: str) -> str:
@@ -537,7 +541,9 @@ def streaming_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (app_id, sf_dir) -> NDJSON scratch dir holding the query-vector batch
 # (query_id, v DOUBLE[]) — the online half of the ANN serving story. Same
 # lifecycle/keying discipline as _LANDED.
-_LANDED_QUERIES: dict[tuple[str, str], str] = {}
+_LANDED_QUERIES: dict[tuple[str, str], str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
 
 
 def _landed_queries(spark: SparkSession, sf_dir: str) -> str:
@@ -647,7 +653,9 @@ def streaming_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (app_id, sf_dir) -> scratch dir holding the three ARRIVAL files of the
 # late-data demonstration, mtime-ordered: on-time cohort, watermark
 # sentinel, late cohort. Same lifecycle/keying discipline as _LANDED.
-_LANDED_ARRIVALS: dict[tuple[str, str], str] = {}
+_LANDED_ARRIVALS: dict[tuple[str, str], str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
 
 
 def _landed_arrivals(spark: SparkSession, sf_dir: str) -> str:

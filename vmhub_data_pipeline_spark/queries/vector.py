@@ -9,6 +9,8 @@ measured against the exact baseline in tests/test_operators.py.
 
 from __future__ import annotations
 
+import shutil as _shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -21,7 +23,7 @@ from ..operators.similarity import (
 )
 from ..tables import load
 from . import register
-from ..operators.caching import session_cache_put
+from ..operators.caching import session_cache_put, sweep_at_exit
 
 _KNN_ORACLE = """
 WITH q AS (
@@ -533,12 +535,15 @@ def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_delete_oracle(
-    dim: int = 64, k_clusters: int = 16, max_iter: int = 3, modulus: int = 7
+    dim: int = 64, k_clusters: int = 16, max_iter: int = 3, modulus: int = 97
 ) -> str:
     """Tombstone-removal replay over the SHARED flat-IVF fit block: the
-    delete batch is ``vec_id % modulus = 0`` of the corpus, and the audit
-    is a cell-grain LEFT JOIN count — before, removed, after — against
-    the same ``bkt`` assignment the probe and occupancy oracles read."""
+    delete batch is ``vec_id % modulus = 0`` of the corpus (modulus 97 —
+    ~1% of ids, a production-selectivity delete batch; ADVICE r8 flagged
+    the first cut's 1-in-7 stand-in as too fat to honestly claim the
+    broadcast posture), and the audit is a cell-grain LEFT JOIN count —
+    before, removed, after — against the same ``bkt`` assignment the
+    probe and occupancy oracles read."""
     block, _ = _ivf_fit_block(dim, k_clusters, max_iter)
     return f"""
 WITH {block},
@@ -562,14 +567,16 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone delete — the FAISS ``remove_ids`` contract, closing the
     index-lifecycle set (``ann_ivfpq_add_batch`` grows lists,
     ``ann_ivf_cell_stats`` detects degradation, ``ann_ivf_rebalance``
-    repairs it, this SHRINKS it): a delete batch (``vec_id % 7 = 0`` of
-    the corpus — the deterministic stand-in for a right-to-be-forgotten /
-    retention-expiry id list) is anti-joined out of the resident IVF
-    index, and the audit reports per cell what compaction did —
-    (n_before, n_removed, n_after). The model stays FROZEN: deleting
-    list rows never moves a centroid (exactly FAISS — ``remove_ids``
-    edits lists, retraining is a separate decision the occupancy audit
-    drives when n_after skews).
+    repairs it, this SHRINKS it): a delete batch (``vec_id % 97 = 0`` of
+    the corpus, ~1% of ids — the deterministic stand-in for a
+    right-to-be-forgotten / retention-expiry id list, sized like one: a
+    delete batch is orders of magnitude smaller than the corpus, which
+    is exactly what licenses the broadcast below — ADVICE r8) is
+    anti-joined out of the resident IVF index, and the audit reports per
+    cell what compaction did — (n_before, n_removed, n_after). The model
+    stays FROZEN: deleting list rows never moves a centroid (exactly
+    FAISS — ``remove_ids`` edits lists, retraining is a separate
+    decision the occupancy audit drives when n_after skews).
 
     Scale shape: deletes arrive as an id SET orders of magnitude smaller
     than the corpus, so the surviving lists come from a BROADCAST
@@ -581,7 +588,7 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     _cents, index = ivf_index_cached(spark, sf_dir, n_clusters=16, max_iter=3)
     tomb = (
-        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 7 == 0))
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 97 == 0))
         .select("vec_id")
     )
     before = index.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
@@ -1515,8 +1522,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (app_id, sf_dir) -> scratch dir holding the PERSISTED serving artifact
 # (model/ one-row parquet of centroids+codebooks, lists/ the inverted-list
 # rows) — the durable handoff between the offline fit job and the serving
-# job. Same lifecycle/keying discipline as the streaming scratch dirs.
-_IVFPQ_DISK_CACHE: dict[tuple, str] = {}
+# job. Same lifecycle/keying discipline as the streaming scratch dirs,
+# plus a process-exit sweep (ADVICE r8: evict-on-insert alone leaves the
+# LAST session's index copy on disk after the process exits).
+_IVFPQ_DISK_CACHE: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: _shutil.rmtree(p, ignore_errors=True)
+)
 
 
 def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> tuple:
