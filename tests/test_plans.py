@@ -1032,6 +1032,28 @@ def test_incremental_lsh_asymmetric_never_cartesian(spark, sf_dir):
     assert single_partition_window_count(df) == 0
 
 
+def test_lsh_append_audit_is_asymmetric(spark, sf_dir):
+    """dedup_lsh_index_append (r9): the frozen side must come from the
+    maintained checkpointed index (ExistingRDD scans — zero signature
+    recompute of the old corpus), and the ONLY document scans are the
+    batch side with the cutoff pushed into the parquet reader — so the
+    append costs O(batch x signature), never O(corpus)."""
+    df = Q["dedup_lsh_index_append"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ExistingRDD" in plan, plan
+    assert has_pushed_filters(df, "GreaterThanOrEqual(doc_id"), plan
+    # no unfiltered documents scan: every parquet scan of documents
+    # carries the batch-cutoff pushdown
+    scans = [
+        ln
+        for ln in explain_str(df, "simple").splitlines()
+        if "parquet" in ln and "documents" in ln
+    ]
+    assert scans, plan
+    assert all("GreaterThanOrEqual(doc_id" in ln for ln in scans), scans
+    assert "CartesianProduct" not in plan
+
+
 def test_cell_stats_single_index_scan_via_reused_exchange(spark, sf_dir):
     """ann_ivf_cell_stats (r8): the audit must read the resident inverted
     lists ONCE — the corpus total hangs off the per-cell counts' shuffle
