@@ -1054,6 +1054,21 @@ def test_lsh_append_audit_is_asymmetric(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_streamed_growth_probe_joins_on_cells_not_scan(spark, sf_dir):
+    """streaming_index_growth (r9): the post-growth probe reads the
+    RELOADED lists parquet through the composed-index contract — bucket
+    equi-join over the probed cells, never a nested loop or full-scan
+    fallback; windows stay query-grain."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["streaming_index_growth"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert single_partition_window_count(df) == 0
+
+
 def test_cell_stats_single_index_scan_via_reused_exchange(spark, sf_dir):
     """ann_ivf_cell_stats (r8): the audit must read the resident inverted
     lists ONCE — the corpus total hangs off the per-cell counts' shuffle

@@ -78,6 +78,78 @@ def test_lsh_append_then_probe_finds_new_batch_dup(spark, sf_dir):
     assert target["doc_id"] not in frozen_hits
 
 
+def test_streamed_growth_row_equal_to_batch_rebuild(spark, sf_dir):
+    """The streamed-grown index must serve the EXACT result a batch-built
+    grown index serves: base lists ∪ batch add-rows (ann_ivfpq_add_batch's
+    arithmetic applied batch-side), probed with the same model. Streaming
+    machinery may not perturb a single row."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        _nearest_centroid_expr,
+        _pq_code_expr,
+        ivfpq_knn,
+    )
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _pq_unit_corpus,
+        ivfpq_index_cached,
+    )
+
+    streamed = Q["streaming_index_growth"].fn(spark, sf_dir)
+
+    qdf, c = _pq_unit_corpus(spark, sf_dir)
+    cents, books, base = ivfpq_index_cached(
+        spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16, pq_iter=3
+    )
+    adds = qdf.select(
+        F.col("vec_id").alias("corpus_id"),
+        _nearest_centroid_expr(cents, F.col("embedding")).alias("bucket"),
+        _pq_code_expr(F.col("embedding"), books, 64 // len(books)).alias("codes"),
+        F.col("label").cast("int").alias("label"),
+    )
+    batch_grown = base.unionByName(adds)
+    rebuilt = ivfpq_knn(
+        qdf.unionByName(c), qdf, id_col="vec_id", vec_col="embedding", k=5,
+        dim=64, cents=cents, books=books, nprobe=4, rerank_shortlist=40,
+        index=batch_grown,
+    )
+    assert _same_rowset(streamed, rebuilt)
+
+
+def test_streamed_growth_queries_retrieve_added_vectors(spark, sf_dir):
+    """Post-growth, every query's rank-1 hit is its own newly-added
+    vector at cosine 1.0 — index growth observable from the probe."""
+    rows = Q["streaming_index_growth"].fn(spark, sf_dir).collect()
+    by_q = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    assert by_q, "no rank-1 rows"
+    for qid, r in by_q.items():
+        assert r["corpus_id"] == qid
+        assert r["cosine"] == 1.0
+
+
+def test_streamed_growth_is_stateless_pure_append(spark, sf_dir):
+    """The growth stream itself carries NO stateful operator (each
+    micro-batch is a scan-side encode + append — state is the
+    checkpoint's file log, never row state), and its appends are
+    exactly-once across re-invocations: the lists row count is stable
+    after a second run."""
+    import os
+
+    from vmhub_data_pipeline_spark.queries.streaming_queries import (
+        _GROWN_IVFPQ,
+    )
+
+    Q["streaming_index_growth"].fn(spark, sf_dir).count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grown = _GROWN_IVFPQ[key]
+    n1 = spark.read.parquet(f"{grown}/lists").count()
+    Q["streaming_index_growth"].fn(spark, sf_dir).count()
+    n2 = spark.read.parquet(f"{grown}/lists").count()
+    assert n1 == n2, f"re-run appended rows: {n1} -> {n2}"
+    # >1 micro-batch actually ran: the checkpoint's committed-offsets log
+    # advanced past batch 0
+    commits = os.listdir(os.path.join(grown, "_ckpt", "commits"))
+    assert {"0", "1"} <= {c for c in commits if not c.startswith(".")}
+
+
 def test_lsh_append_audit_row_shape(spark, sf_dir):
     """One row per band; conservation (before + added = after) and
     bucket monotonicity hold on every row."""

@@ -777,3 +777,144 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, stream, "stream_late", output_mode="append")
+
+
+# (app_id, sf_dir) -> scratch dir of the GROWING serving index: lists/ is
+# initialized as a copy of the persisted artifact's inverted lists and
+# foreachBatch-appended to; _ckpt/ is the stream's checkpoint (exactly-once
+# appends across re-invocations — a restarted availableNow run replays
+# nothing). Same lifecycle/keying discipline as _LANDED.
+_GROWN_IVFPQ: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
+
+# (app_id, sf_dir) -> NDJSON scratch dir holding the add-vector batch as
+# TWO arrival files (so the growth stream runs >1 micro-batch): the
+# held-out UNIT vectors with their filterable label — what an ingest
+# pipeline hands the index-maintenance stream.
+_LANDED_ADDS: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
+
+
+def _landed_add_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """Land the held-out batch (vec_id < 10, the catalog-wide ANN
+    batch convention) as unit-normalized NDJSON — the SAME vectors the
+    frozen model never saw and ``ann_ivfpq_add_batch`` encodes. Doubles
+    round-trip exactly through Spark's JSON writer (shortest round-trip
+    decimals), so the streamed rows are bit-equal to the batch path's."""
+    from .vector import _pq_unit_corpus
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANDED_ADDS:
+        q, _ = _pq_unit_corpus(spark, sf_dir)
+        scratch = tempfile.mkdtemp(prefix="vmhub_annadd_")
+        (
+            q.select(
+                "vec_id", F.col("embedding").alias("v"), "label"
+            )
+            .repartition(2, "vec_id")
+            .write.mode("overwrite")
+            .json(scratch)
+        )
+        session_cache_put(
+            _LANDED_ADDS, key, scratch,
+            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    return _LANDED_ADDS[key]
+
+
+def _grown_probe_oracle() -> str:
+    from .vector import _ivfpq_ann_oracle
+
+    return _ivfpq_ann_oracle(include_batch=True)
+
+
+@register(
+    "streaming_index_growth",
+    oracle=_grown_probe_oracle(),
+    tags=("streaming", "vector", "incremental"),
+)
+def streaming_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed IVF-PQ index GROWTH — the eleventh real streaming
+    execution, closing the serving loop the r8 pieces left open
+    (VERDICT r8 task 5): the persisted parquet artifact
+    (``ivfpq_index_persisted`` — FAISS ``write_index``) is copied to a
+    growth directory, a micro-batched stream of new vectors is
+    foreachBatch-ENCODED against the frozen model and appended to the
+    lists parquet (``ann_ivfpq_add_batch``'s exact arithmetic — FAISS
+    ``add``), and the post-growth probe runs from the RELOADED lists —
+    every query now retrieves its own newly-added vector at rank 1
+    (pinned in tests/test_r9_queries.py, along with row-equality to a
+    batch-built grown index).
+
+    Scale shape: each micro-batch is a PURE SCAN of the batch (model
+    literals inline; no shuffle, no stateful operator — the stream's
+    stateOperators list is pinned empty), and the append writes only the
+    batch's rows — O(batch x model) per trigger against an
+    O(corpus)-sized resident table, exactly how a serving fleet takes
+    daily adds between refits. The stream's checkpoint makes appends
+    exactly-once across restarts (a re-run replays nothing — the
+    T4 idempotent-replay contract applied to index maintenance). The
+    probe keeps the composed-index contract: bucket equi-join over the
+    probed cells of the reloaded parquet, raw vectors touched only for
+    the shortlist. Fixture concession, documented: the growth dir START
+    is a copy of the persisted lists (production appends to the serving
+    table in place; the copy keeps ``ann_ivfpq_persist_probe``'s
+    round-trip artifact immutable for its row-equality pin)."""
+    import os
+
+    from ..operators.similarity import (
+        _nearest_centroid_expr,
+        _pq_code_expr,
+        ivfpq_knn,
+    )
+    from .vector import _IVFPQ_DISK_CACHE, _pq_unit_corpus, ivfpq_index_persisted
+
+    cents, books, _base_lists = ivfpq_index_persisted(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grown = _GROWN_IVFPQ.get(key)
+    if grown is None:
+        base_dir = _IVFPQ_DISK_CACHE[key]
+        grown = tempfile.mkdtemp(prefix="vmhub_ivfpq_grow_")
+        shutil.copytree(f"{base_dir}/lists", f"{grown}/lists", dirs_exist_ok=True)
+        session_cache_put(
+            _GROWN_IVFPQ, key, grown,
+            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    lists_dir = f"{grown}/lists"
+    base_schema = spark.read.parquet(lists_dir).schema
+
+    adds = _landed_add_vectors(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, v ARRAY<DOUBLE>, label INT")
+        .option("maxFilesPerTrigger", 1)
+        .json(adds)
+    )
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.select(
+            F.col("vec_id").alias("corpus_id"),
+            _nearest_centroid_expr(cents, F.col("v")).alias("bucket"),
+            _pq_code_expr(F.col("v"), books, 64 // len(books)).alias("codes"),
+            F.col("label"),
+        )
+        rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in base_schema.fields]
+        ).write.mode("append").parquet(lists_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", os.path.join(grown, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    qdf, c = _pq_unit_corpus(spark, sf_dir)
+    lists = spark.read.parquet(lists_dir)
+    return ivfpq_knn(
+        qdf.unionByName(c), qdf, id_col="vec_id", vec_col="embedding", k=5,
+        dim=64, cents=cents, books=books, nprobe=4, rerank_shortlist=40,
+        index=lists,
+    )

@@ -1281,6 +1281,7 @@ def _ivfpq_ann_oracle(
     shortlist: int = 40,
     topk: int = 5,
     allowed_pred: str | None = None,
+    include_batch: bool = False,
 ) -> str:
     """Unrolled-CTE replay of the COMPOSED IVF-PQ pipeline — both Lloyd
     fits included via the shared ``_ivfpq_fit_ctes`` prefix, then cell
@@ -1296,8 +1297,18 @@ def _ivfpq_ann_oracle(
     assignment, and probe selection are untouched (the model is frozen;
     filtering happens at query time), but only allowed corpus rows enter
     the candidate set — the semantics ``ann_ivfpq_filtered_topk``
-    implements by filtering the list scan before ADC."""
+    implements by filtering the list scan before ADC.
+
+    ``include_batch=True`` replays the GROWN index (the FAISS
+    ``add``-then-search loop ``streaming_index_growth`` closes): cell
+    assignment and code encoding run over ALL unit vectors — the frozen
+    corpus PLUS the held-out batch, each against the FROZEN model (the
+    fit CTEs still see only the corpus) — so the candidate set contains
+    the newly added vectors and every query retrieves itself at rank 1."""
     block, gfinal, pfinal = _ivfpq_fit_ctes(dim, n_cells, coarse_iter, m, k, pq_iter)
+    lists_src, codes_src = (
+        ("unit", "subv") if include_batch else ("corpf", "corp")
+    )
     adc_sum = " + ".join(f"MAX(CASE WHEN l.j = {j} THEN l.term END)" for j in range(m))
     allowed_cte = (
         f",\nallowed AS (SELECT vec_id FROM embeddings WHERE {allowed_pred})"
@@ -1314,7 +1325,7 @@ bkt AS (
            ROW_NUMBER() OVER (PARTITION BY s.vec_id
              ORDER BY (list_dot_product(s.v, c.cv)
                        - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
-    FROM corpf s CROSS JOIN {gfinal} c
+    FROM {lists_src} s CROSS JOIN {gfinal} c
   ) WHERE rn = 1
 ),
 probes AS (
@@ -1332,7 +1343,7 @@ enc AS (
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
              ORDER BY (list_dot_product(s.sv, c.cv)
                        - list_dot_product(c.cv, c.cv)/2) DESC, c.cidx) AS rn
-    FROM corp s JOIN {pfinal} c ON c.j = s.j
+    FROM {codes_src} s JOIN {pfinal} c ON c.j = s.j
   ) WHERE rn = 1
 ),
 lut AS (
