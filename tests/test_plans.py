@@ -906,6 +906,19 @@ def test_ivfpq_probe_joins_on_cells_not_scan(spark, sf_dir):
     assert single_partition_window_count(df) == 0
 
 
+def test_opq_probe_stays_jvm_and_query_grain(spark, sf_dir):
+    """ann_opq_topk (r9): the OPQ transform and probe are pure JVM
+    expressions — no Python UDF anywhere (the rotation is a staged dot
+    + dim FMAs, the permutation a literal re-index), and
+    shortlist/rerank windows stay query-grain like the flat-PQ probe."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_opq_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert single_partition_window_count(df) == 0
+
+
 def test_ivfpq_residual_probe_joins_on_cells_not_scan(spark, sf_dir):
     """Residual IVF-PQ probe (r7): same scale contract as the
     vector-coded variant — code-table access is a bucket EQUI-join

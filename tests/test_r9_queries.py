@@ -150,6 +150,88 @@ def test_streamed_growth_is_stateless_pure_append(spark, sf_dir):
     assert {"0", "1"} <= {c for c in commits if not c.startswith(".")}
 
 
+def _recall_at_5(spark, sf_dir, name: str, id_col: str = "corpus_id") -> float:
+    from vmhub_data_pipeline_spark.operators.similarity import brute_force_knn
+    from vmhub_data_pipeline_spark.queries.vector import _pq_unit_corpus
+
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    truth: dict[int, set] = {}
+    for r in brute_force_knn(c, q, "vec_id", "embedding", k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in Q[name].fn(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r[id_col])
+    hits = sum(len(got.get(qq, set()) & t) for qq, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_opq_recall_at_least_flat_pq(spark, sf_dir):
+    """The learned transform may not LOSE recall against the flat-PQ
+    baseline on the fixture (VERDICT r8 task 6's done-bar). The
+    docstring documents the honest cross-sf noise picture."""
+    assert _recall_at_5(spark, sf_dir, "ann_opq_topk") >= _recall_at_5(
+        spark, sf_dir, "ann_pq_topk"
+    )
+
+
+def test_opq_transform_is_orthogonal(spark, sf_dir):
+    """Reflection + permutation is orthogonal: pairwise cosines of the
+    transformed vectors equal the raw cosines to fp tolerance, and
+    norms are preserved — the property that lets OPQ re-rank in rotated
+    space without touching raw storage."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        cosine_expr,
+        dot_expr,
+    )
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _opq_transform,
+        _pq_unit_corpus,
+        opq_model_cached,
+    )
+
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    w, perm = opq_model_cached(spark, sf_dir)
+    sample = c.limit(20)
+    rot = _opq_transform(sample, w, perm, 64)
+    a = sample.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = rot.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    both = a.join(b, a["ia"] == b["ib"])
+    rows = both.select(
+        dot_expr(F.col("va"), F.col("va")).alias("n_raw"),
+        dot_expr(F.col("vb"), F.col("vb")).alias("n_rot"),
+    ).collect()
+    for r in rows:
+        assert abs(r["n_raw"] - r["n_rot"]) < 1e-9
+    pa = a.crossJoin(sample.select(F.col("vec_id").alias("ja"), F.col("embedding").alias("wa")))
+    pb = b.crossJoin(rot.select(F.col("vec_id").alias("jb"), F.col("embedding").alias("wb")))
+    cos_a = {
+        (r["ia"], r["ja"]): r["cs"]
+        for r in pa.select("ia", "ja", cosine_expr(F.col("va"), F.col("wa")).alias("cs")).collect()
+    }
+    cos_b = {
+        (r["ib"], r["jb"]): r["cs"]
+        for r in pb.select("ib", "jb", cosine_expr(F.col("vb"), F.col("wb")).alias("cs")).collect()
+    }
+    assert cos_a.keys() == cos_b.keys()
+    for k_, va in cos_a.items():
+        assert abs(va - cos_b[k_]) < 1e-9
+
+
+def test_opq_model_permutation_is_bijective_and_snake(spark, sf_dir):
+    """perm is a true permutation of range(dim), and each of the m
+    subspaces receives exactly dim/m dimensions."""
+    from vmhub_data_pipeline_spark.queries.vector import opq_model_cached
+
+    w, perm = opq_model_cached(spark, sf_dir)
+    assert sorted(perm) == list(range(64))
+    per_sub = [0] * 8
+    for newpos in perm:
+        per_sub[newpos // 8] += 1
+    assert per_sub == [8] * 8
+    n = sum(x * x for x in w)
+    assert abs(n - 1.0) < 1e-9
+
+
 def test_lsh_append_audit_row_shape(spark, sf_dir):
     """One row per band; conservation (before + added = after) and
     bucket monotonicity hold on every row."""

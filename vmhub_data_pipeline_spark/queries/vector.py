@@ -892,6 +892,7 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_ann_oracle(
     dim: int = 64, m: int = 8, k: int = 16, max_iter: int = 3,
     shortlist: int = 40, topk: int = 5,
+    prefix_ctes: str = "", unit_name: str = "unit",
 ) -> str:
     """Unrolled-CTE replay of the ENTIRE IVF-PQ pipeline — k-means fit
     included — in plain SQL (the BPE/PageRank unrolled-oracle technique
@@ -906,7 +907,13 @@ def _pq_ann_oracle(
       precedent), and the m ADC terms add in subspace order;
     * every argmax/tie is broken by smallest centroid index / smallest id
       (``array_position`` first-match == ``ROW_NUMBER ... ORDER BY score
-      DESC, cidx``)."""
+      DESC, cidx``).
+
+    ``prefix_ctes``/``unit_name`` let a caller splice extra CTEs after
+    ``unit`` and point the fit/probe chain at a TRANSFORMED vector source
+    (the OPQ oracle rotates+permutes ``unit`` into ``opq`` and replays
+    the identical PQ chain over it — fit, encode, ADC, re-rank all
+    shared verbatim, so OPQ and flat PQ can never drift)."""
     sub = dim // m
     # one assignment + exact-integer re-mean block per Lloyd iteration
     iters = []
@@ -948,17 +955,17 @@ unit AS (
   SELECT vec_id,
          list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
   FROM raw WHERE sqrt(list_dot_product(v0, v0)) > 0
-),
+),{prefix_ctes}
 js AS (SELECT UNNEST(RANGE(0, {m})) AS j),
 subv AS (
   SELECT u.vec_id, js.j, u.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
-  FROM unit u CROSS JOIN js
+  FROM {unit_name} u CROSS JOIN js
 ),
 corp AS (SELECT * FROM subv WHERE vec_id >= 10),
 qsub AS (SELECT * FROM subv WHERE vec_id < 10),
 init_ids AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
-  FROM (SELECT DISTINCT vec_id FROM unit WHERE vec_id >= 10)
+  FROM (SELECT DISTINCT vec_id FROM {unit_name} WHERE vec_id >= 10)
   QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
 ),
 c0 AS (
@@ -1001,8 +1008,8 @@ rr AS (
                       * sqrt(list_dot_product(cu.v, cu.v)))
          END AS cosine
   FROM short s
-  JOIN unit qu ON qu.vec_id = s.query_id
-  JOIN unit cu ON cu.vec_id = s.corpus_id
+  JOIN {unit_name} qu ON qu.vec_id = s.query_id
+  JOIN {unit_name} cu ON cu.vec_id = s.corpus_id
 )
 SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
   SELECT query_id, corpus_id, cosine,
@@ -1153,6 +1160,340 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(
         c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, books=books,
         rerank_shortlist=40, codes=codes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR'13): a LEARNED
+# orthogonal transform applied before subspace slicing, so PQ's
+# independent-subspace assumption fits the data better. This is the
+# non-parametric-init flavor, made fully oracle-replayable:
+#   1. top principal component of the unit corpus via the SHARED
+#      power-iteration machinery (_power_top_pc — exact-integer scatter,
+#      the vector_pca_power fit);
+#   2. a Householder reflection H = I - 2ww^T with w ∝ (v1 - e1), which
+#      maps the dominant variance axis onto coordinate 0 — one O(dim)
+#      scan-side expression per row, exactly orthogonal by construction;
+#   3. an ENERGY-BALANCED dimension permutation (the paper's eigenvalue-
+#      allocation idea at diag grain): rank rotated dimensions by
+#      exact-integer second moment, snake-assign across the m subspaces
+#      so no subspace hoards the variance the reflection concentrated.
+# A permutation composed with a reflection is orthogonal, so rotated
+# cosine == original cosine (up to fp summation order — which the oracle
+# replays identically), and recall is judged against the same brute-force
+# ground truth as flat PQ (recall@5 >= flat PQ pinned in
+# tests/test_r9_queries.py).
+# ---------------------------------------------------------------------------
+
+
+def _opq_rotation_ctes(dim: int = 64, m: int = 8, iters: int = 48) -> str:
+    """The rotation-fit prefix of the OPQ oracle, spliced into
+    ``_pq_ann_oracle`` after ``unit``: scatter + ``iters`` power steps
+    (the ``_pca_oracle`` pattern over the UNIT corpus), Householder
+    direction, per-row reflection, energy ranking, snake permutation, and
+    the final ``opq`` CTE the shared PQ chain consumes in place of
+    ``unit``. Every multiply-referenced CTE is AS MATERIALIZED (DuckDB
+    inlines plain CTEs per reference — the _pca_oracle lesson)."""
+    sub = dim // m
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]::DOUBLE[]"
+    steps = []
+    for t in range(1, iters + 1):
+        prev = f"op{t-1}"
+        steps.append(f"""
+ow{t} AS MATERIALIZED (
+  SELECT g.i, list_dot_product(g.grow, p.v) AS w FROM ogrows g CROSS JOIN {prev} p
+),
+owa{t} AS MATERIALIZED (SELECT array_agg(w ORDER BY i) AS wv FROM ow{t}),
+op{t} AS MATERIALIZED (
+  SELECT list_transform(wv, x -> x / sqrt(list_dot_product(wv, wv))) AS v FROM owa{t}
+)""")
+    return f"""
+ox AS MATERIALIZED (
+  SELECT vec_id, GENERATE_SUBSCRIPTS(v, 1) - 1 AS pos, UNNEST(v) AS val
+  FROM unit WHERE vec_id >= 10
+),
+omu AS MATERIALIZED (
+  SELECT pos,
+         CAST(SUM(CAST(FLOOR(val*1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS mc
+  FROM ox GROUP BY pos
+),
+ocent AS MATERIALIZED (
+  SELECT x.vec_id, x.pos, x.val - omu.mc AS c FROM ox x JOIN omu USING (pos)
+),
+og AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(FLOOR(a.c * b.c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e9 AS gv
+  FROM ocent a JOIN ocent b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+),
+ogrows AS MATERIALIZED (
+  SELECT i, array_agg(gv ORDER BY j) AS grow FROM og GROUP BY i
+),
+op0 AS MATERIALIZED (SELECT {v0} AS v),{",".join(steps)},
+owraw AS MATERIALIZED (
+  SELECT list_prepend(v[1] - 1.0, v[2:]) AS u FROM op{iters}
+),
+ohh AS MATERIALIZED (
+  SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS w FROM owraw
+),
+owt AS MATERIALIZED (
+  SELECT GENERATE_SUBSCRIPTS(w, 1) - 1 AS pos, UNNEST(w) AS wc FROM ohh
+),
+orot AS MATERIALIZED (
+  SELECT u.vec_id,
+         GENERATE_SUBSCRIPTS(u.v, 1) - 1 AS pos,
+         UNNEST(u.v) AS val,
+         list_dot_product(u.v, ohh.w) AS d
+  FROM unit u CROSS JOIN ohh
+),
+orote AS MATERIALIZED (
+  SELECT r.vec_id, r.pos, r.val - 2.0 * r.d * t.wc AS rv
+  FROM orot r JOIN owt t USING (pos)
+),
+oenergy AS MATERIALIZED (
+  SELECT pos, SUM(CAST(FLOOR(rv * rv * 1e9 + 0.5) AS BIGINT)) AS en
+  FROM orote WHERE vec_id >= 10 GROUP BY pos
+),
+ork AS (
+  SELECT pos, ROW_NUMBER() OVER (ORDER BY en DESC, pos) - 1 AS r FROM oenergy
+),
+osub AS (
+  SELECT pos, r,
+    CASE WHEN (r // {m}) % 2 = 0 THEN r % {m} ELSE {m - 1} - (r % {m}) END AS sj
+  FROM ork
+),
+operm AS (
+  SELECT pos,
+    sj * {sub} + ROW_NUMBER() OVER (PARTITION BY sj ORDER BY r) - 1 AS newpos
+  FROM osub
+),
+opq AS MATERIALIZED (
+  SELECT r.vec_id, array_agg(r.rv ORDER BY p.newpos) AS v
+  FROM orote r JOIN operm p USING (pos)
+  GROUP BY r.vec_id
+),"""
+
+
+def _opq_ann_oracle(
+    dim: int = 64, m: int = 8, k: int = 16, max_iter: int = 3,
+    iters: int = 48, shortlist: int = 40, topk: int = 5,
+) -> str:
+    return _pq_ann_oracle(
+        dim=dim, m=m, k=k, max_iter=max_iter, shortlist=shortlist,
+        topk=topk, prefix_ctes=_opq_rotation_ctes(dim, m, iters),
+        unit_name="opq",
+    )
+
+
+# The OPQ transform model per (session, sf_dir, params): the Householder
+# direction w and the permutation (old pos -> new pos) — O(dim) driver
+# floats, the kmeans-centroid legitimacy class.
+_OPQ_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
+def opq_model_cached(
+    spark: SparkSession, sf_dir: str, dim: int = 64, m: int = 8,
+    iters: int = 48,
+) -> tuple:
+    """Fit (or fetch) the OPQ rotation model ``(w, perm)``: the
+    Householder direction from the unit corpus's top PC, and the
+    energy-balanced snake permutation over the ROTATED corpus's
+    per-dimension second moments (exact-integer longs, so the oracle
+    ranks the identical values). Fit cost: the shared ``_power_top_pc``
+    scatter pass + one rotated-energy scan — both O(corpus) with
+    O(model) driver state."""
+    import math
+
+    from ..operators.similarity import dot_expr
+
+    key = (spark.sparkContext.applicationId, sf_dir, dim, m, iters)
+    cached = _OPQ_MODEL_CACHE.get(key)
+    if cached is None:
+        _, c = _pq_unit_corpus(spark, sf_dir)
+        e = c.select("vec_id", F.col("embedding").alias("v"))
+        _mu, v1, _lam = _power_top_pc(e, dim, iters)
+        # Householder direction w = normalize(v1 - e1): H = I - 2ww^T
+        # maps v1 onto coordinate 0 (left-to-right accumulation, matching
+        # list_dot_product)
+        u = list(v1)
+        u[0] = u[0] - 1.0
+        acc = 0.0
+        for x_ in u:
+            acc = acc + x_ * x_
+        n = math.sqrt(acc)
+        w = [x_ / n for x_ in u]
+        # rotated-corpus per-dimension energy (second moment, quantized
+        # longs); __d staged once per row and referenced dim times, so
+        # CollapseProject keeps it materialized (one fold per row, not
+        # per element)
+        w_lit = F.array(*[F.lit(x_) for x_ in w])
+        staged = e.select(
+            "vec_id", "v", dot_expr(F.col("v"), w_lit).alias("__d")
+        )
+        rot = staged.select(
+            F.array(
+                *[
+                    F.element_at("v", i + 1)
+                    - F.lit(2.0) * F.col("__d") * F.lit(w[i])
+                    for i in range(dim)
+                ]
+            ).alias("rv")
+        )
+        en_rows = (
+            rot.select(F.posexplode("rv").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("val") * F.col("val") * F.lit(1e9) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("en")
+            )
+            .collect()
+        )
+        en = {r["pos"]: r["en"] for r in en_rows}
+        order = sorted(range(dim), key=lambda p: (-en[p], p))
+        per_sub: dict[int, list[int]] = {}
+        for r_, p in enumerate(order):
+            block, sl = divmod(r_, m)
+            sj = sl if block % 2 == 0 else m - 1 - sl
+            per_sub.setdefault(sj, []).append(p)
+        perm = [0] * dim
+        subdim = dim // m
+        for sj, ps in per_sub.items():
+            for slot, p in enumerate(ps):
+                perm[p] = sj * subdim + slot
+        cached = (w, perm)
+        session_cache_put(_OPQ_MODEL_CACHE, key, cached)
+    return cached
+
+
+def _opq_transform(df: DataFrame, w: list, perm: list, dim: int) -> DataFrame:
+    """Apply the OPQ transform (Householder reflection, then dimension
+    permutation) to ``(vec_id, embedding, label)`` as TWO projections:
+    the reflection dot ``__d`` is staged in its own select and referenced
+    ``dim`` times by the output slots, so CollapseProject cannot inline
+    the fold into per-element re-evaluation — one dot product per row,
+    then dim fused multiply-subtracts, all JVM expressions."""
+    from ..operators.similarity import dot_expr
+
+    w_lit = F.array(*[F.lit(x_) for x_ in w])
+    inv = [0] * dim
+    for old, new in enumerate(perm):
+        inv[new] = old
+    staged = df.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        "label",
+        dot_expr(F.col("embedding"), w_lit).alias("__d"),
+    )
+    return staged.select(
+        "vec_id",
+        F.array(
+            *[
+                F.element_at("__v", inv[i] + 1)
+                - F.lit(2.0) * F.col("__d") * F.lit(w[inv[i]])
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+        "label",
+    )
+
+
+# The resident OPQ serving index — same lifecycle as _PQ_FIT_CACHE.
+_OPQ_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def opq_index_cached(
+    spark: SparkSession, sf_dir: str, dim: int = 64, m: int = 8, k: int = 16,
+    pq_iter: int = 3, iters: int = 48,
+) -> tuple:
+    """Fit (or fetch) the OPQ index: rotation model, sub-codebooks fitted
+    on the TRANSFORMED corpus, the checkpointed transformed corpus (the
+    storage layout a production OPQ index keeps — FAISS's
+    ``OPQMatrix`` + ``IndexPQ`` chain stores rotated vectors/codes), and
+    the encoded codes. Returns (w, perm, books, rot_q, rot_c, codes)."""
+    from ..operators.similarity import (
+        _pq_code_expr,
+        checkpoint_index,
+        pq_fit,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, dim, m, k, pq_iter, iters)
+    cached = _OPQ_INDEX_CACHE.get(key)
+    if cached is None:
+        q, c = _pq_unit_corpus(spark, sf_dir)
+        w, perm = opq_model_cached(spark, sf_dir, dim, m, iters)
+        rot_c = checkpoint_index(_opq_transform(c, w, perm, dim))
+        rot_q = _opq_transform(q, w, perm, dim)  # batch-sized, stays lazy
+        books = pq_fit(
+            rot_c, "vec_id", "embedding", dim=dim, m=m, k=k,
+            max_iter=pq_iter, exact_mean=True,
+        )
+        codes = checkpoint_index(
+            rot_c.select(
+                F.col("vec_id").alias("corpus_id"),
+                _pq_code_expr(
+                    F.col("embedding"), books, dim // m
+                ).alias("codes"),
+            )
+        )
+        cached = (w, perm, books, rot_q, rot_c, codes)
+        session_cache_put(_OPQ_INDEX_CACHE, key, cached)
+    return cached
+
+
+@register("ann_opq_topk", oracle=_opq_ann_oracle(), tags=("vector", "pq", "opq"))
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via OPQ — flat PQ over a LEARNED orthogonal
+    transform (VERDICT r8 task 6): the unit corpus's dominant variance
+    axis is found by the shared power-iteration fit (``_power_top_pc`` —
+    the ``vector_pca_power`` machinery), a Householder reflection maps it
+    onto coordinate 0, and the rotated dimensions are snake-permuted
+    across the 8 subspaces by exact-integer energy rank (the OPQ paper's
+    eigenvalue-allocation idea), so no subspace hoards the variance and
+    PQ's per-subspace codebooks quantize a better-conditioned
+    distribution. FULLY oracle-checked: the rotation fit (scatter + 48
+    power steps), the reflection, the permutation, the sub-codebook
+    Lloyd fits, ADC scoring, shortlist, and re-rank all replay as
+    unrolled CTEs — the probe chain is ``_pq_ann_oracle``'s text
+    verbatim over the ``opq`` CTE, so OPQ and flat PQ share one
+    replay definition. Orthogonality means rotated cosine ranks
+    candidates exactly as raw cosine does; recall@5 >= the flat-PQ
+    baseline is pinned in tests/test_r9_queries.py.
+
+    Honest fixture caveat: the synthetic embeddings carry little of the
+    cross-dimension correlation OPQ exploits on real corpora, so the
+    measured gain is within codebook-fit noise — +0.06 recall@5 over
+    flat PQ at sf0.001 (0.68 vs 0.62, the pinned fixture), -0.14 at
+    sf0.01 (0.58 vs 0.72; variants measured there: reflection-only
+    0.64, balanced-target reflection 0.70, balanced+perm 0.74 — no
+    variant dominates both sfs, the signature of noise at ±5 pairs of
+    250). The operator's value case is structured real embeddings,
+    where rotation before slicing is the standard recall lever; what
+    this catalog entry certifies is the fully-replayed
+    fit+transform+probe pipeline, not a fixture win.
+
+    Scale shape: fit = one scatter pass + one energy pass + the shared
+    PQ Lloyd rounds (all O(corpus) scans with O(model) driver state);
+    serving = identical to ``ann_pq_topk`` (the transform adds one dot
+    product + dim FMAs per row, staged so the fold runs once per row —
+    and the transformed corpus/codes are checkpointed per session, the
+    resident-index convention). Like flat PQ this is the COMPRESSION
+    tier: at 100 TB the layout composes with IVF exactly as
+    ``ann_ivfpq_topk`` does, with the transform applied before cell
+    assignment."""
+    from ..operators.similarity import pq_knn
+
+    _q, _c = _pq_unit_corpus(spark, sf_dir)
+    _w, _perm, books, rot_q, rot_c, codes = opq_index_cached(
+        spark, sf_dir, dim=64, m=8, k=16, pq_iter=3, iters=48
+    )
+    return pq_knn(
+        rot_c, rot_q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+        books=books, rerank_shortlist=40, codes=codes,
     )
 
 
@@ -2217,6 +2558,102 @@ def curation_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _power_top_pc(
+    e: DataFrame, dim: int, iters: int
+) -> tuple[list[float], list[float], float]:
+    """Top principal component of frame ``e(vec_id, v array<double>)`` via
+    exact-integer scatter + driver-side power iteration — the shared
+    spectral-fit machinery of ``vector_pca_power`` (raw embeddings) and
+    the OPQ rotation fit (unit corpus). Returns ``(mu, v, lam)``.
+
+    Scale shape: the only data-sized pass is the scatter-matrix
+    accumulation G = sum (x-mu)(x-mu)^T, computed as a SCAN-SIDE outer
+    product over the UPPER TRIANGLE only (G is symmetric — dim*(dim+1)/2
+    = 2,080 cells per row instead of 4,096, emitted as a flat array of
+    already-quantized longs: no self-join, no struct per cell, no shuffle
+    of vectors) followed by a partial-aggregating groupBy onto the 2,080
+    linearized cell keys; mu is one dim-sized exact-integer aggregate.
+    Everything after G is O(dim^2) DRIVER-side (collect of 2,080 doubles,
+    mirrored into the full matrix — O(model), not O(data), the
+    kmeans_fit precedent), so iteration count never touches the data.
+    The Python power iteration accumulates left-to-right exactly like
+    DuckDB's list_dot_product and Spark's dot_expr fold, so eigenvector
+    and eigenvalue are bit-reproducible by an unrolled-CTE oracle."""
+    import math
+
+    x = e.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    mu_rows = (
+        x.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                # COUNT(1), not COUNT(val): the oracle divides by COUNT(*);
+                # counting non-nulls would silently diverge if a vector ever
+                # carried a NULL component (ADVICE r4)
+                / F.count(F.lit(1))
+                / F.lit(1e9)
+            ).alias("m")
+        )
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+
+    cent = e.select("vec_id", F.zip_with("v", mu_lit, lambda a, b: a - b).alias("cv"))
+    # scan-side outer product, UPPER TRIANGLE only (G is symmetric; the
+    # (j,i) cell is the same exact product, so mirroring driver-side is
+    # bit-free): each row contributes its dim*(dim+1)/2 = 2,080 cells as a
+    # flat array of ALREADY-quantized longs — half the explode volume of
+    # the full matrix and no struct allocation per cell — then one
+    # map-side-combinable groupBy onto the linearized cell index. The
+    # quantization (floor nano-units) moves inside the scan projection:
+    # identical per-product values, identical integer sums.
+    tri = F.flatten(
+        F.transform(
+            "cv",
+            lambda ci, i: F.transform(
+                F.slice(F.col("cv"), i + 1, F.lit(dim) - i),
+                lambda cj: F.floor(ci * cj * F.lit(1e9) + F.lit(0.5)).cast("long"),
+            ),
+        )
+    )
+    pairs = cent.select(F.posexplode(tri).alias("pos", "q"))
+    g_rows = (
+        pairs.groupBy("pos")
+        .agg((F.sum("q").cast("double") / F.lit(1e9)).alias("gv"))
+        .collect()
+    )
+    # linear cell index -> (i, j>=i), row-major over the upper triangle
+    cell = []
+    for i in range(dim):
+        for j in range(i, dim):
+            cell.append((i, j))
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in g_rows:
+        i, j = cell[r["pos"]]
+        G[i][j] = float(r["gv"])
+        G[j][i] = float(r["gv"])
+    # power iteration, left-to-right accumulation (== list_dot_product)
+    v = [0.125] * dim
+    lam = 0.0
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + G[i][j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for i in range(dim):
+            acc = acc + w[i] * w[i]
+        lam = math.sqrt(acc)
+        v = [wi / lam for wi in w]
+    return mu, v, lam
+
+
 def _pca_oracle(dim: int = 64, iters: int = 48, topk: int = 20) -> str:
     """Unrolled-CTE replay of the full power-iteration PCA: exact-integer
     scatter matrix, then ``iters`` mat-vec + renormalize steps over ordered
@@ -2309,83 +2746,13 @@ def vector_pca_power(
     Spark's dot_expr fold, so eigenvector, eigenvalue, and projections are
     bit-reproducible and the oracle replays the whole pipeline as
     unrolled CTEs (the ann_pq_topk technique applied to spectral math)."""
-    import math
-
     from ..operators.similarity import _as_double, dot_expr
 
     (emb,) = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    x = e.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    mu_rows = (
-        x.groupBy("pos")
-        .agg(
-            (
-                F.sum(F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("long"))
-                .cast("double")
-                # COUNT(1), not COUNT(val): the oracle divides by COUNT(*);
-                # counting non-nulls would silently diverge if a vector ever
-                # carried a NULL component (ADVICE r4)
-                / F.count(F.lit(1))
-                / F.lit(1e9)
-            ).alias("m")
-        )
-        .collect()
-    )
-    mu = [0.0] * dim
-    for r in mu_rows:
-        mu[r["pos"]] = float(r["m"])
+    mu, v, lam = _power_top_pc(e, dim, iters)
     mu_lit = F.array(*[F.lit(m) for m in mu])
-
     cent = e.select("vec_id", F.zip_with("v", mu_lit, lambda a, b: a - b).alias("cv"))
-    # scan-side outer product, UPPER TRIANGLE only (G is symmetric; the
-    # (j,i) cell is the same exact product, so mirroring driver-side is
-    # bit-free): each row contributes its dim*(dim+1)/2 = 2,080 cells as a
-    # flat array of ALREADY-quantized longs — half the explode volume of
-    # the full matrix and no struct allocation per cell — then one
-    # map-side-combinable groupBy onto the linearized cell index. The
-    # quantization (floor nano-units) moves inside the scan projection:
-    # identical per-product values, identical integer sums.
-    tri = F.flatten(
-        F.transform(
-            "cv",
-            lambda ci, i: F.transform(
-                F.slice(F.col("cv"), i + 1, F.lit(dim) - i),
-                lambda cj: F.floor(ci * cj * F.lit(1e9) + F.lit(0.5)).cast("long"),
-            ),
-        )
-    )
-    pairs = cent.select(F.posexplode(tri).alias("pos", "q"))
-    g_rows = (
-        pairs.groupBy("pos")
-        .agg((F.sum("q").cast("double") / F.lit(1e9)).alias("gv"))
-        .collect()
-    )
-    # linear cell index -> (i, j>=i), row-major over the upper triangle
-    cell = []
-    for i in range(dim):
-        for j in range(i, dim):
-            cell.append((i, j))
-    G = [[0.0] * dim for _ in range(dim)]
-    for r in g_rows:
-        i, j = cell[r["pos"]]
-        G[i][j] = float(r["gv"])
-        G[j][i] = float(r["gv"])
-    # power iteration, left-to-right accumulation (== list_dot_product)
-    v = [0.125] * dim
-    lam = 0.0
-    for _ in range(iters):
-        w = []
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):
-                acc = acc + G[i][j] * v[j]
-            w.append(acc)
-        acc = 0.0
-        for i in range(dim):
-            acc = acc + w[i] * w[i]
-        lam = math.sqrt(acc)
-        v = [wi / lam for wi in w]
-
     v_lit = F.array(*[F.lit(x_) for x_ in v])
     proj = cent.select("vec_id", dot_expr(F.col("cv"), v_lit).alias("pj"))
     # global top-k via orderBy+limit -> TakeOrderedAndProject (distributed
