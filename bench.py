@@ -134,6 +134,19 @@ HEADLINE = [
     # cold and load+probe on the remaining reps — comparable to
     # ann_ivfpq_probe plus the storage round-trip)
     "ann_ivfpq_persist_probe",
+    # r9 (VERDICT r8 task 8): the UNFILTERED resident-index probe at
+    # headline sf (16-cell index prewarmed in the builds section), so
+    # ann_ivfpq_filtered_topk's "~selectivity x the unfiltered probe"
+    # docstring claim is a measured same-sf ratio in BENCH_DETAIL
+    "ann_ivfpq_topk",
+    # r9: LSH index APPEND audit against the warm maintained index
+    # (detail-only; batch signature pass + band/bucket-grain rollups —
+    # the daily merge cost next to dedup_incremental_lsh's probe cost)
+    "dedup_lsh_index_append",
+    # r9: streamed IVF-PQ index growth — 11th real streaming execution
+    # (detail-only; first rep pays persist+copy+stream, remaining reps
+    # are checkpoint-no-op stream restart + reloaded-lists probe)
+    "streaming_index_growth",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -153,7 +166,11 @@ HEADLINE = [
 #   text_bigram_lm_score (r8: made room for the builds block +
 #   ann_coarse_fit + the ann_ivfpq_probe scaling exponent; join keeps
 #   q3/q5/asof in the line, curation keeps global_shuffle, text keeps
-#   langid/perplexity).
+#   langid/perplexity),
+#   dedup_semantic + dedup_exact_substring + multimodal_audio_energy
+#   (r9: made room for the ann_opq fit/probe labels + the noise_p90
+#   field; dedup keeps exact / minhash / cluster in the line, the
+#   multimodal tier's 3-run-median history continues in BENCH_DETAIL).
 LINE_QUERIES = [
     "q1_pricing_summary",
     "daily_revenue",
@@ -172,10 +189,7 @@ LINE_QUERIES = [
     "dedup_cluster_lsh",
     "curation_global_shuffle",
     "text_perplexity_filter",
-    "dedup_semantic",
     "vector_pca_power",
-    "dedup_exact_substring",
-    "multimodal_audio_energy",
     "stats_psi_drift",
 ]
 
@@ -186,6 +200,14 @@ LINE_QUERIES = [
 # cold columnar reads (~2x on the LSH entries), one-time python-worker
 # spawn + codegen compile on Arrow/mapInPandas paths (4-8x measured).
 REPEATS_DEFAULT = 3
+# The stdout-line entries get 5 runs (r9, VERDICT r8 task 3): the driver's
+# bench session can be noisy enough that a 3-run median swings ±70% on an
+# unchanged plan (r8: dedup_minhash_lsh 5.17 s driver vs 3.00 s idle
+# median); a 5-run median plus the per-entry min/max spread recorded in
+# BENCH_DETAIL ("headline_spread") and the aggregate "noise_p90" on the
+# line itself make session noise measurable instead of indistinguishable
+# from regressions.
+REPEATS_LINE = 5
 
 # Iterative-graph tier tracked at sf0.01: the exact-pair stage both entries
 # share is fixture-pathological at sf0.1 (~30-word vocabulary makes every
@@ -212,6 +234,10 @@ ANN_SPLIT = [
     ("ann_ivfpq_fit", "ann_ivfpq_probe", "ivfpq"),
     # r7: the residual-coded (by_residual=True) IVF-PQ layout
     ("ann_ivfpqr_fit", "ann_ivfpqr_probe", "ivfpqr"),
+    # r9: OPQ — learned rotation + permutation before flat PQ; the fit
+    # line covers rotation fit (scatter + power iteration + energy pass)
+    # plus the sub-codebook fit on the transformed corpus
+    ("ann_opq_fit", "ann_opq_probe", "opq"),
 ]
 
 # Scaling probes: measured exponent e = log(t_hi/t_lo)/log(rows_hi/rows_lo)
@@ -270,10 +296,15 @@ def build_stdout_line(
     secondary_sf: float,
     scaling_exponents: dict[str, float],
     builds: dict[str, float] | None = None,
+    noise_p90: float | None = None,
 ) -> str:
     """The single driver-facing stdout line, compact separators, 2-dp
     values. tests/test_bench_line.py asserts this stays <= 1500 bytes
-    with worst-case values for every configured entry."""
+    with worst-case values for every configured entry. ``noise_p90`` is
+    the 90th-percentile relative spread (max-min)/median across the line
+    entries' repeat runs — the session-noise band a reader must apply
+    before calling a round-over-round delta a regression (VERDICT r8
+    task 3; per-entry spreads live in BENCH_DETAIL "headline_spread")."""
     obj = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(line_timings.values()), 2),
@@ -286,6 +317,7 @@ def build_stdout_line(
         "secondary": {k: round(v, 2) for k, v in secondary.items()},
         "secondary_sf": secondary_sf,
         "scaling": {k: round(v, 2) for k, v in scaling_exponents.items()},
+        "noise_p90": round(noise_p90, 2) if noise_p90 is not None else None,
     }
     return json.dumps(obj, separators=(",", ":"))
 
@@ -348,6 +380,22 @@ def main() -> None:
     builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
     print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
 
+    # r9: the headline-sf 16-cell IVF-PQ fit, timed as its own detail
+    # build line so the three sf-hi IVF-PQ entries (ann_ivfpq_topk /
+    # ann_ivfpq_filtered_topk / ann_ivfpq_persist_probe) all measure
+    # warm-marginal probe cost instead of whichever-ran-first absorbing
+    # the fit.
+    from vmhub_data_pipeline_spark.queries.vector import ivfpq_index_cached as _ivfpq_cached
+
+    t0 = time.perf_counter()
+    _ivfpq_cached(spark, sf_dir)
+    build_detail["ann_ivfpq_fit_headline"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [build sf{sf}, detail-only] ann_ivfpq_fit_headline: "
+        f"{build_detail['ann_ivfpq_fit_headline']:.3f}s",
+        file=sys.stderr,
+    )
+
     def run_once(name: str, d: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         n = qs[name](spark, d).count()
@@ -358,10 +406,24 @@ def main() -> None:
         return sorted(t for t, _ in runs)[len(runs) // 2]
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in HEADLINE:
-        dt = median_run(name, sf_dir)
+        n_runs = REPEATS_LINE if name in LINE_QUERIES else REPEATS_DEFAULT
+        raw = [run_once(name, sf_dir)[0] for _ in range(n_runs)]
+        ts = sorted(raw)
+        dt = ts[len(ts) // 2]
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({REPEATS_DEFAULT} run(s))", file=sys.stderr)
+        # spread over the STEADY-STATE runs (first run dropped — cold
+        # columnar reads / one-time landing legitimately inflate it and
+        # the median already absorbs the outlier); this is the band a
+        # round-over-round delta must clear to count as a regression
+        ss = sorted(raw[1:]) if len(raw) > 1 else raw
+        spread[name] = {"min": round(ss[0], 3), "max": round(ss[-1], 3), "n": n_runs}
+        print(
+            f"# {name}: {dt:.3f}s ({n_runs} run(s), "
+            f"steady spread {ss[0]:.3f}-{ss[-1]:.3f})",
+            file=sys.stderr,
+        )
 
     sec_dir = os.environ.get("SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01")
     sec_sf = float(sec_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -385,6 +447,12 @@ def main() -> None:
         pq_index_cached,
     )
 
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _OPQ_INDEX_CACHE,
+        _OPQ_MODEL_CACHE,
+        opq_index_cached,
+    )
+
     ann_kinds = {
         "pq": (_PQ_FIT_CACHE, pq_index_cached, "ann_pq_topk"),
         "ivf": (_IVF_INDEX_CACHE, ivf_index_cached, "ann_ivf_topk"),
@@ -394,6 +462,7 @@ def main() -> None:
             ivfpqr_index_cached,
             "ann_ivfpq_residual_topk",
         ),
+        "opq": (_OPQ_INDEX_CACHE, opq_index_cached, "ann_opq_topk"),
     }
     # r8: the coarse quantizer AND the PQ sub-codebooks over the unit
     # corpus are shared model artifacts (the quantizer across both IVF-PQ
@@ -427,6 +496,10 @@ def main() -> None:
     for fit_label, probe_label, kind in ANN_SPLIT:
         cache, fit_fn, probe_query = ann_kinds[kind]
         cache.clear()
+        if kind == "opq":
+            # the OPQ fit line covers the FULL cold fit: rotation model
+            # (scatter + power iteration + energy pass) + sub-codebooks
+            _OPQ_MODEL_CACHE.clear()
         t0 = time.perf_counter()
         fit_fn(spark, sec_dir)
         secondary[fit_label] = round(time.perf_counter() - t0, 3)
@@ -551,13 +624,14 @@ def main() -> None:
     detail = {
         "sf": sf,
         "headline_all": timings,
+        "headline_spread": spread,
         "headline_total_all": round(sum(timings.values()), 3),
         "line_queries": LINE_QUERIES,
         "builds": {**builds, **build_detail},
         "secondary": {**secondary, **sec_detail},
         "secondary_sf": sec_sf,
         "scaling": scaling,
-        "repeats": REPEATS_DEFAULT,
+        "repeats": {"default": REPEATS_DEFAULT, "line": REPEATS_LINE},
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -566,6 +640,12 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# full detail written to {detail_path}", file=sys.stderr)
 
+    rel = sorted(
+        (spread[n]["max"] - spread[n]["min"]) / timings[n]
+        for n in LINE_QUERIES
+        if timings[n] > 0
+    )
+    noise_p90 = rel[max(0, int(0.9 * (len(rel) - 1)))] if rel else 0.0
     line = build_stdout_line(
         {n: timings[n] for n in LINE_QUERIES},
         sf,
@@ -577,6 +657,7 @@ def main() -> None:
             if n not in SCALING_DETAIL_ONLY
         },
         builds,
+        noise_p90,
     )
     print(line)
     spark.stop()

@@ -36,7 +36,7 @@ def _worst_case_line() -> str:
     }
     builds = {"lsh_pairs_build": 88.88}
     return bench.build_stdout_line(
-        line_timings, 0.1, secondary, 0.01, scaling, builds
+        line_timings, 0.1, secondary, 0.01, scaling, builds, noise_p90=8.88
     )
 
 
@@ -53,7 +53,7 @@ def test_final_line_is_one_parseable_json_object():
     assert "\n" not in line
     obj = json.loads(line)
     for key in ("metric", "value", "unit", "queries", "sf", "builds",
-                "secondary", "secondary_sf", "scaling"):
+                "secondary", "secondary_sf", "scaling", "noise_p90"):
         assert key in obj
     assert obj["unit"] == "sec"
     assert abs(obj["value"] - sum(obj["queries"].values())) < 0.5
