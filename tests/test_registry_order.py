@@ -12,59 +12,42 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-8 composition (VERDICT r7 tasks 1+2): the window rotates onto 36
-# of the 48 queries whose latest driver evidence is round-3 (the oldest
-# tier left after r7 retired the r2 tier; the remaining 12 queue for r9),
-# plus 14 slots for the round's changes (first contact for
-# streaming_psi_bins — the catalog's only zero-evidence query — and the
-# seven NEW r8 queries, plus one regression guard per rewritten path: the
-# shared drift-monitor preamble rewrote both numeric monitors, the BPE
-# NULL coalesce, the _query_lut_col signature + fused composed fits
-# cover both IVF-PQ probes, the session-evicting LSH pair-set cache).
-# The class-coverage requirement below reflects THIS composition: the
-# r4-r7-fresh tiers (window functions, setops, scan-agg, subquery, the
-# pipeline_ops family, most streaming) sit the round out.
+# Round-9 composition (VERDICT r8 tasks 1+9): the window rotates onto
+# ALL 46 queries whose latest driver evidence is round 3 or round 4 —
+# clearing the freshness queue entirely (after r9 no query's evidence
+# predates round 5) — plus 3 first contacts for the r9 additions (LSH
+# index append, streamed index growth, OPQ) and one regression guard for
+# the round's rewritten path (vector_pca_power — the _power_top_pc
+# extraction OPQ's rotation fit shares). The class-coverage requirement
+# below reflects THIS composition: the r5-r8-fresh tiers (window
+# functions, setops, scan-agg, subquery, most joins, the ANN serving
+# family) sit the round out.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_kmv_distinct", "agg_hll_distinct"],
-    "join": [
-        "join_q13_order_distribution",
-        "join_q18_large_orders",
-        "join_salted_skew",
+    "agg": ["agg_cms_heavy_hitters"],
+    "join": ["join_q9_product_profit"],
+    "events": [
+        "events_retention_cohort",
+        "events_ordered_funnel",
+        "events_multitouch_attribution",
     ],
-    "events": ["events_tumbling_day", "events_scd2_history"],
-    "text": ["text_langid", "text_tfidf_topterms", "text_line_dedup_rebuild"],
-    "dedup": [
-        "dedup_winnow_pairs",
-        "dedup_semantic",
-        "dedup_incremental_exact",
-        "dedup_cluster_lsh",
-        "dedup_incremental_lsh",
-        "text_passage_dedup_rebuild",
-    ],
-    "vector": [
-        "ann_ivfpq_topk",
-        "ann_ivfpq_residual_topk",
-        "ann_ivfpq_add_batch",
-        "ann_ivf_cell_stats",
-        "ann_ivf_rebalance",
-        "ann_ivfpq_filtered_topk",
-        "ann_ivf_delete",
-        "ann_ivfpq_persist_probe",
-        "knn_int8_rerank",
-    ],
-    "graph": ["graph_pagerank_dups"],
-    "multimodal": ["multimodal_decode_dims", "multimodal_pixel_stats"],
-    "stats": ["stats_psi_drift", "stats_ks_drift"],
+    "text": ["text_corpus_quality_report", "text_collocations_pmi"],
+    "dedup": ["dedup_lsh_index_append", "dedup_overlap_matrix"],
+    "vector": ["ann_opq_topk", "vector_pca_power"],
+    "graph": ["graph_triangle_count"],
+    "multimodal": ["multimodal_chunk_sample", "multimodal_audio_stats"],
+    "stats": ["stats_chi2_drift", "stats_histogram_profile", "stats_winsorize"],
     "curation": [
-        "curation_domain_mix",
-        "curation_bpe_encode",
-    ],  # curation_build_vocab + curation_tokenize_apply rotated to the r9 queue
-    "streaming": [
-        "streaming_psi_bins",
-        "streaming_ann_route",
-        "streaming_late_data_drop",
+        "curation_build_vocab",
+        "curation_tokenize_apply",
+        "curation_bpe_merges",
     ],
-    "pipeline": ["pipeline_corpus_curation"],
+    "streaming": [
+        "streaming_index_growth",
+        "streaming_dedup_replay",
+        "streaming_pii_redact",
+        "streaming_incremental_dedup",
+    ],
+    "pipeline": ["pipeline_rag_retrieval", "pipeline_quality_audit"],
 }
 
 
@@ -88,11 +71,11 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # The r8 rotation's r3-evidence tier is fully oracle-backed, and so
-    # are the round's eleven first contacts and six guards — the catalog's
-    # two BY-DESIGN rows-only entries (agg_approx_sketches,
-    # multimodal_features) hold fresh r7 driver rows and sit this round
-    # out, so EVERY window member is oracle-backed.
+    # The r9 rotation's r3/r4-evidence tiers are fully oracle-backed, and
+    # so are the round's three first contacts and the guard — the
+    # catalog's two BY-DESIGN rows-only entries (agg_approx_sketches,
+    # multimodal_features) hold r7 driver rows and sit this round out, so
+    # EVERY window member is oracle-backed.
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}
     assert rows_only == set()
 

@@ -68,93 +68,78 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-8 composition (VERDICT r7 tasks 1+2): rotate the window onto
-    # the OLDEST evidence — 33 of the 48 queries whose latest driver row
-    # is round-3, taken in catalog registration order (the remaining 15 —
-    # events_retention_cohort, text_corpus_quality_report,
-    # multimodal_chunk_sample,
-    # curation_upsample_epochs, curation_decontaminate_exact,
-    # curation_decontaminate_ngram, curation_build_vocab,
-    # curation_tokenize_apply, curation_bpe_merges, curation_chunk_windows,
-    # curation_weighted_sample, pipeline_rag_retrieval,
-    # streaming_dedup_replay, streaming_pii_redact,
-    # streaming_incremental_dedup — are the r9 rotation; every other
-    # registered query holds a fresher r4-r7 driver green and remains
-    # covered by the full-catalog local mirror at sf0.001) — plus 17 slots
-    # for this round's changes: first driver contact for streaming_psi_bins
-    # (the catalog's only zero-evidence query, VERDICT r7 task 1) and the
-    # ten NEW r8 queries (ExactSubstr passage REMOVAL rebuild, IVF-PQ
-    # frozen-model add-batch, frozen-index incremental near-dup probe,
-    # stream-routed ANN serving, IVF cell-occupancy audit, hot-cell
-    # rebalance split, watermark late-data drop, filtered vector search,
-    # IVF tombstone delete, persisted-artifact probe), and one regression
-    # guard per REWRITTEN
-    # path, each picked by its widest consumer (the shared drift-monitor
-    # preamble cache rewrote BOTH numeric monitors; the BPE encode NULL
-    # coalesce; the _query_lut_col signature + bounded expression cache
-    # and the fused composed fits cover both IVF-PQ probes; the
-    # session-keyed eviction on the shared LSH pair-set cache).
-    # 33 + 17 = the 50-slot window exactly; after this round, 15 registered
-    # queries' latest driver evidence predates round 4 (vs the task's
-    # done-bar of <= ~10; a zero-evidence NEW query outranks an
-    # evidence-freshness rotation slot, per VERDICT r7's own ordering —
-    # the overflow is exactly the five slots the round's extra new
-    # queries took), all fifteen queued for r9.
+    # Round-9 composition (VERDICT r8 tasks 1+9): clear the evidence
+    # queue ENTIRELY — all 15 round-3 greens plus all 31 round-4 greens
+    # rotate in (46 slots, catalog registration order), so after this
+    # round no registered query's latest driver evidence predates round
+    # 5. The remaining 4 slots: first driver contact for the three r9
+    # additions (LSH index append — the dedup FAISS-add analog; streamed
+    # IVF-PQ index growth — the 11th real streaming execution, closing
+    # persist+add+serve into one loop; OPQ — learned rotation before
+    # PQ), and one regression guard for the round's REWRITTEN path:
+    # vector_pca_power, whose scatter/power machinery was extracted into
+    # the shared _power_top_pc helper that the OPQ rotation fit now
+    # consumes (also the oldest-evidence row the guard budget can
+    # refresh — r5). New-query registrations were capped at exactly what
+    # fits WITHOUT deferring rotation (task 9): 3 + 1 + 46 = the 50-slot
+    # window exactly, zero deferrals. Every other registered query holds
+    # an r5-r8 driver green and remains covered by the full-catalog
+    # local mirror at sf0.001 (tests/test_queries_oracle.py).
     #
-    # -- r8 first driver contact --
-    "streaming_psi_bins",           # 8th real streaming execution (r7-new)
-    "text_passage_dedup_rebuild",   # ExactSubstr passage REMOVAL (r8-new)
-    "ann_ivfpq_add_batch",          # frozen-model FAISS add (r8-new)
-    "dedup_incremental_lsh",        # frozen-index near-dup probe (r8-new)
-    "streaming_ann_route",          # 9th streaming execution: ANN serving (r8-new)
-    "ann_ivf_cell_stats",           # inverted-list occupancy audit (r8-new)
-    "ann_ivf_rebalance",            # hot-cell split (r8-new)
-    "streaming_late_data_drop",     # 10th streaming execution: real watermark drop (r8-new)
-    "ann_ivfpq_filtered_topk",      # allow-list filtered vector search (r8-new)
-    "ann_ivf_delete",               # tombstone remove_ids + compaction audit (r8-new)
-    "ann_ivfpq_persist_probe",      # probe the persisted parquet artifact (r8-new)
-    # -- r8-touched regression guards --
-    "stats_psi_drift",              # value-grain boundaries off shared cum
-    "stats_ks_drift",               # shared preamble + literal totals
-    "curation_bpe_encode",          # NULL-text coalesce (ADVICE r7)
-    "ann_ivfpq_topk",               # fused composed fit + lut signature
-    "ann_ivfpq_residual_topk",      # fused residual fit
-    "dedup_cluster_lsh",            # session-evicting shared pair-set cache
-    # -- oldest-evidence rotation: 33 of the 48 round-3 greens,
+    # -- r9 first driver contact --
+    "dedup_lsh_index_append",       # LSH index APPEND audit (r9-new)
+    "streaming_index_growth",       # 11th streaming execution: index growth (r9-new)
+    "ann_opq_topk",                 # OPQ rotated product quantization (r9-new)
+    # -- r9-touched regression guard --
+    "vector_pca_power",             # _power_top_pc extraction (shared w/ OPQ)
+    # -- oldest-evidence rotation: all 15 r3 + all 31 r4 greens,
     # registration order --
-    "join_q13_order_distribution",
-    "join_q17_small_quantity",
-    "join_q18_large_orders",
-    "join_q22_dormant_customers",
-    "join_q8_market_share",
-    "join_q15_top_supplier",
-    "join_q21_waiting_supplier",
-    "join_salted_skew",
-    "events_tumbling_day",
-    "events_dedup_latest",
-    "events_watermark",
-    "events_scd2_history",
-    "events_variant_extract",
-    "text_langid",
-    "text_repetition_signals",
-    "text_quality_filter",
-    "text_classifier_score",
-    "text_line_dedup_rebuild",
-    "text_tfidf_topterms",
-    "text_langid_margin",
-    "text_winnow_fingerprint",
-    "dedup_winnow_pairs",
-    "dedup_semantic",
-    "pipeline_corpus_curation",
-    "graph_pagerank_dups",
-    "dedup_incremental_exact",
-    "dedup_sorted_neighborhood",
-    "knn_int8_rerank",
-    "agg_kmv_distinct",
-    "agg_hll_distinct",
-    "multimodal_decode_dims",
-    "multimodal_pixel_stats",
-    "curation_domain_mix",
+    "agg_cms_heavy_hitters",
+    "window_cumulative_distinct",
+    "join_q9_product_profit",
+    "events_retention_cohort",
+    "events_gapfill_hourly",
+    "events_outliers_mad",
+    "events_ordered_funnel",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "events_unpivot",
+    "events_multitouch_attribution",
+    "events_markov_eval",
+    "text_corpus_quality_report",
+    "text_collocations_pmi",
+    "text_langid_confusion",
+    "text_zipf_slope",
+    "graph_triangle_count",
+    "dedup_overlap_matrix",
+    "curation_contrastive_pairs",
+    "pipeline_quality_audit",
+    "pipeline_partition_checksum",
+    "pipeline_key_skew_report",
+    "pipeline_snapshot_diff",
+    "pipeline_incremental_aggregate",
+    "stats_histogram_profile",
+    "multimodal_chunk_sample",
+    "multimodal_audio_stats",
+    "curation_upsample_epochs",
+    "curation_decontaminate_exact",
+    "curation_decontaminate_ngram",
+    "curation_build_vocab",
+    "curation_tokenize_apply",
+    "curation_bpe_merges",
+    "curation_chunk_windows",
+    "curation_weighted_sample",
+    "pipeline_rag_retrieval",
+    "curation_budget_apportion",
+    "curation_dataset_card",
+    "streaming_dedup_replay",
+    "streaming_pii_redact",
+    "streaming_incremental_dedup",
+    "stats_chi2_drift",
+    "events_ewma_daily",
+    "stats_winsorize",
+    "text_entropy_by_source",
+    "events_anomaly_zscore",
 )
 
 
