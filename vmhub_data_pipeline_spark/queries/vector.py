@@ -2071,8 +2071,16 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ivfpq_index_cached`` keeps ``label`` beside each m-byte code —
     how a serving table actually lays it out), so filtered search is a
     scan-side predicate on the RESIDENT index under the probe-cell join
-    (plan-gated in tests/test_plans.py): ~selectivity x the unfiltered
-    probe's cost, zero re-encode, zero extra shuffle. The re-rank reads
+    (plan-gated in tests/test_plans.py): candidate/ADC volume is bounded
+    to ~selectivity of the lists, zero re-encode, zero extra shuffle.
+    MEASURED against the same-sf unfiltered probe (both in BENCH_DETAIL
+    r9, warm 16-cell index, sf0.1): filtered 1.83 s vs unfiltered
+    1.44 s — at fixture scale the per-query constants (LUT build, probe
+    prep, re-rank) dominate and the predicate adds ~27% rather than
+    saving, so the selectivity bound is a CANDIDATE-VOLUME guarantee
+    that pays off when the lists are corpus-sized, not a fixture-scale
+    latency win; the result that stands at any scale is rejecting the
+    17.9 s in-plan re-encode first cut. The re-rank reads
     the unfiltered raw store — the shortlist already contains only
     allowed ids. Oracle: the shared ``_ivfpq_ann_oracle`` replay with
     the allow-list joined into its candidate CTE — fit text identical to
