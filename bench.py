@@ -167,10 +167,11 @@ HEADLINE = [
 #   ann_coarse_fit + the ann_ivfpq_probe scaling exponent; join keeps
 #   q3/q5/asof in the line, curation keeps global_shuffle, text keeps
 #   langid/perplexity),
-#   dedup_semantic + dedup_exact_substring + multimodal_audio_energy
-#   (r9: made room for the ann_opq fit/probe labels + the noise_p90
-#   field; dedup keeps exact / minhash / cluster in the line, the
-#   multimodal tier's 3-run-median history continues in BENCH_DETAIL).
+#   dedup_semantic + dedup_exact_substring + multimodal_audio_energy +
+#   text_perplexity_filter (r9: made room for the ann_opq fit/probe +
+#   ann_opq_rotation_fit labels + the noise_p90 field; dedup keeps
+#   exact / minhash / cluster in the line, text keeps langid, the
+#   rotated tiers' 5-run-median history continues in BENCH_DETAIL).
 LINE_QUERIES = [
     "q1_pricing_summary",
     "daily_revenue",
@@ -188,7 +189,6 @@ LINE_QUERIES = [
     "streaming_interval_join",
     "dedup_cluster_lsh",
     "curation_global_shuffle",
-    "text_perplexity_filter",
     "vector_pca_power",
     "stats_psi_drift",
 ]
@@ -493,13 +493,36 @@ def main() -> None:
         f"ann_coarse_fit: {secondary['ann_coarse_fit']:.3f}s",
         file=sys.stderr,
     )
+    from vmhub_data_pipeline_spark.queries.vector import _PROBE_FRAME_CACHE
+
     for fit_label, probe_label, kind in ANN_SPLIT:
         cache, fit_fn, probe_query = ann_kinds[kind]
         cache.clear()
+        # the compiled probe plan binds the index it was built against —
+        # clearing the index cache without it would leave the probe
+        # timing the PREVIOUS index's (still-resident) checkpoint
+        _PROBE_FRAME_CACHE.clear()
         if kind == "opq":
-            # the OPQ fit line covers the FULL cold fit: rotation model
-            # (scatter + power iteration + energy pass) + sub-codebooks
+            # the rotation model (scatter + power iteration + energy
+            # pass) is its own artifact (opq_model_cached — the
+            # OPQMatrix of the FAISS chain), reported apart so
+            # ann_opq_fit measures the MARGINAL cost against a warm
+            # rotation: transform + sub-codebook fit + encode
             _OPQ_MODEL_CACHE.clear()
+            t0 = time.perf_counter()
+            from vmhub_data_pipeline_spark.queries.vector import (
+                opq_model_cached,
+            )
+
+            opq_model_cached(spark, sec_dir)
+            secondary["ann_opq_rotation_fit"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(
+                f"# [secondary sf{sec_sf}] ann_opq_rotation_fit: "
+                f"{secondary['ann_opq_rotation_fit']:.3f}s",
+                file=sys.stderr,
+            )
         t0 = time.perf_counter()
         fit_fn(spark, sec_dir)
         secondary[fit_label] = round(time.perf_counter() - t0, 3)

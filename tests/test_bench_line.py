@@ -29,6 +29,7 @@ def _worst_case_line() -> str:
         secondary[probe_label] = 88.88
     secondary["ann_coarse_fit"] = 88.88
     secondary["ann_books_fit"] = 88.88
+    secondary["ann_opq_rotation_fit"] = 88.88
     scaling = {
         n: -1.88
         for n in bench.SCALING_TABLES

@@ -2124,12 +2124,13 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~selectivity of the lists, zero re-encode, zero extra shuffle.
     MEASURED against the same-sf unfiltered probe (both in BENCH_DETAIL
     r9, warm 16-cell index + compiled probe plan, sf0.1): filtered
-    1.75 s vs unfiltered 1.17 s — at fixture scale the per-query
-    constants (probe prep, shortlist windows, re-rank) dominate and the
-    predicate adds ~50% rather than
-    saving, so the selectivity bound is a CANDIDATE-VOLUME guarantee
+    1.06 s vs unfiltered 1.12 s — statistically indistinguishable at
+    the fixture's 2,000-vector corpus (consecutive idle runs read
+    1.75-vs-1.17 then 1.06-vs-1.12, both inside the recorded
+    headline_spread noise bands), so the selectivity bound is a
+    CANDIDATE-VOLUME guarantee
     that pays off when the lists are corpus-sized, not a fixture-scale
-    latency win; the result that stands at any scale is rejecting the
+    latency delta; the result that stands at any scale is rejecting the
     17.9 s in-plan re-encode first cut. The re-rank reads
     the unfiltered raw store — the shortlist already contains only
     allowed ids. Oracle: the shared ``_ivfpq_ann_oracle`` replay with
