@@ -147,6 +147,23 @@ HEADLINE = [
     # (detail-only; first rep pays persist+copy+stream, remaining reps
     # are checkpoint-no-op stream restart + reloaded-lists probe)
     "streaming_index_growth",
+    # r10: incremental probe from the PERSISTED dedup artifact
+    # (detail-only; first rep pays the parquet write of the warm index,
+    # remaining reps are reload+probe — the dedup sibling of
+    # ann_ivfpq_persist_probe, directly comparable to
+    # dedup_incremental_lsh's resident-index probe above)
+    "dedup_lsh_persist_probe",
+    # r10: tombstone remove_ids for the dedup index — broadcast anti-join
+    # compaction audit at ~1% selectivity (detail-only; band-grain output)
+    "dedup_lsh_index_delete",
+    # r10: streamed LSH index growth — 12th real streaming execution
+    # (detail-only; first rep pays persist+seed+stream, remaining reps
+    # are checkpoint-no-op stream restart + reloaded-index probe)
+    "streaming_lsh_index_growth",
+    # r10: IVF-OPQ — the learned rotation composed with the coarse-celled
+    # layout (detail-only; probes the warm composed index, comparable to
+    # ann_ivfpq_topk above plus the per-row transform)
+    "ann_ivfopq_topk",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -396,6 +413,45 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # r10: the headline-sf composed IVF-OPQ fit (rotation model +
+    # transformed corpus + books + rotated-space coarse cells), its own
+    # detail build line so the ann_ivfopq_topk headline entry measures
+    # warm-marginal probe cost — the ann_ivfpq_fit_headline convention.
+    from vmhub_data_pipeline_spark.queries.vector import (
+        ivfopq_index_cached as _ivfopq_cached,
+    )
+
+    t0 = time.perf_counter()
+    _ivfopq_cached(spark, sf_dir)
+    build_detail["ann_ivfopq_fit_headline"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [build sf{sf}, detail-only] ann_ivfopq_fit_headline: "
+        f"{build_detail['ann_ivfopq_fit_headline']:.3f}s",
+        file=sys.stderr,
+    )
+
+    # r10 (VERDICT r9 task 8): the drift tier's shared preamble — the
+    # value-grain cumulative artifact (_orders_cents_cum) plus the frozen
+    # PSI decile binner — timed as its own build line so stats_psi_drift
+    # and stats_ks_drift below are labeled warm-marginal monitoring cost
+    # (the lsh_index_build convention). Detail-only.
+    from vmhub_data_pipeline_spark.operators.sampling import _PREAMBLE_CACHE
+    from vmhub_data_pipeline_spark.queries.stats import (
+        _PSI_BOUNDS_CACHE,
+        psi_bounds_cached,
+    )
+
+    _PREAMBLE_CACHE.clear()
+    _PSI_BOUNDS_CACHE.clear()
+    t0 = time.perf_counter()
+    psi_bounds_cached(spark, sf_dir)
+    build_detail["drift_preamble_build"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [build sf{sf}, detail-only] drift_preamble_build: "
+        f"{build_detail['drift_preamble_build']:.3f}s",
+        file=sys.stderr,
+    )
+
     def run_once(name: str, d: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         n = qs[name](spark, d).count()
@@ -544,6 +600,32 @@ def main() -> None:
     print(
         f"# [secondary sf{sec_sf}, detail-only] ann_ivfpq_add_batch: "
         f"{sec_detail['ann_ivfpq_add_batch']:.3f}s",
+        file=sys.stderr,
+    )
+
+    # r10: the composed IVF-OPQ fit/probe split — detail-only (BENCH_DETAIL
+    # via sec_detail; the stdout line has ~34 bytes of headroom left and
+    # the fit/probe convention's history lives in BENCH_DETAIL either
+    # way). The fit is MARGINAL against the warm shared artifacts (the
+    # rotation model + transformed corpus + books are opq's, already fit
+    # above): only the rotated-space coarse quantizer + encode scan run.
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _IVFOPQ_INDEX_CACHE,
+        ivfopq_index_cached,
+    )
+
+    _IVFOPQ_INDEX_CACHE.clear()
+    _PROBE_FRAME_CACHE.clear()
+    t0 = time.perf_counter()
+    ivfopq_index_cached(spark, sec_dir)
+    sec_detail["ann_ivfopq_fit"] = round(time.perf_counter() - t0, 3)
+    sec_detail["ann_ivfopq_probe"] = round(
+        median_run("ann_ivfopq_topk", sec_dir), 3
+    )
+    print(
+        f"# [secondary sf{sec_sf}, detail-only] ann_ivfopq_fit: "
+        f"{sec_detail['ann_ivfopq_fit']:.3f}s, ann_ivfopq_probe: "
+        f"{sec_detail['ann_ivfopq_probe']:.3f}s",
         file=sys.stderr,
     )
 

@@ -1046,25 +1046,96 @@ def test_incremental_lsh_asymmetric_never_cartesian(spark, sf_dir):
 
 
 def test_lsh_append_audit_is_asymmetric(spark, sf_dir):
-    """dedup_lsh_index_append (r9): the frozen side must come from the
-    maintained checkpointed index (ExistingRDD scans — zero signature
-    recompute of the old corpus), and the ONLY document scans are the
-    batch side with the cutoff pushed into the parquet reader — so the
-    append costs O(batch x signature), never O(corpus)."""
+    """dedup_lsh_index_append (r9; rewritten r10, VERDICT r9 task 6):
+    EVERY audit branch consumes the checkpointed grown index
+    (ExistingRDD scans only) — the batch's signatures were computed
+    exactly once, inside lsh_index_appended's build (itself a
+    pushed-filter batch scan), so the audit plan contains ZERO document
+    scans and ZERO signature expressions (the r9 shape re-derived
+    minhash_banded once per audit branch, three times total)."""
     df = Q["dedup_lsh_index_append"].fn(spark, sf_dir)
     plan = explain_str(df)
     assert "ExistingRDD" in plan, plan
-    assert has_pushed_filters(df, "GreaterThanOrEqual(doc_id"), plan
-    # no unfiltered documents scan: every parquet scan of documents
-    # carries the batch-cutoff pushdown
-    scans = [
+    simple = explain_str(df, "simple")
+    doc_scans = [
         ln
-        for ln in explain_str(df, "simple").splitlines()
+        for ln in simple.splitlines()
         if "parquet" in ln and "documents" in ln
     ]
-    assert scans, plan
-    assert all("GreaterThanOrEqual(doc_id" in ln for ln in scans), scans
+    assert not doc_scans, doc_scans
+    # no signature recompute anywhere in the audit: the minhash chain's
+    # shingling/hash expressions never appear
+    for sig_expr in ("md5(", "posexplode", "slice("):
+        assert sig_expr not in plan, sig_expr
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_persist_probe_reads_reloaded_parquet_with_pushdown(spark, sf_dir):
+    """dedup_lsh_persist_probe (r10): the probe must run ENTIRELY from
+    the reloaded artifact — every index scan is a parquet scan of the
+    persisted dirs (zero ExistingRDD: touching the resident checkpoint
+    would void the round-trip claim), both probe legs carry the batch
+    cutoff pushed into the reader, and no signature expression appears
+    anywhere (signatures live in the artifact)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["dedup_lsh_persist_probe"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ExistingRDD" not in plan, plan
+    assert has_pushed_filters(df, "GreaterThanOrEqual(id"), plan
+    assert has_pushed_filters(df, "LessThan(id"), plan
+    for sig_expr in ("md5(", "posexplode"):
+        assert sig_expr not in plan, sig_expr
+    assert "CartesianProduct" not in plan
+    assert single_partition_window_count(df) == 0
+
+
+def test_lsh_delete_is_broadcast_anti_join(spark, sf_dir):
+    """dedup_lsh_index_delete (r10): the tombstone retraction must ride
+    BROADCAST left-anti hash joins over the checkpointed index rows —
+    never a sort-merge shuffle of the index, never a nested loop — and
+    no signature work appears (deleting rows never re-signs anything),
+    the ann_ivf_delete posture."""
+    df = Q["dedup_lsh_index_delete"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for sig_expr in ("md5(", "posexplode"):
+        assert sig_expr not in plan, sig_expr
+
+
+def test_streamed_lsh_growth_probe_is_asymmetric_reloaded(spark, sf_dir):
+    """streaming_lsh_index_growth (r10): the post-growth probe reads the
+    RELOADED grown parquets (no ExistingRDD — the resident index is not
+    consulted), joins at band grain (equi-join, never cartesian), and
+    its windows stay candidate/query grain."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["streaming_lsh_index_growth"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ExistingRDD" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert single_partition_window_count(df) == 0
+
+
+def test_ivfopq_probe_joins_on_cells_not_scan(spark, sf_dir):
+    """ann_ivfopq_topk (r10): the composed rotated-space probe must keep
+    the exact celled contract its IVF-PQ parent pins — code-table access
+    is a bucket equi-join over the probed cells, windows stay
+    query-grain, and no Python evaluator appears (the transform is pure
+    JVM expressions)."""
+    from vmhub_data_pipeline_spark.plans import single_partition_window_count
+
+    df = Q["ann_ivfopq_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert single_partition_window_count(df) == 0
 
 
 def test_streamed_growth_probe_joins_on_cells_not_scan(spark, sf_dir):

@@ -1,0 +1,271 @@
+"""Round-10 pins: LSH index persist round-trip, tombstone delete
+retraction, streamed LSH index growth (12th streaming execution),
+IVF-OPQ composition, and the growth streams' loud-timeout contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vmhub_data_pipeline_spark import queries as catalog
+from vmhub_data_pipeline_spark.queries.dedup import (
+    _lsh_batch_cut,
+    lsh_index_appended,
+    lsh_index_cached,
+    lsh_index_deleted,
+    lsh_index_persisted,
+)
+
+catalog._load_all()
+Q = catalog.REGISTRY
+
+
+def _same_rowset(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# --- task 2: persisted dedup index ---------------------------------------
+
+
+def test_lsh_persisted_round_trips_losslessly(spark, sf_dir):
+    """The reloaded banded rows and shingle sets are row-identical to the
+    resident index — parquet is lossless for every column, no signature
+    recompute happens on load."""
+    r_banded, r_toks = lsh_index_persisted(spark, sf_dir)
+    m_banded, m_toks = lsh_index_cached(spark, sf_dir)
+    assert _same_rowset(r_banded, m_banded)
+    assert _same_rowset(r_toks, m_toks)
+
+
+def test_lsh_persist_probe_row_equal_to_resident(spark, sf_dir):
+    """The probe from the reloaded artifact must serve the EXACT result
+    the resident-index probe serves — the dedup analog of
+    ann_ivfpq_persist_probe's byte-identity pin."""
+    assert _same_rowset(
+        Q["dedup_lsh_persist_probe"].fn(spark, sf_dir),
+        Q["dedup_incremental_lsh"].fn(spark, sf_dir),
+    )
+
+
+# --- task 3: tombstone delete --------------------------------------------
+
+
+def test_lsh_delete_purges_tombstoned_ids(spark, sf_dir):
+    """No surviving index row — band rows or shingle sets — carries a
+    tombstoned document id."""
+    s_banded, s_toks = lsh_index_deleted(spark, sf_dir, modulus=97)
+    assert s_banded.filter(F.col("id") % 97 == 0).isEmpty()
+    assert s_toks.filter(F.col("id") % 97 == 0).isEmpty()
+
+
+def test_lsh_delete_retraction_is_observable(spark, sf_dir):
+    """A probe document duplicating a tombstoned document finds it in the
+    resident index (identical text, band collision on every band) and no
+    longer finds it after the delete — the remove_ids contract is
+    visible from the probe side, not just the audit."""
+    from vmhub_data_pipeline_spark.operators.dedup import (
+        band_candidates,
+        minhash_banded,
+    )
+    from vmhub_data_pipeline_spark.tables import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    target = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .limit(1)
+        .collect()[0]
+    )
+    probe = spark.createDataFrame(
+        [(-1, target["text"])], "doc_id BIGINT, text STRING"
+    )
+    probe_banded = minhash_banded(probe, "doc_id", "text", portable=True)
+
+    resident, _ = lsh_index_cached(spark, sf_dir)
+    before = {
+        r["hit_id"]
+        for r in band_candidates(
+            probe_banded, resident, "probe_id", "hit_id", ordered=False
+        ).collect()
+    }
+    assert target["doc_id"] in before
+
+    surviving, _ = lsh_index_deleted(spark, sf_dir, modulus=97)
+    after = {
+        r["hit_id"]
+        for r in band_candidates(
+            probe_banded, surviving, "probe_id", "hit_id", ordered=False
+        ).collect()
+    }
+    assert target["doc_id"] not in after
+
+
+def test_lsh_delete_audit_row_shape(spark, sf_dir):
+    """One row per band; conservation (before - removed = after) and
+    bucket monotonicity hold on every row, and the delete batch actually
+    removed something at ~1% selectivity."""
+    rows = Q["dedup_lsh_index_delete"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    total_removed = 0
+    for r in rows:
+        assert r["rows_before"] - r["rows_removed"] == r["rows_after"]
+        assert 0 <= r["rows_removed"] <= r["rows_before"]
+        assert r["buckets_after"] <= r["buckets_before"]
+        assert 0 <= r["buckets_emptied"] <= r["rows_removed"]
+        total_removed += r["rows_removed"]
+    assert total_removed > 0
+
+
+# --- task 4: streamed LSH index growth (12th streaming execution) ---------
+
+
+def test_streamed_lsh_growth_row_equal_to_batch_append(spark, sf_dir):
+    """The streamed-grown parquets must hold EXACTLY the rows the
+    batch-built grown index holds (lsh_index_appended — itself pinned
+    append ≡ rebuild): streaming machinery may not perturb a single
+    band row or shingle set."""
+    from vmhub_data_pipeline_spark.queries.streaming_queries import (
+        _GROWN_LSH,
+    )
+
+    Q["streaming_lsh_index_growth"].fn(spark, sf_dir).count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grown = _GROWN_LSH[key]
+    g_banded = spark.read.parquet(f"{grown}/banded")
+    g_toks = spark.read.parquet(f"{grown}/toks")
+    b_banded, b_toks = lsh_index_appended(spark, sf_dir)
+    assert _same_rowset(g_banded, b_banded)
+    assert _same_rowset(g_toks, b_toks)
+
+
+def test_streamed_lsh_growth_exactly_once_and_multibatch(spark, sf_dir):
+    """Appends are exactly-once across clean re-invocations (a second run
+    replays nothing — row counts stable in BOTH parquets) and the
+    checkpoint's commit log shows >1 micro-batch actually ran."""
+    import os
+
+    from vmhub_data_pipeline_spark.queries.streaming_queries import (
+        _GROWN_LSH,
+    )
+
+    Q["streaming_lsh_index_growth"].fn(spark, sf_dir).count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grown = _GROWN_LSH[key]
+    n1 = (
+        spark.read.parquet(f"{grown}/banded").count(),
+        spark.read.parquet(f"{grown}/toks").count(),
+    )
+    Q["streaming_lsh_index_growth"].fn(spark, sf_dir).count()
+    n2 = (
+        spark.read.parquet(f"{grown}/banded").count(),
+        spark.read.parquet(f"{grown}/toks").count(),
+    )
+    assert n1 == n2, f"re-run appended rows: {n1} -> {n2}"
+    commits = os.listdir(os.path.join(grown, "_ckpt", "commits"))
+    assert {"0", "1"} <= {c for c in commits if not c.startswith(".")}
+
+
+def test_streamed_lsh_growth_surfaces_batch_vs_batch_dups(spark, sf_dir):
+    """Index growth is observable from the probe: the grown-index probe
+    (whole index, self excluded) reports near-dups for documents the
+    FROZEN-index probe (dedup_incremental_lsh) reports clean — exactly
+    the batch-vs-batch duplicates appending is for (2 such docs at
+    sf0.001), and it never reports fewer matches than the frozen probe."""
+    frozen = {
+        r["doc_id"]: r["n_old_matches"]
+        for r in Q["dedup_incremental_lsh"].fn(spark, sf_dir).collect()
+    }
+    grown = {
+        r["doc_id"]: r["n_index_matches"]
+        for r in Q["streaming_lsh_index_growth"].fn(spark, sf_dir).collect()
+    }
+    assert set(frozen) == set(grown)
+    assert all(grown[d] >= frozen[d] for d in grown)
+    newly_dup = [d for d in grown if grown[d] > 0 and frozen[d] == 0]
+    assert newly_dup, "no batch-vs-batch duplicate surfaced by growth"
+
+
+# --- task 7: growth streams fail loudly on timeout ------------------------
+
+
+def test_streaming_index_growth_timeout_fails_loudly(spark, sf_dir):
+    """awaitTermination's return is checked: a too-slow growth stream
+    raises instead of silently probing a partially-grown index (VERDICT
+    r9 task 7 / ADVICE r9). Warm the growth dir first so the tiny-timeout
+    restart has nothing left to append — the raise must come from the
+    timeout check, never from a partial state."""
+    Q["streaming_index_growth"].fn(spark, sf_dir).count()
+    with pytest.raises(RuntimeError, match="did not finish"):
+        Q["streaming_index_growth"].fn(spark, sf_dir, _timeout=0.001)
+
+
+def test_streaming_lsh_growth_timeout_fails_loudly(spark, sf_dir):
+    """Same loud-failure contract for the dedup growth stream."""
+    Q["streaming_lsh_index_growth"].fn(spark, sf_dir).count()
+    with pytest.raises(RuntimeError, match="did not finish"):
+        Q["streaming_lsh_index_growth"].fn(spark, sf_dir, _timeout=0.001)
+
+
+# --- task 5: IVF-OPQ composition ------------------------------------------
+
+
+def test_ivfopq_recall_at_least_plain_ivfpq(spark, sf_dir):
+    """Rotating before cell assignment may not LOSE recall against plain
+    IVF-PQ on the sf0.001 fixture (r10 measured: 0.46 vs 0.40; at sf0.01
+    the difference sits inside codebook noise — 0.44 vs 0.46 — so the
+    pin is fixture-scoped, the test_opq_recall convention)."""
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip(
+            "IVF-OPQ-vs-IVF-PQ recall pin holds on the sf0.001 fixture "
+            "only; other sfs show the docstring's noise picture"
+        )
+    from tests.test_r9_queries import _recall_at_5
+
+    assert _recall_at_5(spark, sf_dir, "ann_ivfopq_topk") >= _recall_at_5(
+        spark, sf_dir, "ann_ivfpq_topk"
+    )
+
+
+def test_ivfopq_shares_rotation_model_and_books_with_flat_opq(spark, sf_dir):
+    """The composed index consumes the SHARED flat-OPQ artifacts — same
+    rotation model object, same sub-codebooks — so the two layouts can
+    never train divergent models (the coarse_cents_cached discipline
+    applied to the transform)."""
+    from vmhub_data_pipeline_spark.queries.vector import (
+        ivfopq_index_cached,
+        opq_index_cached,
+        opq_model_cached,
+    )
+
+    w, perm = opq_model_cached(spark, sf_dir)
+    ow, operm, obooks, _q, _c, _codes = opq_index_cached(spark, sf_dir)
+    cw, cperm, _cents, cbooks, _rq, _rc, _idx = ivfopq_index_cached(
+        spark, sf_dir
+    )
+    assert cw is w and cperm is perm
+    assert ow is w and operm is perm
+    assert cbooks is obooks
+
+
+def test_ivfopq_queries_ranked_like_raw_space(spark, sf_dir):
+    """Orthogonality end-to-end: every cosine the composed probe reports
+    equals the raw-space cosine of the same (query, corpus) pair to 4dp
+    — the property that makes IVF-OPQ answer the same question as every
+    other ANN entry."""
+    from vmhub_data_pipeline_spark.operators.similarity import cosine_expr
+    from vmhub_data_pipeline_spark.queries.vector import _pq_unit_corpus
+
+    got = Q["ann_ivfopq_topk"].fn(spark, sf_dir).collect()
+    q, c = _pq_unit_corpus(spark, sf_dir)
+    qa = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    ca = c.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    raw = {
+        (r["qid"], r["cid"]): r["cs"]
+        for r in qa.crossJoin(ca)
+        .select("qid", "cid", F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cs"))
+        .collect()
+    }
+    assert got
+    for r in got:
+        assert abs(raw[(r["query_id"], r["corpus_id"])] - r["cosine"]) <= 1e-4

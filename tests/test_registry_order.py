@@ -12,42 +12,47 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-9 composition (VERDICT r8 tasks 1+9): the window rotates onto
-# ALL 46 queries whose latest driver evidence is round 3 or round 4 —
-# clearing the freshness queue entirely (after r9 no query's evidence
-# predates round 5) — plus 3 first contacts for the r9 additions (LSH
-# index append, streamed index growth, OPQ) and one regression guard for
-# the round's rewritten path (vector_pca_power — the _power_top_pc
-# extraction OPQ's rotation fit shares). The class-coverage requirement
-# below reflects THIS composition: the r5-r8-fresh tiers (window
-# functions, setops, scan-agg, subquery, most joins, the ANN serving
-# family) sit the round out.
+# Round-10 composition (VERDICT r9 tasks 1-5): the window rotates onto
+# ALL 42 queries whose latest driver evidence is round 5 — after r10 no
+# query's evidence predates round 6 — plus 4 first contacts for the r10
+# additions (LSH persist probe / tombstone delete / streamed LSH growth
+# / IVF-OPQ), 2 regression guards for the rewritten paths
+# (dedup_lsh_index_append's single-signature-pass audit,
+# streaming_index_growth's loud-timeout contract), and the 2 spare slots
+# starting the r6 queue (q6_forecast_revenue, daily_revenue). The
+# class-coverage requirement below reflects THIS composition: the
+# r7-r9-fresh tiers (window functions, setops, subquery, most star
+# joins, most of the ANN serving family) sit the round out.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_cms_heavy_hitters"],
-    "join": ["join_q9_product_profit"],
+    "agg": ["agg_mode", "agg_kmv_merge", "agg_regression_trend"],
+    "join": ["join_feature_store_pit"],
     "events": [
-        "events_retention_cohort",
-        "events_ordered_funnel",
-        "events_multitouch_attribution",
+        "events_funnel",
+        "events_cdc_apply",
+        "events_ab_experiment",
     ],
-    "text": ["text_corpus_quality_report", "text_collocations_pmi"],
-    "dedup": ["dedup_lsh_index_append", "dedup_overlap_matrix"],
-    "vector": ["ann_opq_topk", "vector_pca_power"],
-    "graph": ["graph_triangle_count"],
-    "multimodal": ["multimodal_chunk_sample", "multimodal_audio_stats"],
-    "stats": ["stats_chi2_drift", "stats_histogram_profile", "stats_winsorize"],
+    "text": ["text_bm25_topk", "text_perplexity_filter"],
+    "dedup": [
+        "dedup_lsh_persist_probe",
+        "dedup_lsh_index_delete",
+        "dedup_lsh_index_append",
+        "dedup_exact_substring",
+    ],
+    "vector": ["ann_ivfopq_topk", "vector_centroids", "vector_drift_report"],
+    "graph": ["graph_label_propagation"],
+    "multimodal": ["multimodal_format_detect", "multimodal_video_frames"],
+    "stats": ["stats_kanonymity_audit", "stats_benford_audit"],
     "curation": [
-        "curation_build_vocab",
-        "curation_tokenize_apply",
-        "curation_bpe_merges",
+        "curation_temperature_mix",
+        "curation_cluster_split",
+        "curation_shard_manifest",
     ],
     "streaming": [
+        "streaming_lsh_index_growth",
         "streaming_index_growth",
-        "streaming_dedup_replay",
-        "streaming_pii_redact",
-        "streaming_incremental_dedup",
+        "streaming_cms_fold",
     ],
-    "pipeline": ["pipeline_rag_retrieval", "pipeline_quality_audit"],
+    "pipeline": ["pipeline_fk_integrity", "pipeline_rag_manifest"],
 }
 
 

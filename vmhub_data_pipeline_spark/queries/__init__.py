@@ -68,78 +68,79 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-9 composition (VERDICT r8 tasks 1+9): clear the evidence
-    # queue ENTIRELY — all 15 round-3 greens plus all 31 round-4 greens
-    # rotate in (46 slots, catalog registration order), so after this
-    # round no registered query's latest driver evidence predates round
-    # 5. The remaining 4 slots: first driver contact for the three r9
-    # additions (LSH index append — the dedup FAISS-add analog; streamed
-    # IVF-PQ index growth — the 11th real streaming execution, closing
-    # persist+add+serve into one loop; OPQ — learned rotation before
-    # PQ), and one regression guard for the round's REWRITTEN path:
-    # vector_pca_power, whose scatter/power machinery was extracted into
-    # the shared _power_top_pc helper that the OPQ rotation fit now
-    # consumes (also the oldest-evidence row the guard budget can
-    # refresh — r5). New-query registrations were capped at exactly what
-    # fits WITHOUT deferring rotation (task 9): 3 + 1 + 46 = the 50-slot
-    # window exactly, zero deferrals. Every other registered query holds
-    # an r5-r8 driver green and remains covered by the full-catalog
-    # local mirror at sf0.001 (tests/test_queries_oracle.py).
+    # Round-10 composition (VERDICT r9 tasks 1-5): rotate onto ALL 42
+    # queries whose latest driver evidence is round 5 — after this round
+    # no registered query's latest driver evidence predates round 6 —
+    # plus 4 first contacts for the r10 additions (the LSH index
+    # lifecycle brought to parity with the ANN tier: persisted-artifact
+    # probe, tombstone delete, streamed growth — the 12th real streaming
+    # execution — and IVF-OPQ, the learned rotation composed with the
+    # coarse-celled layout), 2 regression guards for the round's
+    # REWRITTEN paths (dedup_lsh_index_append — its audit now consumes
+    # the checkpointed grown index, one signature pass total, task 6;
+    # streaming_index_growth — the awaitTermination loud-failure
+    # contract, task 7), and the 2 spare slots starting the next-oldest
+    # (r6, 47 queries) queue in registration order. 4 + 2 + 42 + 2 = the
+    # 50-slot window exactly, zero deferrals — the same arithmetic that
+    # cleared r3/r4 in r9 and r5 here. Every other registered query
+    # holds an r6-r9 driver green and remains covered by the
+    # full-catalog local mirror at sf0.001 (tests/test_queries_oracle.py).
     #
-    # -- r9 first driver contact --
-    "dedup_lsh_index_append",       # LSH index APPEND audit (r9-new)
-    "streaming_index_growth",       # 11th streaming execution: index growth (r9-new)
-    "ann_opq_topk",                 # OPQ rotated product quantization (r9-new)
-    # -- r9-touched regression guard --
-    "vector_pca_power",             # _power_top_pc extraction (shared w/ OPQ)
-    # -- oldest-evidence rotation: all 15 r3 + all 31 r4 greens,
-    # registration order --
-    "agg_cms_heavy_hitters",
-    "window_cumulative_distinct",
-    "join_q9_product_profit",
-    "events_retention_cohort",
-    "events_gapfill_hourly",
-    "events_outliers_mad",
-    "events_ordered_funnel",
-    "events_markov_transitions",
-    "events_time_weighted_avg",
-    "events_unpivot",
-    "events_multitouch_attribution",
-    "events_markov_eval",
-    "text_corpus_quality_report",
-    "text_collocations_pmi",
-    "text_langid_confusion",
-    "text_zipf_slope",
-    "graph_triangle_count",
-    "dedup_overlap_matrix",
-    "curation_contrastive_pairs",
-    "pipeline_quality_audit",
-    "pipeline_partition_checksum",
-    "pipeline_key_skew_report",
-    "pipeline_snapshot_diff",
-    "pipeline_incremental_aggregate",
-    "stats_histogram_profile",
-    "multimodal_chunk_sample",
-    "multimodal_audio_stats",
-    "curation_upsample_epochs",
-    "curation_decontaminate_exact",
-    "curation_decontaminate_ngram",
-    "curation_build_vocab",
-    "curation_tokenize_apply",
-    "curation_bpe_merges",
-    "curation_chunk_windows",
-    "curation_weighted_sample",
-    "pipeline_rag_retrieval",
-    "curation_budget_apportion",
-    "curation_dataset_card",
-    "streaming_dedup_replay",
-    "streaming_pii_redact",
-    "streaming_incremental_dedup",
-    "stats_chi2_drift",
-    "events_ewma_daily",
-    "stats_winsorize",
-    "text_entropy_by_source",
-    "events_anomaly_zscore",
+    # -- r10 first driver contact --
+    "dedup_lsh_persist_probe",      # probe from the persisted dedup artifact (r10-new)
+    "dedup_lsh_index_delete",       # tombstone remove_ids for the dedup index (r10-new)
+    "streaming_lsh_index_growth",   # 12th streaming execution: dedup index growth (r10-new)
+    "ann_ivfopq_topk",              # OPQ rotation composed with IVF-PQ (r10-new)
+    # -- r10-touched regression guards --
+    "dedup_lsh_index_append",       # audit rewritten onto the checkpointed grown index
+    "streaming_index_growth",       # loud-timeout contract added
+    # -- oldest-evidence rotation: all 42 r5 greens, registration order --
+    "join_feature_store_pit",
+    "events_funnel",
+    "events_json_extract",
+    "events_pivot",
+    "events_cdc_apply",
+    "window_period_over_period",
+    "events_association_rules",
+    "events_ab_experiment",
+    "text_perplexity_filter",
+    "dedup_levenshtein_pairs",
+    "text_bm25_topk",
+    "text_bigram_lm_score",
+    "text_ngram_novelty",
+    "dedup_survivorship",
+    "graph_label_propagation",
+    "dedup_blocking_eval",
+    "dedup_exact_substring",
+    "dedup_dbscan_grid",
+    "vector_centroids",
+    "vector_norms",
+    "vector_quantize_int8",
+    "knn_mmr_diverse",
+    "vector_drift_report",
+    "pipeline_fk_integrity",
+    "pipeline_bloom_prefilter",
+    "case_bucketing",
+    "agg_kmv_merge",
+    "agg_mode",
+    "agg_gini_concentration",
+    "agg_bottomk_quantile_sketch",
+    "stats_kanonymity_audit",
+    "stats_benford_audit",
+    "agg_kmv_intersection",
+    "multimodal_format_detect",
+    "multimodal_video_frames",
+    "multimodal_audio_energy",
+    "pipeline_rag_manifest",
+    "curation_temperature_mix",
+    "curation_cluster_split",
+    "curation_shard_manifest",
+    "streaming_cms_fold",
+    "agg_regression_trend",
+    # -- next-oldest queue head: the 2 oldest r6 greens, registration
+    # order (the r6 tier is 47 strong; this starts its drain) --
+    "q6_forecast_revenue",
+    "daily_revenue",
 )
 
 

@@ -9,6 +9,8 @@ covered by unit tests against the exact variants in tests/test_operators.py.
 
 from __future__ import annotations
 
+import shutil as _shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -23,7 +25,7 @@ from ..operators.dedup import (
 )
 from ..tables import load
 from . import register
-from ..operators.caching import session_cache_put
+from ..operators.caching import session_cache_put, sweep_at_exit
 
 _EXACT_ORACLE = """
 SELECT
@@ -1028,6 +1030,69 @@ def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
     return cached
 
 
+def _incremental_probe(
+    docs: DataFrame, banded_idx: DataFrame, toks: DataFrame,
+    cut: int | None = None,
+) -> DataFrame:
+    """The shared asymmetric probe body: new batch (doc_id >= cut) vs the
+    frozen side of a maintained ``(banded, toks)`` index — band-join
+    candidates, exact-Jaccard verify at 0.9, per-new-doc rollup + best
+    match. One implementation serves the resident-index probe
+    (``dedup_incremental_lsh``) and the persisted-artifact probe
+    (``dedup_lsh_persist_probe``), so the two can only differ in WHERE
+    the index rows come from — which is the persist entry's whole claim.
+
+    ``cut=None`` derives the batch boundary in-plan (broadcast one-row
+    aggregate — right when the index is a resident checkpoint, which no
+    reader predicate could prune anyway); an explicit ``cut`` literal is
+    the persisted-artifact mode: both probe legs and the new-docs scan
+    carry a plain comparison the parquet reader can push."""
+    if cut is None:
+        cutoff = docs.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut"))
+        banded = banded_idx.crossJoin(F.broadcast(cutoff))
+        new_leg = banded.filter(F.col("id") >= F.col("cut"))
+        old_leg = banded.filter(F.col("id") < F.col("cut"))
+        newdocs = (
+            docs.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("doc_id") >= F.col("cut"))
+            .select("doc_id")
+        )
+    else:
+        new_leg = banded_idx.filter(F.col("id") >= F.lit(cut))
+        old_leg = banded_idx.filter(F.col("id") < F.lit(cut))
+        newdocs = docs.filter(F.col("doc_id") >= F.lit(cut)).select("doc_id")
+    cand = band_candidates(
+        new_leg,
+        old_leg,
+        "new_id",
+        "old_id",
+        ordered=False,  # new x old legs are disjoint by the cutoff
+    )
+    hits = jaccard_verify(cand, toks, "new_id", "old_id", 0.9)
+    agg = hits.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old_matches")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("best_new_id"), "old_id", "jaccard"
+        )
+    )
+    return (
+        newdocs.join(agg, newdocs["doc_id"] == agg["new_id"], "left")
+        .join(best, newdocs["doc_id"] == F.col("best_new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_old_matches", F.lit(0)).cast("long").alias("n_old_matches"),
+            F.col("old_id").alias("best_match_old_id"),
+            F.round("jaccard", 4).alias("best_jaccard"),
+            F.col("new_id").isNotNull().alias("is_near_dup_of_corpus"),
+        )
+    )
+
+
 @register(
     "dedup_incremental_lsh",
     oracle=_minhash_incremental_oracle(),
@@ -1057,42 +1122,83 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, and the best-match choice exactly."""
     (docs,) = load(spark, sf_dir, "documents")
     banded_idx, toks = lsh_index_cached(spark, sf_dir)
-    cutoff = docs.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut"))
-    banded = banded_idx.crossJoin(F.broadcast(cutoff))
-    cand = band_candidates(
-        banded.filter(F.col("id") >= F.col("cut")),
-        banded.filter(F.col("id") < F.col("cut")),
-        "new_id",
-        "old_id",
-        ordered=False,  # new x old legs are disjoint by the cutoff
-    )
-    hits = jaccard_verify(cand, toks, "new_id", "old_id", 0.9)
-    agg = hits.groupBy("new_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_old_matches")
-    )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("new_id").alias("best_new_id"), "old_id", "jaccard"
+    return _incremental_probe(docs, banded_idx, toks)
+
+
+# (app_id, sf_dir) -> scratch dir holding the PERSISTED dedup index
+# (banded/ the band-signature rows, toks/ the hashed shingle sets) — the
+# durable handoff between the offline signature job and the daily probe
+# job, mirroring the ANN tier's ivfpq_index_persisted artifact (r10,
+# VERDICT r9 task 2). Same lifecycle/keying discipline: evict-on-insert
+# plus a process-exit sweep.
+_LSH_DISK_CACHE: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: _shutil.rmtree(p, ignore_errors=True)
+)
+
+
+def lsh_index_persisted(spark: SparkSession, sf_dir: str) -> tuple:
+    """Persist the maintained LSH dedup index to parquet once per
+    (session, sf_dir), then LOAD it back — the dedup
+    ``write_index``/``read_index`` (the ANN tier's
+    ``ivfpq_index_persisted`` contract applied to near-dup state): the
+    band-signature rows and the hashed shingle sets both round-trip
+    through storage (plain BIGINT/STRING/array<string> columns — parquet
+    is lossless for all of them, so the reloaded index is row-identical
+    to the resident one, pinned in tests/test_r10_queries.py). Returns
+    ``(banded, toks)`` read from disk.
+
+    Scale shape: the write is paid once per corpus — at 100 TB the two
+    parquets ARE the maintained dedup table a daily pipeline mounts: the
+    banded rows join-pruned by (band_id, band_hash), the shingle sets
+    fetched for candidate rows only. Probing from the reloaded frames
+    keeps parquet's filter pushdown (the frozen-side ``id < cut`` cut
+    reaches the reader, which the resident checkpoint scan cannot do)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    scratch = _LSH_DISK_CACHE.get(key)
+    if scratch is None:
+        banded, toks = lsh_index_cached(spark, sf_dir)
+        scratch = tempfile.mkdtemp(prefix="vmhub_lshidx_")
+        banded.write.mode("overwrite").parquet(f"{scratch}/banded")
+        toks.write.mode("overwrite").parquet(f"{scratch}/toks")
+        session_cache_put(
+            _LSH_DISK_CACHE, key, scratch,
+            on_evict=lambda p: _shutil.rmtree(p, ignore_errors=True),
         )
-    )
-    newdocs = (
-        docs.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("doc_id") >= F.col("cut"))
-        .select("doc_id")
-    )
     return (
-        newdocs.join(agg, newdocs["doc_id"] == agg["new_id"], "left")
-        .join(best, newdocs["doc_id"] == F.col("best_new_id"), "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_old_matches", F.lit(0)).cast("long").alias("n_old_matches"),
-            F.col("old_id").alias("best_match_old_id"),
-            F.round("jaccard", 4).alias("best_jaccard"),
-            F.col("new_id").isNotNull().alias("is_near_dup_of_corpus"),
-        )
+        spark.read.parquet(f"{scratch}/banded"),
+        spark.read.parquet(f"{scratch}/toks"),
+    )
+
+
+@register(
+    "dedup_lsh_persist_probe",
+    oracle=_minhash_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental", "storage"),
+)
+def dedup_lsh_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup probe run ENTIRELY from the PERSISTED
+    dedup-index artifact (r10, VERDICT r9 task 2 — brings the LSH index
+    to lifecycle parity with ``ann_ivfpq_persist_probe``): band rows and
+    shingle sets are written to parquet once per (session, corpus) and
+    reloaded, and the probe consumes the reloaded frames through the
+    SAME ``_incremental_probe`` body as the resident-index query — so
+    output must be row-identical to ``dedup_incremental_lsh`` (pinned in
+    tests/test_r10_queries.py), proving the artifact round-trips
+    losslessly with no signature recompute on load.
+
+    Scale shape: identical joins to the resident probe, plus a
+    storage-side win — both probe legs carry parquet-pushed ``id``
+    cutoffs into the reader (plan-gated: every scan is a parquet scan,
+    zero signature expressions anywhere), which is exactly how a daily
+    job reads a 100 TB maintained dedup table: prune by the batch
+    boundary at the scan, join at band grain, fetch shingle sets for
+    candidates only."""
+    (docs,) = load(spark, sf_dir, "documents")
+    banded_idx, toks = lsh_index_persisted(spark, sf_dir)
+    return _incremental_probe(
+        docs, banded_idx, toks, cut=_lsh_batch_cut(spark, sf_dir)
     )
 
 
@@ -1139,16 +1245,18 @@ ab AS (
     SELECT band_id, band_hash FROM batch
   ) GROUP BY band_id
 )
-SELECT CAST(fb.band_id AS BIGINT) AS band_id,
-  fb.rows_before,
+SELECT CAST(ab.band_id AS BIGINT) AS band_id,
+  CAST(COALESCE(fb.rows_before, 0) AS BIGINT) AS rows_before,
   CAST(COALESCE(nb.rows_added, 0) AS BIGINT) AS rows_added,
-  CAST(fb.rows_before + COALESCE(nb.rows_added, 0) AS BIGINT) AS rows_after,
-  fb.buckets_before,
+  CAST(COALESCE(fb.rows_before, 0) + COALESCE(nb.rows_added, 0) AS BIGINT)
+    AS rows_after,
+  CAST(COALESCE(fb.buckets_before, 0) AS BIGINT) AS buckets_before,
   ab.buckets_after,
-  CAST(ab.buckets_after - fb.buckets_before AS BIGINT) AS new_buckets,
+  CAST(ab.buckets_after - COALESCE(fb.buckets_before, 0) AS BIGINT)
+    AS new_buckets,
   CAST(COALESCE(coll.collided_rows, 0) AS BIGINT) AS collided_rows
-FROM fb
-JOIN ab USING (band_id)
+FROM ab
+LEFT JOIN fb USING (band_id)
 LEFT JOIN nb USING (band_id)
 LEFT JOIN coll USING (band_id)
 """
@@ -1230,27 +1338,26 @@ def dedup_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-existing buckets) is the operational signal: those are exactly
     the rows tomorrow's probes will surface as candidates.
 
-    Scale shape: the frozen side is the maintained ``lsh_index_cached``
-    artifact (a checkpointed-RDD scan — zero signature recompute,
-    plan-gated in tests/test_plans.py); the batch side is a
-    pushed-filter scan of the batch documents through the SAME
-    ``minhash_banded`` operator the index was built with, so append work
-    is O(batch × signature). The audit aggregations run at band/bucket
-    grain (8 groupBys on band_id; the bucket-distinct pass is
-    index-maintenance cadence, not query cadence). ``lsh_index_appended``
-    materializes the grown index itself; append ≡ full-rebuild row-set
-    equality is pinned in tests/test_r9_queries.py, and a post-append
-    probe finding a new-batch dup is pinned there too."""
-    from ..operators.dedup import minhash_banded
-
-    banded_idx, _toks = lsh_index_cached(spark, sf_dir)
+    Scale shape (r10, VERDICT r9 task 6): ALL audit branches consume the
+    checkpointed GROWN index (``lsh_index_appended`` — whose build signs
+    the batch exactly once through a pushed-filter scan of the batch
+    documents), split back into frozen/batch legs by the cut literal —
+    so this audit plan contains ZERO signature expressions and zero
+    document scans (plan-gated in tests/test_plans.py; the r9 shape
+    re-derived ``minhash_banded`` once per audit branch, three times
+    total). Aggregations run at band/bucket grain (8 groupBys on
+    band_id; the bucket-distinct pass is index-maintenance cadence, not
+    query cadence). The audit drives off the union side (``ab``) with
+    LEFT JOINs to the frozen rollups (ADVICE r9), so a band whose rows
+    exist only in the batch — possible only on a degenerate corpus whose
+    frozen cut is empty — reports rows_before=0 instead of vanishing.
+    Append ≡ full-rebuild row-set equality is pinned in
+    tests/test_r9_queries.py, and a post-append probe finding a
+    new-batch dup is pinned there too."""
+    grown_banded, _gtoks = lsh_index_appended(spark, sf_dir)
     cut = _lsh_batch_cut(spark, sf_dir)
-    (docs,) = load(spark, sf_dir, "documents")
-    frozen = banded_idx.filter(F.col("id") < cut)
-    batch = minhash_banded(
-        docs.filter(F.col("doc_id") >= F.lit(cut)), "doc_id", "text",
-        portable=True,
-    )
+    frozen = grown_banded.filter(F.col("id") < F.lit(cut))
+    batch = grown_banded.filter(F.col("id") >= F.lit(cut))
     fb = frozen.groupBy("band_id").agg(
         F.count(F.lit(1)).cast("long").alias("rows_before"),
         F.countDistinct("band_hash").cast("long").alias("buckets_before"),
@@ -1267,31 +1374,177 @@ def dedup_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).cast("long").alias("collided_rows"))
     )
-    ab = (
-        frozen.select("band_id", "band_hash")
-        .unionByName(batch.select("band_id", "band_hash"))
-        .groupBy("band_id")
-        .agg(F.countDistinct("band_hash").cast("long").alias("buckets_after"))
+    ab = grown_banded.groupBy("band_id").agg(
+        F.countDistinct("band_hash").cast("long").alias("buckets_after")
     )
     return (
-        fb.join(ab, "band_id")
+        ab.join(fb, "band_id", "left")
         .join(nb, "band_id", "left")
         .join(coll, "band_id", "left")
         .select(
             F.col("band_id").cast("long").alias("band_id"),
-            "rows_before",
+            F.coalesce("rows_before", F.lit(0)).cast("long").alias("rows_before"),
             F.coalesce("rows_added", F.lit(0)).cast("long").alias("rows_added"),
-            (F.col("rows_before") + F.coalesce("rows_added", F.lit(0)))
+            (
+                F.coalesce("rows_before", F.lit(0))
+                + F.coalesce("rows_added", F.lit(0))
+            )
             .cast("long")
             .alias("rows_after"),
-            "buckets_before",
+            F.coalesce("buckets_before", F.lit(0))
+            .cast("long")
+            .alias("buckets_before"),
             "buckets_after",
-            (F.col("buckets_after") - F.col("buckets_before"))
+            (F.col("buckets_after") - F.coalesce("buckets_before", F.lit(0)))
             .cast("long")
             .alias("new_buckets"),
             F.coalesce("collided_rows", F.lit(0))
             .cast("long")
             .alias("collided_rows"),
+        )
+    )
+
+
+# LSH index tombstone DELETE (r10, VERDICT r9 task 3): the dedup analog of
+# FAISS remove_ids / ann_ivf_delete — documents get retracted (takedowns,
+# relicensing, retention expiry) and the maintained near-dup index must
+# forget them without recomputing anything. The delete batch is
+# doc_id % 97 = 0 (~1% of ids — production selectivity, the ann_ivf_delete
+# convention), anti-joined out of BOTH index legs; the audit reports per
+# band what compaction did.
+def _lsh_delete_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    modulus: int = 97,
+) -> str:
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, bands, shingle_size)},
+tomb AS (SELECT doc_id FROM documents WHERE doc_id % {modulus} = 0),
+fb AS (
+  SELECT band_id,
+    CAST(COUNT(*) AS BIGINT) AS rows_before,
+    CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS buckets_before
+  FROM banded GROUP BY band_id
+),
+sb AS (
+  SELECT band_id,
+    CAST(COUNT(*) AS BIGINT) AS rows_after,
+    CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS buckets_after
+  FROM banded b
+  WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = b.doc_id)
+  GROUP BY band_id
+)
+SELECT CAST(fb.band_id AS BIGINT) AS band_id,
+  fb.rows_before,
+  CAST(fb.rows_before - COALESCE(sb.rows_after, 0) AS BIGINT) AS rows_removed,
+  CAST(COALESCE(sb.rows_after, 0) AS BIGINT) AS rows_after,
+  fb.buckets_before,
+  CAST(COALESCE(sb.buckets_after, 0) AS BIGINT) AS buckets_after,
+  CAST(fb.buckets_before - COALESCE(sb.buckets_after, 0) AS BIGINT)
+    AS buckets_emptied
+FROM fb
+LEFT JOIN sb USING (band_id)
+"""
+
+
+# The COMPACTED index per (session, sf_dir): the maintained (banded, toks)
+# with the tombstoned documents' rows anti-joined out — what the daily
+# pipeline serves after processing a retraction batch. The model (hash
+# family, band structure) stays frozen: deleting rows never changes how
+# future documents are signed, exactly FAISS remove_ids.
+_LSH_DELETED_CACHE: dict[tuple, tuple] = {}
+
+
+def lsh_index_deleted(
+    spark: SparkSession, sf_dir: str, modulus: int = 97
+) -> tuple:
+    """Retract the tombstone batch (``doc_id % modulus = 0``) from the
+    maintained index; returns the surviving ``(banded, toks)``. The
+    tombstone id set is orders of magnitude smaller than the corpus, so
+    both removals are BROADCAST left-anti hash joins laid over the
+    checkpointed index rows — no shuffle at index grain, no signature
+    work anywhere, and the surviving frames stay LAZY views (the
+    ``ann_ivf_delete`` posture: the anti-join rides each consumer's
+    plan, where the plan gate in tests/test_plans.py can see it — a
+    serving system materializes the compacted table on its own
+    compaction cadence). A post-delete probe no longer surfaces the
+    retracted documents (pinned in tests/test_r10_queries.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir, modulus)
+    cached = _LSH_DELETED_CACHE.get(key)
+    if cached is None:
+        banded, toks = lsh_index_cached(spark, sf_dir)
+        (docs,) = load(spark, sf_dir, "documents")
+        tomb = docs.filter(F.col("doc_id") % modulus == 0).select(
+            F.col("doc_id").alias("__tomb_id")
+        )
+        cached = (
+            banded.join(
+                F.broadcast(tomb),
+                banded["id"] == F.col("__tomb_id"),
+                "left_anti",
+            ),
+            toks.join(
+                F.broadcast(tomb),
+                toks["id"] == F.col("__tomb_id"),
+                "left_anti",
+            ),
+        )
+        session_cache_put(_LSH_DELETED_CACHE, key, cached)
+    return cached
+
+
+@register(
+    "dedup_lsh_index_delete",
+    oracle=_lsh_delete_oracle(),
+    tags=("dedup", "lsh", "incremental", "audit"),
+)
+def dedup_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete audit for the maintained LSH dedup index — the
+    FAISS ``remove_ids`` contract the ANN tier got in r8
+    (``ann_ivf_delete``), applied to near-dup state (r10, VERDICT r9
+    task 3): a retraction batch (``doc_id % 97 = 0``, ~1% of ids — the
+    deterministic stand-in for a right-to-be-forgotten / license-revoked
+    document list, at production selectivity) is anti-joined out of the
+    band-signature rows and the shingle sets, and this reports per band
+    what compaction did — (rows_before, rows_removed, rows_after,
+    buckets_before, buckets_after, buckets_emptied). ``buckets_emptied``
+    (buckets whose every member was retracted) is the operational
+    signal: those band hashes stop generating candidates entirely.
+
+    Scale shape: the tombstone set rides a BROADCAST left-anti hash join
+    against the checkpointed index rows (never a shuffle of the index,
+    never a sort-merge join — plan-gated), the ``ann_ivf_delete``
+    posture; the model is untouched (hash family and band structure are
+    how FUTURE documents get signed — retraction edits rows, never the
+    signer). Both rollups run at band/bucket grain. The surviving index
+    itself comes from ``lsh_index_deleted``; retraction observability
+    (a probe duplicating a tombstoned document finds it before and not
+    after) is pinned in tests/test_r10_queries.py."""
+    banded, _toks = lsh_index_cached(spark, sf_dir)
+    surviving, _stoks = lsh_index_deleted(spark, sf_dir, modulus=97)
+    fb = banded.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_before"),
+        F.countDistinct("band_hash").cast("long").alias("buckets_before"),
+    )
+    sb = surviving.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_after"),
+        F.countDistinct("band_hash").cast("long").alias("buckets_after"),
+    )
+    return (
+        fb.join(sb, "band_id", "left")
+        .select(
+            F.col("band_id").cast("long").alias("band_id"),
+            "rows_before",
+            (F.col("rows_before") - F.coalesce("rows_after", F.lit(0)))
+            .cast("long")
+            .alias("rows_removed"),
+            F.coalesce("rows_after", F.lit(0)).cast("long").alias("rows_after"),
+            "buckets_before",
+            F.coalesce("buckets_after", F.lit(0))
+            .cast("long")
+            .alias("buckets_after"),
+            (F.col("buckets_before") - F.coalesce("buckets_after", F.lit(0)))
+            .cast("long")
+            .alias("buckets_emptied"),
         )
     )
 

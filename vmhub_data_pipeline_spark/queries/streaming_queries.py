@@ -835,7 +835,9 @@ def _grown_probe_oracle() -> str:
     oracle=_grown_probe_oracle(),
     tags=("streaming", "vector", "incremental"),
 )
-def streaming_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_index_growth(
+    spark: SparkSession, sf_dir: str, _timeout: float = 300.0
+) -> DataFrame:
     """Streamed IVF-PQ index GROWTH — the eleventh real streaming
     execution, closing the serving loop the r8 pieces left open
     (VERDICT r8 task 5): the persisted parquet artifact
@@ -854,8 +856,13 @@ def streaming_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's rows — O(batch x model) per trigger against an
     O(corpus)-sized resident table, exactly how a serving fleet takes
     daily adds between refits. The stream's checkpoint makes appends
-    exactly-once across restarts (a re-run replays nothing — the
-    T4 idempotent-replay contract applied to index maintenance). The
+    exactly-once across CLEAN re-invocations (a completed run replays
+    nothing on restart — the T4 idempotent-replay contract applied to
+    index maintenance); a crash mid-batch AFTER a partial parquet append
+    replays that batch at-least-once, the inherent contract of a
+    foreachBatch file sink without an idempotent (batch-id-keyed) write
+    — production closes that window with overwrite-by-batch-id
+    partitions, out of scope for this fixture-scale entry. The
     probe keeps the composed-index contract: bucket equi-join over the
     probed cells of the reloaded parquet, raw vectors touched only for
     the shortlist. Fixture concession, documented: the growth dir START
@@ -909,7 +916,16 @@ def streaming_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False when the availableNow drain
+    # has NOT finished — probing then would silently serve a
+    # partially-grown index and fail confusingly far from the cause
+    # (ADVICE r9 / VERDICT r9 task 7): stop the stream and fail loudly.
+    if not q.awaitTermination(_timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming_index_growth: growth stream did not finish within "
+            f"{_timeout}s; aborting before probing a partially-grown index"
+        )
 
     qdf, c = _pq_unit_corpus(spark, sf_dir)
     lists = spark.read.parquet(lists_dir)
@@ -917,4 +933,255 @@ def streaming_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf.unionByName(c), qdf, id_col="vec_id", vec_col="embedding", k=5,
         dim=64, cents=cents, books=books, nprobe=4, rerank_shortlist=40,
         index=lists,
+    )
+
+
+# (app_id, sf_dir) -> scratch dir of the GROWING dedup index: banded/ and
+# toks/ start as the FROZEN (pre-cut) slice of the persisted LSH artifact
+# and are foreachBatch-appended to; _ckpt/ is the stream's checkpoint.
+# Same lifecycle/keying discipline as _GROWN_IVFPQ.
+_GROWN_LSH: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
+
+# (app_id, sf_dir) -> NDJSON scratch dir holding the new-document batch as
+# TWO arrival files (so the growth stream runs >1 micro-batch): the
+# raw (doc_id, text) rows an ingest pipeline hands the index-maintenance
+# stream — signing happens IN the stream, against the frozen hash family.
+_LANDED_DOCS: dict[tuple, str] = sweep_at_exit(
+    {}, lambda p: shutil.rmtree(p, ignore_errors=True)
+)
+
+
+def _landed_batch_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Land the document batch (doc_id >= cut — the catalog-wide
+    incremental-batch convention) as NDJSON. Text round-trips exactly
+    through Spark's JSON writer, so the streamed rows sign identically
+    to the batch path's."""
+    from .dedup import _lsh_batch_cut
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANDED_DOCS:
+        cut = _lsh_batch_cut(spark, sf_dir)
+        (docs,) = load(spark, sf_dir, "documents")
+        scratch = tempfile.mkdtemp(prefix="vmhub_docadd_")
+        (
+            docs.filter(F.col("doc_id") >= F.lit(cut))
+            .select("doc_id", "text")
+            .repartition(2, "doc_id")
+            .write.mode("overwrite")
+            .json(scratch)
+        )
+        session_cache_put(
+            _LANDED_DOCS, key, scratch,
+            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    return _LANDED_DOCS[key]
+
+
+def _lsh_grown_probe_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    threshold: float = 0.9,
+) -> str:
+    """Replay of the post-growth probe: the batch probes the GROWN index
+    (frozen ∪ batch — which append ≡ rebuild makes exactly the full
+    corpus's ``banded``), so matches among TODAY's documents — invisible
+    to the frozen-index probe ``dedup_incremental_lsh`` runs — now
+    surface. Self-matches are excluded; everything else is the
+    incremental oracle's chain verbatim."""
+    from .dedup import _minhash_sig_ctes
+
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, bands, shingle_size)},
+cut AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+  FROM banded n
+  JOIN banded o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+   AND o.doc_id <> n.doc_id
+  CROSS JOIN cut
+  WHERE n.doc_id >= cut.cut
+),
+hits AS (
+  SELECT c.new_id, c.other_id,
+    CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN t13 ta ON ta.doc_id = c.new_id
+  JOIN t13 tb ON tb.doc_id = c.other_id
+  WHERE CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      >= {threshold}
+),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_index_matches
+  FROM hits GROUP BY new_id
+),
+best AS (
+  SELECT new_id, other_id, jaccard FROM (
+    SELECT new_id, other_id, jaccard,
+      ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jaccard DESC, other_id) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_index_matches, 0) AS BIGINT) AS n_index_matches,
+  b.other_id AS best_match_id,
+  ROUND(b.jaccard, 4) AS best_jaccard,
+  (a.new_id IS NOT NULL) AS is_near_dup
+FROM documents d CROSS JOIN cut
+LEFT JOIN agg a ON a.new_id = d.doc_id
+LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.doc_id >= cut.cut
+"""
+
+
+@register(
+    "streaming_lsh_index_growth",
+    oracle=_lsh_grown_probe_oracle(),
+    tags=("streaming", "dedup", "lsh", "incremental"),
+)
+def streaming_lsh_index_growth(
+    spark: SparkSession, sf_dir: str, _timeout: float = 300.0
+) -> DataFrame:
+    """Streamed LSH dedup-index GROWTH — the twelfth real streaming
+    execution, closing the dedup tier's persist+append+serve loop at
+    lifecycle parity with the ANN tier (r10, VERDICT r9 task 4; mirror
+    of ``streaming_index_growth``): the persisted dedup artifact
+    (``lsh_index_persisted`` — the dedup ``write_index``) seeds a growth
+    directory with its FROZEN (pre-cut) slice, a micro-batched stream of
+    raw new documents is foreachBatch-SIGNED against the frozen hash
+    family (``minhash_banded`` — the exact operator the index was built
+    with) and appended to the banded/toks parquets, and the post-growth
+    probe runs from the RELOADED copies: each batch document reports its
+    near-dups across the WHOLE grown index (frozen ∪ batch, self
+    excluded) — so batch-vs-batch duplicates, invisible to the
+    frozen-index probe ``dedup_incremental_lsh`` runs, now surface
+    (pinned in tests/test_r10_queries.py, along with row-equality of the
+    grown parquets to the batch-built ``lsh_index_appended`` index).
+
+    Scale shape: each micro-batch is a PURE SCAN of the batch documents
+    (signature expressions ride the scan; no shuffle, no stateful
+    operator — stateOperators pinned empty) and the append writes only
+    the batch's band/shingle rows — O(batch × signature) per trigger
+    against an O(corpus)-sized maintained table, exactly how a daily
+    dedup pipeline takes document arrivals between full re-mines. The
+    stream's checkpoint makes appends exactly-once across CLEAN
+    re-invocations (a completed run replays nothing — pinned); a crash
+    between the two parquet appends of one batch replays it
+    at-least-once, the inherent foreachBatch file-sink contract
+    (production closes that window with batch-id-keyed overwrites).
+    The probe keeps the asymmetric-index contract: band equi-join,
+    candidate-grain verification, query-grain windows. Fixture
+    concession, documented: the growth dir START is a filtered copy of
+    the persisted artifact (production appends to the serving table in
+    place; the copy keeps ``dedup_lsh_persist_probe``'s round-trip
+    artifact immutable for its row-equality pin)."""
+    import os
+
+    from ..operators.dedup import (
+        band_candidates,
+        jaccard_verify,
+        minhash_banded,
+        token_set_df,
+    )
+    from .dedup import _LSH_DISK_CACHE, _lsh_batch_cut, lsh_index_persisted
+    from pyspark.sql import Window
+
+    # materialize the persisted artifact (and its scratch dir) first
+    lsh_index_persisted(spark, sf_dir)
+    cut = _lsh_batch_cut(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grown = _GROWN_LSH.get(key)
+    if grown is None:
+        base_dir = _LSH_DISK_CACHE[key]
+        grown = tempfile.mkdtemp(prefix="vmhub_lsh_grow_")
+        for leg in ("banded", "toks"):
+            (
+                spark.read.parquet(f"{base_dir}/{leg}")
+                .filter(F.col("id") < F.lit(cut))
+                .write.mode("overwrite")
+                .parquet(f"{grown}/{leg}")
+            )
+        session_cache_put(
+            _GROWN_LSH, key, grown,
+            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    banded_schema = spark.read.parquet(f"{grown}/banded").schema
+    toks_schema = spark.read.parquet(f"{grown}/toks").schema
+
+    docs_dir = _landed_batch_docs(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(docs_dir)
+    )
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        banded_rows = minhash_banded(
+            batch_df, "doc_id", "text", portable=True
+        )
+        banded_rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in banded_schema.fields]
+        ).write.mode("append").parquet(f"{grown}/banded")
+        toks_rows = token_set_df(batch_df, "doc_id", "text", 3).select(
+            "id",
+            F.array_distinct(
+                F.transform("ws", lambda t: F.substring(F.md5(t), 1, 13))
+            ).alias("ws"),
+        )
+        toks_rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in toks_schema.fields]
+        ).write.mode("append").parquet(f"{grown}/toks")
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", os.path.join(grown, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # same loud-failure contract as streaming_index_growth (VERDICT r9
+    # task 7): never probe a partially-grown index on a slow environment
+    if not q.awaitTermination(_timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming_lsh_index_growth: growth stream did not finish "
+            f"within {_timeout}s; aborting before probing a "
+            f"partially-grown index"
+        )
+
+    grown_banded = spark.read.parquet(f"{grown}/banded")
+    grown_toks = spark.read.parquet(f"{grown}/toks")
+    (docs,) = load(spark, sf_dir, "documents")
+    cand = band_candidates(
+        grown_banded.filter(F.col("id") >= F.lit(cut)),
+        grown_banded,
+        "new_id",
+        "other_id",
+        ordered=False,
+    ).filter(F.col("new_id") != F.col("other_id"))
+    hits = jaccard_verify(cand, grown_toks, "new_id", "other_id", 0.9)
+    agg = hits.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_index_matches")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("other_id"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("new_id").alias("best_new_id"), "other_id", "jaccard")
+    )
+    newdocs = docs.filter(F.col("doc_id") >= F.lit(cut)).select("doc_id")
+    return (
+        newdocs.join(agg, newdocs["doc_id"] == agg["new_id"], "left")
+        .join(best, newdocs["doc_id"] == F.col("best_new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0))
+            .cast("long")
+            .alias("n_index_matches"),
+            F.col("other_id").alias("best_match_id"),
+            F.round("jaccard", 4).alias("best_jaccard"),
+            F.col("new_id").isNotNull().alias("is_near_dup"),
+        )
     )
