@@ -164,6 +164,11 @@ HEADLINE = [
     # layout (detail-only; probes the warm composed index, comparable to
     # ann_ivfpq_topk above plus the per-row transform)
     "ann_ivfopq_topk",
+    # r10: bucket-occupancy audit over the warm maintained index — the
+    # dedup cell_stats (detail-only; two band/bucket-grain rollups over
+    # the checkpointed index, the serving-health monitor priced next to
+    # ann_ivf_cell_stats)
+    "dedup_lsh_bucket_stats",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -298,12 +303,21 @@ SCALING_TABLES = {
     # r8b (detail-only): passage REMOVAL rebuild — digest-grain windows +
     # broadcast excised-starts, expect ~the audit's e~0.4-0.5
     "text_passage_dedup_rebuild": "documents",
+    # r10 (detail-only): the incremental probe from the PERSISTED dedup
+    # artifact — must scale like the resident probe (joins over the
+    # reloaded parquet, pushed batch cutoff); artifact prewarmed per
+    # sf_dir outside the timed runs (the dedup_incremental_lsh posture)
+    "dedup_lsh_persist_probe": "documents",
 }
 
 # Scaling probes recorded in BENCH_DETAIL.json only — kept OFF the stdout
 # line so its 1500-byte budget holds (tests/test_bench_line.py builds the
 # worst case from SCALING_TABLES minus this set).
-SCALING_DETAIL_ONLY = {"dedup_incremental_lsh", "text_passage_dedup_rebuild"}
+SCALING_DETAIL_ONLY = {
+    "dedup_incremental_lsh",
+    "text_passage_dedup_rebuild",
+    "dedup_lsh_persist_probe",
+}
 
 
 def build_stdout_line(
@@ -702,6 +716,16 @@ def main() -> None:
                 # its own detail line)
                 lsh_index_cached(spark, sec_dir)
                 lsh_index_cached(spark, sf_dir)
+            if name == "dedup_lsh_persist_probe":
+                # persisted-artifact posture: write+reload paid per sf_dir
+                # outside the timed runs, so the exponent isolates the
+                # reloaded-parquet probe cost
+                from vmhub_data_pipeline_spark.queries.dedup import (
+                    lsh_index_persisted,
+                )
+
+                lsh_index_persisted(spark, sec_dir)
+                lsh_index_persisted(spark, sf_dir)
             rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
 
             def once(d):

@@ -1174,3 +1174,19 @@ def test_ivf_rebalance_emission_is_pushed_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_bucket_stats_reads_resident_index_only(spark, sf_dir):
+    """dedup_lsh_bucket_stats (r10): the audit reads the checkpointed
+    resident index (ExistingRDD — zero signature recompute) through one
+    bucket-grain groupBy and one band-grain rollup; no document scan, no
+    signature expression, no join at all."""
+    df = Q["dedup_lsh_bucket_stats"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ExistingRDD" in plan, plan
+    simple = explain_str(df, "simple")
+    assert not [
+        ln for ln in simple.splitlines() if "parquet" in ln and "documents" in ln
+    ]
+    for sig_expr in ("md5(", "posexplode", "Join"):
+        assert sig_expr not in plan, sig_expr

@@ -269,3 +269,35 @@ def test_ivfopq_queries_ranked_like_raw_space(spark, sf_dir):
     assert got
     for r in got:
         assert abs(raw[(r["query_id"], r["corpus_id"])] - r["cosine"]) <= 1e-4
+
+
+# --- bucket-occupancy audit (the dedup cell_stats) -------------------------
+
+
+def test_lsh_bucket_stats_cross_checks_live_candidates(spark, sf_dir):
+    """The audit's numbers must describe the REAL index and the REAL
+    candidate generator: per-band n_rows equals the index's band rows,
+    conservation holds on every row, and the live band-join's distinct
+    pair count is bounded by the audit's summed candidate_pairs (equal
+    only when no pair collides in more than one band)."""
+    from vmhub_data_pipeline_spark.operators.dedup import band_candidates
+
+    rows = Q["dedup_lsh_bucket_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    banded, _ = lsh_index_cached(spark, sf_dir)
+    per_band = {
+        r["band_id"]: r["cnt"]
+        for r in banded.groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total_pairs = 0
+    for r in rows:
+        assert r["n_rows"] == per_band[r["band_id"]]
+        assert 1 <= r["n_buckets"] <= r["n_rows"]
+        assert r["max_occupancy"] >= 1
+        assert 0 <= r["hot_buckets"] <= r["n_buckets"]
+        assert 0 <= r["hot_pairs"] <= r["candidate_pairs"]
+        total_pairs += r["candidate_pairs"]
+    live = band_candidates(banded, banded, "doc_a", "doc_b").count()
+    assert 0 < live <= total_pairs

@@ -14,15 +14,15 @@ WINDOW = 50
 
 # Round-10 composition (VERDICT r9 tasks 1-5): the window rotates onto
 # ALL 42 queries whose latest driver evidence is round 5 — after r10 no
-# query's evidence predates round 6 — plus 4 first contacts for the r10
-# additions (LSH persist probe / tombstone delete / streamed LSH growth
-# / IVF-OPQ), 2 regression guards for the rewritten paths
-# (dedup_lsh_index_append's single-signature-pass audit,
-# streaming_index_growth's loud-timeout contract), and the 2 spare slots
-# starting the r6 queue (q6_forecast_revenue, daily_revenue). The
-# class-coverage requirement below reflects THIS composition: the
-# r7-r9-fresh tiers (window functions, setops, subquery, most star
-# joins, most of the ANN serving family) sit the round out.
+# query's evidence predates round 6 — plus 5 first contacts for the r10
+# additions (LSH persist probe / tombstone delete / bucket-occupancy
+# audit / streamed LSH growth / IVF-OPQ), 2 regression guards for the
+# rewritten paths (dedup_lsh_index_append's single-signature-pass audit,
+# streaming_index_growth's loud-timeout contract), and the 1 spare slot
+# starting the r6 queue (q6_forecast_revenue). The class-coverage
+# requirement below reflects THIS composition: the r7-r9-fresh tiers
+# (window functions, setops, subquery, most star joins, most of the ANN
+# serving family) sit the round out.
 REQUIRED_IN_WINDOW = {
     "agg": ["agg_mode", "agg_kmv_merge", "agg_regression_trend"],
     "join": ["join_feature_store_pit"],
@@ -35,6 +35,7 @@ REQUIRED_IN_WINDOW = {
     "dedup": [
         "dedup_lsh_persist_probe",
         "dedup_lsh_index_delete",
+        "dedup_lsh_bucket_stats",
         "dedup_lsh_index_append",
         "dedup_exact_substring",
     ],

@@ -71,24 +71,26 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # Round-10 composition (VERDICT r9 tasks 1-5): rotate onto ALL 42
     # queries whose latest driver evidence is round 5 — after this round
     # no registered query's latest driver evidence predates round 6 —
-    # plus 4 first contacts for the r10 additions (the LSH index
+    # plus 5 first contacts for the r10 additions (the LSH index
     # lifecycle brought to parity with the ANN tier: persisted-artifact
     # probe, tombstone delete, streamed growth — the 12th real streaming
-    # execution — and IVF-OPQ, the learned rotation composed with the
-    # coarse-celled layout), 2 regression guards for the round's
-    # REWRITTEN paths (dedup_lsh_index_append — its audit now consumes
-    # the checkpointed grown index, one signature pass total, task 6;
-    # streaming_index_growth — the awaitTermination loud-failure
-    # contract, task 7), and the 2 spare slots starting the next-oldest
-    # (r6, 47 queries) queue in registration order. 4 + 2 + 42 + 2 = the
-    # 50-slot window exactly, zero deferrals — the same arithmetic that
-    # cleared r3/r4 in r9 and r5 here. Every other registered query
-    # holds an r6-r9 driver green and remains covered by the
-    # full-catalog local mirror at sf0.001 (tests/test_queries_oracle.py).
+    # execution — the bucket-occupancy audit, and IVF-OPQ, the learned
+    # rotation composed with the coarse-celled layout), 2 regression
+    # guards for the round's REWRITTEN paths (dedup_lsh_index_append —
+    # its audit now consumes the checkpointed grown index, one signature
+    # pass total, task 6; streaming_index_growth — the awaitTermination
+    # loud-failure contract, task 7), and the 1 spare slot starting the
+    # next-oldest (r6, 47 queries) queue in registration order.
+    # 5 + 2 + 42 + 1 = the 50-slot window exactly, zero deferrals — the
+    # same arithmetic that cleared r3/r4 in r9 and r5 here. Every other
+    # registered query holds an r6-r9 driver green and remains covered
+    # by the full-catalog local mirror at sf0.001
+    # (tests/test_queries_oracle.py).
     #
     # -- r10 first driver contact --
     "dedup_lsh_persist_probe",      # probe from the persisted dedup artifact (r10-new)
     "dedup_lsh_index_delete",       # tombstone remove_ids for the dedup index (r10-new)
+    "dedup_lsh_bucket_stats",       # bucket-occupancy audit, the dedup cell_stats (r10-new)
     "streaming_lsh_index_growth",   # 12th streaming execution: dedup index growth (r10-new)
     "ann_ivfopq_topk",              # OPQ rotation composed with IVF-PQ (r10-new)
     # -- r10-touched regression guards --
@@ -137,10 +139,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_shard_manifest",
     "streaming_cms_fold",
     "agg_regression_trend",
-    # -- next-oldest queue head: the 2 oldest r6 greens, registration
-    # order (the r6 tier is 47 strong; this starts its drain) --
+    # -- next-oldest queue head: the oldest r6 green, registration order
+    # (the r6 tier is 47 strong; this starts its drain) --
     "q6_forecast_revenue",
-    "daily_revenue",
 )
 
 

@@ -1405,6 +1405,89 @@ def dedup_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH bucket-occupancy audit (r10): the dedup analog of ann_ivf_cell_stats
+# — the serving-health monitor that closes the detect step of the index
+# lifecycle (probe serves, append grows, delete shrinks, THIS detects
+# degradation). An LSH band's candidate volume is sum(occ*(occ-1)/2) over
+# its buckets, so one hot bucket (a band hash shared by thousands of
+# near-identical documents) quadratically dominates tomorrow's probe cost
+# — exactly the cell-skew failure mode IVF has, with the same remedy
+# cadence: production caps hot buckets out of candidate generation (the
+# max_token_doc_freq=100 posture dedup_jaccard_pairs_capped pins for the
+# inverted index).
+_LSH_HOT_CAP = 100
+
+
+def _lsh_bucket_stats_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_size: int = 3,
+    cap: int = _LSH_HOT_CAP,
+) -> str:
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, bands, shingle_size)},
+occ AS (
+  SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM banded GROUP BY band_id, band_hash
+)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+  CAST(SUM(occ) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+  CAST(SUM(occ * (occ - 1) // 2) AS BIGINT) AS candidate_pairs,
+  CAST(SUM(CASE WHEN occ > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+  CAST(SUM(CASE WHEN occ > {cap} THEN occ * (occ - 1) // 2 ELSE 0 END)
+    AS BIGINT) AS hot_pairs
+FROM occ
+GROUP BY band_id
+"""
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=_lsh_bucket_stats_oracle(),
+    tags=("dedup", "lsh", "audit"),
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit over the maintained LSH dedup index — the
+    dedup analog of ``ann_ivf_cell_stats``, closing the DETECT step of
+    the index lifecycle (r10): per band, (n_rows, n_buckets,
+    max_occupancy, candidate_pairs, hot_buckets, hot_pairs), where
+    ``candidate_pairs = Σ occ·(occ-1)/2`` is exactly the band's
+    contribution to tomorrow's probe volume and ``hot_*`` isolates the
+    share coming from buckets over the production cap (occupancy > 100,
+    the ``max_token_doc_freq=100`` convention). This is the monitor that
+    drives the cap decision: LSH candidate generation is quadratic in
+    bucket occupancy, so a single degenerate band hash (boilerplate
+    pages, templated documents) silently turns the "never all-pairs"
+    guarantee into all-pairs-within-one-bucket — the same skew failure
+    IVF's cell audit catches, with the same remedy cadence (cap or
+    re-band, as IVF rebalances).
+
+    Scale shape: reads the checkpointed resident index only (ExistingRDD
+    scan, zero signature recompute — plan-gated), one bucket-grain
+    groupBy then one band-grain rollup; output is 8 rows however large
+    the corpus. Index-maintenance cadence, not query cadence. Audit
+    values cross-checked against the live candidate generator in
+    tests/test_r10_queries.py (distinct candidate pairs ≤ Σ
+    candidate_pairs, with equality impossible only through multi-band
+    collisions)."""
+    banded, _toks = lsh_index_cached(spark, sf_dir)
+    occ = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    pairs = F.expr("occ * (occ - 1) DIV 2")
+    hot = F.col("occ") > _LSH_HOT_CAP
+    return occ.groupBy(F.col("band_id").cast("long").alias("band_id")).agg(
+        F.sum("occ").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("occ").cast("long").alias("max_occupancy"),
+        F.sum(pairs).cast("long").alias("candidate_pairs"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("hot_buckets"),
+        F.sum(F.when(hot, pairs).otherwise(0))
+        .cast("long")
+        .alias("hot_pairs"),
+    )
+
+
 # LSH index tombstone DELETE (r10, VERDICT r9 task 3): the dedup analog of
 # FAISS remove_ids / ann_ivf_delete — documents get retracted (takedowns,
 # relicensing, retention expiry) and the maintained near-dup index must
