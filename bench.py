@@ -451,11 +451,17 @@ def main() -> None:
     # (the lsh_index_build convention). Detail-only.
     from vmhub_data_pipeline_spark.operators.sampling import _PREAMBLE_CACHE
     from vmhub_data_pipeline_spark.queries.stats import (
+        _CENTS_CUM_CACHE,
         _PSI_BOUNDS_CACHE,
         psi_bounds_cached,
     )
 
     _PREAMBLE_CACHE.clear()
+    # the cum HANDLE cache binds the preamble checkpoint it was built
+    # against — clearing one without the other would leave consumers
+    # reading the PREVIOUS (still-resident) checkpoint (the
+    # _PROBE_FRAME_CACHE rule)
+    _CENTS_CUM_CACHE.clear()
     _PSI_BOUNDS_CACHE.clear()
     t0 = time.perf_counter()
     psi_bounds_cached(spark, sf_dir)

@@ -1248,6 +1248,19 @@ def ntile_end_ranks(n: int, k: int = 10) -> list[int]:
     return sorted({t * (n // k) + min(t, n % k) - 1 for t in range(1, k)} - {-1})
 
 
+# (app_id, sf_dir) -> (cum frame handle, total_base, total_cur). The
+# HANDLE cache over the shared artifact: even with the materialized
+# preamble cached in _PREAMBLE_CACHE, rebuilding the orders->value-grain
+# plan and computing its semanticHash cache key costs ~0.24 s of
+# driver-side analysis PER warm invocation (sf-independent — the same
+# constant the r9 _probe_frame fix shaved off the ANN probes). The cum
+# frame is a deterministic lazy plan over the checkpointed ranged frame,
+# so caching the handle is the _UNIT_CORPUS_CACHE legitimacy class.
+# bench.py clears this together with _PREAMBLE_CACHE (a retained handle
+# must never outlive a cleared preamble, the _PROBE_FRAME_CACHE rule).
+_CENTS_CUM_CACHE: dict[tuple, tuple] = {}
+
+
 def _orders_cents_cum(spark: SparkSession, sf_dir: str):
     """The SHARED baseline artifact of the numeric drift monitors: order
     totals collapsed to DISTINCT-VALUE grain (cents, n_base, n_cur) with
@@ -1258,8 +1271,16 @@ def _orders_cents_cum(spark: SparkSession, sf_dir: str):
     and ``stats_ks_drift`` (and repeated invocations of either — bench
     medians, driver retries) share ONE checkpoint pass instead of each
     paying a private one (VERDICT r7 what's-wrong #1). Totals ride out
-    of the subtotal job for free (``return_totals``)."""
+    of the subtotal job for free (``return_totals``); the assembled
+    (cum, totals) handle is itself cached per (session, corpus) so the
+    warm path skips plan rebuild + analysis entirely (r10)."""
+    from ..operators.caching import session_cache_put
     from ..operators.sampling import distributed_prefix_sums
+
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CENTS_CUM_CACHE.get(ckey)
+    if hit is not None:
+        return hit
 
     (orders,) = load(spark, sf_dir, "orders")
     c = orders.select(
@@ -1282,7 +1303,7 @@ def _orders_cents_cum(spark: SparkSession, sf_dir: str):
         cache_key=(spark.sparkContext.applicationId, sf_dir, "orders-cents"),
         return_totals=True,
     )
-    return cum, int(tb), int(tc)
+    return session_cache_put(_CENTS_CUM_CACHE, ckey, (cum, int(tb), int(tc)))
 
 
 # The FITTED baseline binner: 9 decile boundaries per (session, corpus) —
@@ -1294,7 +1315,9 @@ def _orders_cents_cum(spark: SparkSession, sf_dir: str):
 _PSI_BOUNDS_CACHE: dict[tuple, list] = {}
 
 
-def psi_bounds_cached(spark: SparkSession, sf_dir: str) -> list:
+def psi_bounds_cached(
+    spark: SparkSession, sf_dir: str, _cum_tb: tuple | None = None
+) -> list:
     """Fit (or fetch) the frozen PSI baseline binner: the 9 decile
     boundaries over the baseline period, derived from the shared
     ``_orders_cents_cum`` artifact (built here if cold). This is the
@@ -1302,13 +1325,23 @@ def psi_bounds_cached(spark: SparkSession, sf_dir: str) -> list:
     as one callable so bench.py can time it as its own
     ``drift_preamble_build`` line (VERDICT r9 task 8, the
     ``lsh_index_build`` convention) and the psi/ks entries measure
-    warm-marginal monitoring cost."""
+    warm-marginal monitoring cost.
+
+    The cache probe runs BEFORE any artifact derivation, and a caller
+    that already holds the shared artifact passes ``(cum, tb)`` via
+    ``_cum_tb`` — ``stats_psi_drift`` does — so the warm path performs
+    exactly one ``_orders_cents_cum`` per invocation (each call pays a
+    plan-analysis round trip for its cache key even on a hit; the r10
+    extraction initially doubled it and cost the warm entry +0.2 s)."""
     from ..operators.caching import session_cache_put
 
-    cum, tb, _tc = _orders_cents_cum(spark, sf_dir)
     bkey = (spark.sparkContext.applicationId, sf_dir, "psi-bounds")
     bs = _PSI_BOUNDS_CACHE.get(bkey)
     if bs is None:
+        if _cum_tb is not None:
+            cum, tb = _cum_tb
+        else:
+            cum, tb, _tc = _orders_cents_cum(spark, sf_dir)
         ranks = ntile_end_ranks(tb, 10)
         brow = (
             cum.agg(
@@ -1356,7 +1389,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin edges), so a warm invocation runs ONE job: the bin rollup.
     Micro-nat ln quantization keeps every output BIGINT."""
     cum, tb, tc = _orders_cents_cum(spark, sf_dir)
-    bs = psi_bounds_cached(spark, sf_dir)
+    bs = psi_bounds_cached(spark, sf_dir, _cum_tb=(cum, tb))
     cnt = (
         cum.select(
             (
