@@ -1059,16 +1059,25 @@ SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine, rank FROM (
 _PQ_FIT_CACHE: dict[tuple, list] = {}
 
 
-# Lazy (queries, corpus) frame HANDLES per (session, sf_dir): building
-# them costs a parquet file-listing/schema job plus the unit-normalize
-# plan analysis (~0.3 s), which a per-probe rebuild pays pointlessly —
-# the handles are deterministic lazy plans, no data is pinned. Same
-# session-keyed lifecycle as the index caches.
+# The RESIDENT unit-normalized vector store per (session, sf_dir): one
+# parquet scan + normalize pass, localCheckpointed, then (queries,
+# corpus) are filters over the checkpointed rows. This is the serving
+# posture — FAISS keeps the raw vectors INSIDE the index, so a probe's
+# shortlist re-rank fetches from the resident store, never from cold
+# parquet. Before r10 the handles were deliberately lazy ("no data is
+# pinned"), which silently made every raw-space probe re-scan and
+# re-normalize the embeddings parquet per invocation (~0.8 s of each
+# warm sf0.1 composed probe, measured via the OPQ entries — whose
+# checkpointed transformed corpus made the same probe 6x faster). The
+# checkpoint is O(corpus x dim) executor-side doubles, the same
+# residency class as the inverted lists themselves; its one-time
+# materialization is paid inside the first fit (bench's ann_*_fit
+# build lines). Session-keyed lifecycle as the index caches.
 _UNIT_CORPUS_CACHE: dict[tuple, tuple] = {}
 
 
 def _pq_unit_corpus(spark: SparkSession, sf_dir: str):
-    from ..operators.similarity import dot_expr
+    from ..operators.similarity import checkpoint_index, dot_expr
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _UNIT_CORPUS_CACHE.get(key)
@@ -1082,8 +1091,12 @@ def _pq_unit_corpus(spark: SparkSession, sf_dir: str):
         # label rides along (serving systems store filterable attributes
         # WITH the vectors); consumers select explicit columns, so it is
         # pruned everywhere except the attribute-bearing index build
-        unit = emb.filter(nrm > 0).select(
-            "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"), "label"
+        unit = checkpoint_index(
+            emb.filter(nrm > 0).select(
+                "vec_id",
+                F.transform(v, lambda x: x / nrm).alias("embedding"),
+                "label",
+            )
         )
         cached = (
             unit.filter(F.col("vec_id") < 10),
@@ -2010,9 +2023,11 @@ def ann_ivfpq_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame joins on probed cell ids; the models inline as literals). The
     write is paid once per corpus — at 100 TB the lists parquet is the
     ~32x-compressed serving table a fleet mounts read-only, re-read per
-    executor at O(corpus/n_cells) per probed cell, while raw vectors
-    stay in the cold store the re-rank fetches from. Probe plan compiled
-    once per session+model (``_probe_frame``)."""
+    executor at O(corpus/n_cells) per probed cell, while the re-rank
+    fetches shortlist raw vectors from the session's RESIDENT
+    unit-vector store (``_pq_unit_corpus`` — since r10 a checkpointed
+    artifact, the FAISS vectors-live-in-the-index posture). Probe plan
+    compiled once per session+model (``_probe_frame``)."""
     from ..operators.similarity import ivfpq_knn
 
     def build() -> DataFrame:
