@@ -1190,3 +1190,20 @@ def test_lsh_bucket_stats_reads_resident_index_only(spark, sf_dir):
     ]
     for sig_expr in ("md5(", "posexplode", "Join"):
         assert sig_expr not in plan, sig_expr
+
+
+def test_lsh_batch_signing_scan_is_pushed(spark, sf_dir):
+    """lsh_batch_signed (r10): the append path's ONE signing surface — the
+    batch-cutoff literal must reach the parquet reader of BOTH legs
+    (banded signatures and hashed shingle sets), so appending stays
+    O(batch x signature), never O(corpus). Restores the pushdown gate the
+    audit rewrite retired along with the audit's own document scans."""
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _lsh_batch_cut,
+        lsh_batch_signed,
+    )
+
+    cut = _lsh_batch_cut(spark, sf_dir)
+    banded, toks = lsh_batch_signed(spark, sf_dir, cut)
+    assert has_pushed_filters(banded, "GreaterThanOrEqual(doc_id"), explain_str(banded)
+    assert has_pushed_filters(toks, "GreaterThanOrEqual(doc_id"), explain_str(toks)

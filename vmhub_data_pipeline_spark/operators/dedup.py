@@ -89,6 +89,31 @@ def token_set_df(
     return staged.select("id", shingles.alias("ws"))
 
 
+def hashed_token_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    prefix_len: int = 13,
+) -> DataFrame:
+    """(id, ws): each document's distinct shingle set hashed to fixed-width
+    md5-hex prefixes — the VERIFICATION side of the maintained LSH dedup
+    index (exact-Jaccard over hashed shingles equals exact-Jaccard over
+    the shingles themselves, at ~13 bytes a member regardless of shingle
+    text length, and md5 replays portably in the DuckDB oracles via the
+    shared ``t13`` CTE). The ONE home for this construction: the resident
+    index build, the append path, and the streamed-growth foreachBatch
+    all sign through here, so a hashing change (prefix width, salt,
+    distinct placement) can never diverge the batch and streaming sides
+    of the same index."""
+    return token_set_df(df, id_col, text_col, shingle_size).select(
+        "id",
+        F.array_distinct(
+            F.transform("ws", lambda t: F.substring(F.md5(t), 1, prefix_len))
+        ).alias("ws"),
+    )
+
+
 def jaccard_similarity_pairs(
     df: DataFrame,
     id_col: str,

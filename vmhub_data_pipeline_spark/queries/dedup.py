@@ -21,7 +21,6 @@ from ..operators.dedup import (
     jaccard_verify,
     minhash_neardup_pairs,
     simhash_neardup_pairs,
-    token_set_df,
 )
 from ..tables import load
 from . import register
@@ -1007,7 +1006,7 @@ _LSH_INDEX_CACHE: dict[tuple, tuple] = {}
 
 
 def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
-    from ..operators.dedup import minhash_banded
+    from ..operators.dedup import hashed_token_sets, minhash_banded
     from ..operators.similarity import checkpoint_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1017,14 +1016,7 @@ def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
         banded = checkpoint_index(
             minhash_banded(docs, "doc_id", "text", portable=True)
         )
-        toks = checkpoint_index(
-            token_set_df(docs, "doc_id", "text", 3).select(
-                "id",
-                F.array_distinct(
-                    F.transform("ws", lambda t: F.substring(F.md5(t), 1, 13))
-                ).alias("ws"),
-            )
-        )
+        toks = checkpoint_index(hashed_token_sets(docs, "doc_id", "text", 3))
         cached = (banded, toks)
         session_cache_put(_LSH_INDEX_CACHE, key, cached)
     return cached
@@ -1262,17 +1254,51 @@ LEFT JOIN coll USING (band_id)
 """
 
 
+# (app_id, sf_dir) -> the collected batch boundary. The cut is a pure
+# function of the corpus, and every index-lifecycle entry (append audit,
+# persist probe, streamed growth) needs it — uncached, each warm
+# invocation paid one MAX-aggregate Spark job plus its plan analysis
+# (the per-invocation driver-cost class _CENTS_CUM_CACHE closes for the
+# drift monitors).
+_LSH_CUT_CACHE: dict[tuple, int] = {}
+
+
 def _lsh_batch_cut(spark: SparkSession, sf_dir: str) -> int:
     """The batch boundary (floor(max(doc_id) * 0.8) — the catalog-wide
-    incremental-batch convention), collected driver-side: a production
-    append job KNOWS its batch boundary, and the literal lets the batch
-    scan push ``doc_id >= cut`` into the parquet reader before any
-    signature work runs. O(1) driver state (one MAX aggregate row) —
-    same legitimacy class as the kmeans centroid pulls."""
+    incremental-batch convention), collected driver-side once per
+    (session, corpus): a production append job KNOWS its batch boundary,
+    and the literal lets the batch scan push ``doc_id >= cut`` into the
+    parquet reader before any signature work runs. O(1) driver state
+    (one long) — same legitimacy class as the kmeans centroid pulls."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cut = _LSH_CUT_CACHE.get(key)
+    if cut is None:
+        (docs,) = load(spark, sf_dir, "documents")
+        cut = int(
+            docs.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("c"))
+            .collect()[0]["c"]
+        )
+        session_cache_put(_LSH_CUT_CACHE, key, cut)
+    return cut
+
+
+def lsh_batch_signed(spark: SparkSession, sf_dir: str, cut: int) -> tuple:
+    """The new batch's freshly-signed index rows — ``(banded, toks)`` as
+    LAZY frames over a pushed-filter scan of the batch documents,
+    through the SAME ``minhash_banded`` / ``hashed_token_sets``
+    operators the resident index was built with. The ONE signing surface
+    of the append path: ``lsh_index_appended`` checkpoints exactly these
+    frames, and the O(batch × signature) claim is plan-gated HERE
+    (tests/test_plans.py asserts the cutoff reaches the parquet reader
+    of both legs — the gate the r10 audit rewrite would otherwise have
+    retired along with the audit's own document scans)."""
+    from ..operators.dedup import hashed_token_sets, minhash_banded
+
     (docs,) = load(spark, sf_dir, "documents")
-    return int(
-        docs.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("c"))
-        .collect()[0]["c"]
+    batch_docs = docs.filter(F.col("doc_id") >= F.lit(cut))
+    return (
+        minhash_banded(batch_docs, "doc_id", "text", portable=True),
+        hashed_token_sets(batch_docs, "doc_id", "text", 3),
     )
 
 
@@ -1292,7 +1318,6 @@ def lsh_index_appended(spark: SparkSession, sf_dir: str) -> tuple:
     O(corpus); the frozen side is a filter over the already-checkpointed
     index rows. Row-set equality with a full rebuild is pinned in
     tests/test_r9_queries.py (append(frozen, batch) ≡ rebuild(corpus))."""
-    from ..operators.dedup import minhash_banded
     from ..operators.similarity import checkpoint_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1300,17 +1325,7 @@ def lsh_index_appended(spark: SparkSession, sf_dir: str) -> tuple:
     if cached is None:
         banded_idx, toks_idx = lsh_index_cached(spark, sf_dir)
         cut = _lsh_batch_cut(spark, sf_dir)
-        (docs,) = load(spark, sf_dir, "documents")
-        batch_docs = docs.filter(F.col("doc_id") >= F.lit(cut))
-        batch_banded = minhash_banded(
-            batch_docs, "doc_id", "text", portable=True
-        )
-        batch_toks = token_set_df(batch_docs, "doc_id", "text", 3).select(
-            "id",
-            F.array_distinct(
-                F.transform("ws", lambda t: F.substring(F.md5(t), 1, 13))
-            ).alias("ws"),
-        )
+        batch_banded, batch_toks = lsh_batch_signed(spark, sf_dir, cut)
         cached = (
             checkpoint_index(
                 banded_idx.filter(F.col("id") < cut).unionByName(batch_banded)

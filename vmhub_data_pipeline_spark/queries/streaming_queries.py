@@ -23,7 +23,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dsum, sql_dsum
-from ..operators.caching import session_cache_put, sweep_at_exit
+from ..operators.caching import (
+    bounded_cache_put,
+    session_cache_put,
+    sweep_at_exit,
+)
 from ..streaming.events import TS_FORMAT, events_file_stream
 from ..tables import load
 from . import register
@@ -779,6 +783,24 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, stream, "stream_late", output_mode="append")
 
 
+# growth-dir parquet path -> its schema. The growth streams read the base
+# schema only to cast each micro-batch's append rows to the exact base
+# types; appends never change the schema, so one footer read per
+# directory suffices — uncached, every warm invocation re-paid a
+# DataFrameReader footer job. Keyed by the (mkdtemp-unique) path;
+# bounded FIFO since paths are session-independent strings.
+_DIR_SCHEMA_CACHE: dict = {}
+
+
+def _dir_schema(spark: SparkSession, path: str):
+    schema = _DIR_SCHEMA_CACHE.get((path,))
+    if schema is None:
+        schema = bounded_cache_put(
+            _DIR_SCHEMA_CACHE, (path,), spark.read.parquet(path).schema
+        )
+    return schema
+
+
 # (app_id, sf_dir) -> scratch dir of the GROWING serving index: lists/ is
 # initialized as a copy of the persisted artifact's inverted lists and
 # foreachBatch-appended to; _ckpt/ is the stream's checkpoint (exactly-once
@@ -890,7 +912,7 @@ def streaming_index_growth(
             on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
         )
     lists_dir = f"{grown}/lists"
-    base_schema = spark.read.parquet(lists_dir).schema
+    base_schema = _dir_schema(spark, lists_dir)
 
     adds = _landed_add_vectors(spark, sf_dir)
     stream = (
@@ -920,11 +942,19 @@ def streaming_index_growth(
     # has NOT finished — probing then would silently serve a
     # partially-grown index and fail confusingly far from the cause
     # (ADVICE r9 / VERDICT r9 task 7): stop the stream and fail loudly.
+    # The growth dir is DISCARDED on the failure path: a stop can land
+    # between a batch's parquet append and its checkpoint commit, and a
+    # same-session retry resuming that checkpoint would replay the batch
+    # into the kept files (duplicate list rows served silently) — so the
+    # retry must rebuild from the immutable persisted artifact instead.
     if not q.awaitTermination(_timeout):
         q.stop()
+        _GROWN_IVFPQ.pop(key, None)
+        shutil.rmtree(grown, ignore_errors=True)
         raise RuntimeError(
             f"streaming_index_growth: growth stream did not finish within "
-            f"{_timeout}s; aborting before probing a partially-grown index"
+            f"{_timeout}s; aborting (and discarding the growth dir) before "
+            f"probing a partially-grown index"
         )
 
     qdf, c = _pq_unit_corpus(spark, sf_dir)
@@ -1082,9 +1112,9 @@ def streaming_lsh_index_growth(
 
     from ..operators.dedup import (
         band_candidates,
+        hashed_token_sets,
         jaccard_verify,
         minhash_banded,
-        token_set_df,
     )
     from .dedup import _LSH_DISK_CACHE, _lsh_batch_cut, lsh_index_persisted
     from pyspark.sql import Window
@@ -1108,8 +1138,8 @@ def streaming_lsh_index_growth(
             _GROWN_LSH, key, grown,
             on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
         )
-    banded_schema = spark.read.parquet(f"{grown}/banded").schema
-    toks_schema = spark.read.parquet(f"{grown}/toks").schema
+    banded_schema = _dir_schema(spark, f"{grown}/banded")
+    toks_schema = _dir_schema(spark, f"{grown}/toks")
 
     docs_dir = _landed_batch_docs(spark, sf_dir)
     stream = (
@@ -1125,12 +1155,7 @@ def streaming_lsh_index_growth(
         banded_rows.select(
             *[F.col(f.name).cast(f.dataType) for f in banded_schema.fields]
         ).write.mode("append").parquet(f"{grown}/banded")
-        toks_rows = token_set_df(batch_df, "doc_id", "text", 3).select(
-            "id",
-            F.array_distinct(
-                F.transform("ws", lambda t: F.substring(F.md5(t), 1, 13))
-            ).alias("ws"),
-        )
+        toks_rows = hashed_token_sets(batch_df, "doc_id", "text", 3)
         toks_rows.select(
             *[F.col(f.name).cast(f.dataType) for f in toks_schema.fields]
         ).write.mode("append").parquet(f"{grown}/toks")
@@ -1142,13 +1167,18 @@ def streaming_lsh_index_growth(
         .start()
     )
     # same loud-failure contract as streaming_index_growth (VERDICT r9
-    # task 7): never probe a partially-grown index on a slow environment
+    # task 7): never probe a partially-grown index on a slow environment.
+    # Discard the growth dir on this path — a retry resuming a
+    # checkpoint whose last batch appended but never committed would
+    # replay it into the kept parquets (duplicate band/shingle rows).
     if not q.awaitTermination(_timeout):
         q.stop()
+        _GROWN_LSH.pop(key, None)
+        shutil.rmtree(grown, ignore_errors=True)
         raise RuntimeError(
             f"streaming_lsh_index_growth: growth stream did not finish "
-            f"within {_timeout}s; aborting before probing a "
-            f"partially-grown index"
+            f"within {_timeout}s; aborting (and discarding the growth "
+            f"dir) before probing a partially-grown index"
         )
 
     grown_banded = spark.read.parquet(f"{grown}/banded")
