@@ -359,6 +359,17 @@ def main() -> None:
     spark = build_session("vmhub-bench")
     qs = catalog.queries()
 
+    # start from a CLEAN stable-artifact root (r11): the persisted-index
+    # artifacts are durable across sessions by design, so without the wipe
+    # a bench run would inherit the previous run's fits and the build /
+    # first-rep-pays-write lines would silently measure a no-op
+    import shutil as _sh
+
+    from vmhub_data_pipeline_spark.operators.artifacts import artifact_root
+
+    _sh.rmtree(artifact_root(), ignore_errors=True)
+    print(f"# cleared stable artifact root {artifact_root()}", file=sys.stderr)
+
     # warm-up: JVM/codegen startup + parquet footer/file-index priming so
     # query 1 doesn't pay one-time session costs (bench measures queries)
     spark.range(1_000_000).selectExpr("sum(id)").collect()

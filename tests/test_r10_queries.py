@@ -132,8 +132,10 @@ def test_streamed_lsh_growth_row_equal_to_batch_append(spark, sf_dir):
     Q["streaming_lsh_index_growth"].fn(spark, sf_dir).count()
     key = (spark.sparkContext.applicationId, sf_dir)
     grown = _GROWN_LSH[key]
-    g_banded = spark.read.parquet(f"{grown}/banded")
-    g_toks = spark.read.parquet(f"{grown}/toks")
+    # __sb is the batch-keyed sink partition (r11 crash-idempotency
+    # bookkeeping), not index state — drop it for the row-set comparison
+    g_banded = spark.read.parquet(f"{grown}/banded").drop("__sb")
+    g_toks = spark.read.parquet(f"{grown}/toks").drop("__sb")
     b_banded, b_toks = lsh_index_appended(spark, sf_dir)
     assert _same_rowset(g_banded, b_banded)
     assert _same_rowset(g_toks, b_toks)

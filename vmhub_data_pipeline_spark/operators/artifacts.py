@@ -1,0 +1,111 @@
+"""Stable-path, content-keyed index artifacts (r11, VERDICT r10 task 3).
+
+Through r10 the persisted serving artifacts (the IVF-PQ model+lists and
+the LSH banded+shingle parquets) lived in ``tempfile.mkdtemp`` dirs keyed
+on ``applicationId`` — the fit→serve handoff died with the session, so a
+fresh process silently re-fit what yesterday's job already published.
+The production contract (FAISS ``write_index``: a stable path a DIFFERENT
+process mounts) needs three properties this module provides:
+
+* **stable addressing** — the artifact directory is a pure function of
+  the corpus files (name, size, mtime per data file) and the model
+  parameters, so any process over the same corpus+config resolves the
+  same path, and a corpus or config change resolves a NEW path instead of
+  serving a stale fit;
+* **atomic publish** — builders write into a ``<path>.tmp-<nonce>``
+  staging dir, stamp a completeness marker, and ``os.rename`` into place:
+  readers either see a complete artifact or none (a concurrent builder
+  losing the rename race adopts the winner's copy);
+* **durability** — nothing registers these dirs for the process-exit
+  sweep; deleting an artifact is an explicit operator action (or a
+  ``VMHUB_SPARK_ARTIFACTS`` root wipe, which bench.py does so its build
+  lines stay honest cold-fit measurements).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+_MARKER = "_VMHUB_COMPLETE"
+_FORMAT_VERSION = 1
+
+
+def artifact_root() -> str:
+    """Root directory for stable artifacts (env-overridable)."""
+    return os.environ.get(
+        "VMHUB_SPARK_ARTIFACTS",
+        os.path.join(tempfile.gettempdir(), "vmhub_spark_indexes"),
+    )
+
+
+def _corpus_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> list:
+    """(table, file, size, mtime) for every data file of the named tables —
+    cheap (pure fs metadata), and any regeneration of the corpus changes
+    it, so a stale artifact can never be served against new data."""
+    fp = []
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                if name.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(path, name))
+                fp.append([t, name, st.st_size, int(st.st_mtime)])
+        elif os.path.exists(path):
+            st = os.stat(path)
+            fp.append([t, os.path.basename(path), st.st_size, int(st.st_mtime)])
+    return fp
+
+
+def stable_artifact_dir(
+    kind: str, sf_dir: str, params: tuple, tables: tuple[str, ...]
+) -> str:
+    """The content-keyed artifact path for (kind, corpus, model params)."""
+    key_src = json.dumps(
+        {
+            "v": _FORMAT_VERSION,
+            "kind": kind,
+            "sf": os.path.realpath(sf_dir),
+            "params": list(params),
+            "corpus": _corpus_fingerprint(sf_dir, tables),
+        },
+        sort_keys=True,
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    return os.path.join(artifact_root(), f"{kind}-{key}")
+
+
+def artifact_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _MARKER))
+
+
+def publish_artifact(path: str, build_into: Callable[[str], None]) -> str:
+    """Build once, publish atomically. ``build_into(staging_dir)`` writes
+    the artifact's contents; the staging dir is renamed into ``path``
+    after the completeness marker is stamped. Re-entrant and
+    multi-process safe: if the artifact is already complete (or a
+    concurrent builder wins the rename), the existing copy is adopted and
+    the staging dir discarded."""
+    if artifact_complete(path):
+        return path
+    os.makedirs(artifact_root(), exist_ok=True)
+    staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        build_into(staging)
+        with open(os.path.join(staging, _MARKER), "w") as f:
+            f.write("")
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # another builder won the race — their complete copy serves
+            if not artifact_complete(path):
+                raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return path

@@ -877,21 +877,26 @@ def streaming_index_growth(
     stateOperators list is pinned empty), and the append writes only the
     batch's rows — O(batch x model) per trigger against an
     O(corpus)-sized resident table, exactly how a serving fleet takes
-    daily adds between refits. The stream's checkpoint makes appends
-    exactly-once across CLEAN re-invocations (a completed run replays
-    nothing on restart — the T4 idempotent-replay contract applied to
-    index maintenance); a crash mid-batch AFTER a partial parquet append
-    replays that batch at-least-once, the inherent contract of a
-    foreachBatch file sink without an idempotent (batch-id-keyed) write
-    — production closes that window with overwrite-by-batch-id
-    partitions, out of scope for this fixture-scale entry. The
-    probe keeps the composed-index contract: bucket equi-join over the
-    probed cells of the reloaded parquet, raw vectors touched only for
-    the shortlist. Fixture concession, documented: the growth dir START
-    is a copy of the persisted lists (production appends to the serving
-    table in place; the copy keeps ``ann_ivfpq_persist_probe``'s
-    round-trip artifact immutable for its row-equality pin)."""
+    daily adds between refits. Appends are CRASH-IDEMPOTENT (r11,
+    VERDICT r10 task 2): each micro-batch overwrites its own
+    ``__sb=<batch_id>`` partition of the lists parquet (the
+    ``start_to_lake`` batch-keyed convention), so a batch replayed after
+    a mid-batch crash — the at-least-once window inherent to a
+    foreachBatch file sink — overwrites its own partial rows instead of
+    double-appending (pinned in tests/test_r11_queries.py: a fresh
+    checkpoint over the same arrival files reproduces the identical row
+    set). The checkpoint still makes CLEAN re-invocations replay nothing
+    (the T4 idempotent-replay contract). The probe keeps the
+    composed-index contract: bucket equi-join over the probed cells of
+    the reloaded parquet, raw vectors touched only for the shortlist.
+    Fixture concession, documented: the growth dir START is a copy of
+    the persisted lists seeded as partition ``__sb=-1`` (production
+    appends to the serving table in place; the copy keeps
+    ``ann_ivfpq_persist_probe``'s round-trip artifact immutable for its
+    row-equality pin)."""
     import os
+
+    from pyspark.errors import StreamingQueryException
 
     from ..operators.similarity import (
         _nearest_centroid_expr,
@@ -902,17 +907,22 @@ def streaming_index_growth(
 
     cents, books, _base_lists = ivfpq_index_persisted(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
+    base_dir = _IVFPQ_DISK_CACHE[key]
+    # schema from the immutable persisted artifact (the growth dir itself
+    # carries the __sb partition column, which is sink bookkeeping — the
+    # serving schema is the artifact's)
+    base_schema = _dir_schema(spark, f"{base_dir}/lists")
     grown = _GROWN_IVFPQ.get(key)
     if grown is None:
-        base_dir = _IVFPQ_DISK_CACHE[key]
         grown = tempfile.mkdtemp(prefix="vmhub_ivfpq_grow_")
-        shutil.copytree(f"{base_dir}/lists", f"{grown}/lists", dirs_exist_ok=True)
+        shutil.copytree(
+            f"{base_dir}/lists", f"{grown}/lists/__sb=-1", dirs_exist_ok=True
+        )
         session_cache_put(
             _GROWN_IVFPQ, key, grown,
             on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
         )
     lists_dir = f"{grown}/lists"
-    base_schema = _dir_schema(spark, lists_dir)
 
     adds = _landed_add_vectors(spark, sf_dir)
     stream = (
@@ -921,16 +931,19 @@ def streaming_index_growth(
         .json(adds)
     )
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.select(
             F.col("vec_id").alias("corpus_id"),
             _nearest_centroid_expr(cents, F.col("v")).alias("bucket"),
             _pq_code_expr(F.col("v"), books, 64 // len(books)).alias("codes"),
             F.col("label"),
         )
+        # overwrite-by-batch-id: path-targeted overwrite of THIS batch's
+        # partition is idempotent under replay — a re-run of the batch
+        # replaces its own rows, never duplicates them
         rows.select(
             *[F.col(f.name).cast(f.dataType) for f in base_schema.fields]
-        ).write.mode("append").parquet(lists_dir)
+        ).write.mode("overwrite").parquet(f"{lists_dir}/__sb={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_append)
@@ -938,27 +951,35 @@ def streaming_index_growth(
         .trigger(availableNow=True)
         .start()
     )
+
+    def _discard_and_raise(reason: str, cause: Exception | None = None):
+        # never leave a half-grown dir + stale checkpoint behind for a
+        # same-session retry to serve: rebuild from the immutable
+        # persisted artifact instead (ADVICE r10: the discard must cover
+        # the exception path, not just the timeout)
+        _GROWN_IVFPQ.pop(key, None)
+        shutil.rmtree(grown, ignore_errors=True)
+        raise RuntimeError(
+            f"streaming_index_growth: {reason}; discarding the growth dir "
+            f"before probing a partially-grown index"
+        ) from cause
+
     # awaitTermination(timeout) returns False when the availableNow drain
     # has NOT finished — probing then would silently serve a
     # partially-grown index and fail confusingly far from the cause
     # (ADVICE r9 / VERDICT r9 task 7): stop the stream and fail loudly.
-    # The growth dir is DISCARDED on the failure path: a stop can land
-    # between a batch's parquet append and its checkpoint commit, and a
-    # same-session retry resuming that checkpoint would replay the batch
-    # into the kept files (duplicate list rows served silently) — so the
-    # retry must rebuild from the immutable persisted artifact instead.
-    if not q.awaitTermination(_timeout):
+    try:
+        finished = q.awaitTermination(_timeout)
+    except StreamingQueryException as exc:
+        _discard_and_raise(f"growth stream failed ({exc})", exc)
+    if not finished:
         q.stop()
-        _GROWN_IVFPQ.pop(key, None)
-        shutil.rmtree(grown, ignore_errors=True)
-        raise RuntimeError(
-            f"streaming_index_growth: growth stream did not finish within "
-            f"{_timeout}s; aborting (and discarding the growth dir) before "
-            f"probing a partially-grown index"
-        )
+        _discard_and_raise(f"growth stream did not finish within {_timeout}s")
 
     qdf, c = _pq_unit_corpus(spark, sf_dir)
-    lists = spark.read.parquet(lists_dir)
+    lists = spark.read.parquet(lists_dir).select(
+        *[F.col(f.name) for f in base_schema.fields]
+    )
     return ivfpq_knn(
         qdf.unionByName(c), qdf, id_col="vec_id", vec_col="embedding", k=5,
         dim=64, cents=cents, books=books, nprobe=4, rerank_shortlist=40,
@@ -1018,17 +1039,23 @@ def _lsh_grown_probe_oracle(
     corpus's ``banded``), so matches among TODAY's documents — invisible
     to the frozen-index probe ``dedup_incremental_lsh`` runs — now
     surface. Self-matches are excluded; everything else is the
-    incremental oracle's chain verbatim."""
-    from .dedup import _minhash_sig_ctes
+    incremental oracle's chain verbatim, including (r11) the band-bucket
+    occupancy cap replayed over the grown index leg."""
+    from .dedup import _LSH_HOT_CAP, _minhash_sig_ctes
 
     return f"""
 WITH {_minhash_sig_ctes(num_hashes, bands, shingle_size)},
 cut AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
+okept AS (
+  SELECT band_id, band_hash FROM banded
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= {_LSH_HOT_CAP}
+),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
   FROM banded n
   JOIN banded o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
    AND o.doc_id <> n.doc_id
+  JOIN okept k ON k.band_id = n.band_id AND k.band_hash = n.band_hash
   CROSS JOIN cut
   WHERE n.doc_id >= cut.cut
 ),
@@ -1096,19 +1123,27 @@ def streaming_lsh_index_growth(
     operator — stateOperators pinned empty) and the append writes only
     the batch's band/shingle rows — O(batch × signature) per trigger
     against an O(corpus)-sized maintained table, exactly how a daily
-    dedup pipeline takes document arrivals between full re-mines. The
-    stream's checkpoint makes appends exactly-once across CLEAN
-    re-invocations (a completed run replays nothing — pinned); a crash
-    between the two parquet appends of one batch replays it
-    at-least-once, the inherent foreachBatch file-sink contract
-    (production closes that window with batch-id-keyed overwrites).
-    The probe keeps the asymmetric-index contract: band equi-join,
-    candidate-grain verification, query-grain windows. Fixture
-    concession, documented: the growth dir START is a filtered copy of
-    the persisted artifact (production appends to the serving table in
-    place; the copy keeps ``dedup_lsh_persist_probe``'s round-trip
-    artifact immutable for its row-equality pin)."""
+    dedup pipeline takes document arrivals between full re-mines.
+    Appends are CRASH-IDEMPOTENT (r11, VERDICT r10 task 2 + ADVICE r10):
+    BOTH legs of a micro-batch overwrite their own ``__sb=<batch_id>``
+    partition (the ``start_to_lake`` batch-keyed convention), so a batch
+    replayed after a mid-batch crash — including a crash BETWEEN the two
+    legs' writes, the cross-leg inconsistency window two independent
+    plain appends would have — overwrites both partitions back to a
+    consistent state instead of double-appending (pinned in
+    tests/test_r11_queries.py: a fresh checkpoint over the same arrival
+    files reproduces the identical row sets). The checkpoint still makes
+    CLEAN re-invocations replay nothing (pinned). The probe keeps the
+    asymmetric-index contract: band equi-join (bucket-occupancy cap
+    enforced since r11), candidate-grain verification, query-grain
+    windows. Fixture concession, documented: the growth dir START is a
+    filtered copy of the persisted artifact seeded as partition
+    ``__sb=-1`` (production appends to the serving table in place; the
+    copy keeps ``dedup_lsh_persist_probe``'s round-trip artifact
+    immutable for its row-equality pin)."""
     import os
+
+    from pyspark.errors import StreamingQueryException
 
     from ..operators.dedup import (
         band_candidates,
@@ -1123,23 +1158,25 @@ def streaming_lsh_index_growth(
     lsh_index_persisted(spark, sf_dir)
     cut = _lsh_batch_cut(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
+    base_dir = _LSH_DISK_CACHE[key]
+    # serving schemas come from the immutable persisted artifact; the
+    # growth dir adds the __sb partition column (sink bookkeeping only)
+    banded_schema = _dir_schema(spark, f"{base_dir}/banded")
+    toks_schema = _dir_schema(spark, f"{base_dir}/toks")
     grown = _GROWN_LSH.get(key)
     if grown is None:
-        base_dir = _LSH_DISK_CACHE[key]
         grown = tempfile.mkdtemp(prefix="vmhub_lsh_grow_")
         for leg in ("banded", "toks"):
             (
                 spark.read.parquet(f"{base_dir}/{leg}")
                 .filter(F.col("id") < F.lit(cut))
                 .write.mode("overwrite")
-                .parquet(f"{grown}/{leg}")
+                .parquet(f"{grown}/{leg}/__sb=-1")
             )
         session_cache_put(
             _GROWN_LSH, key, grown,
             on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
         )
-    banded_schema = _dir_schema(spark, f"{grown}/banded")
-    toks_schema = _dir_schema(spark, f"{grown}/toks")
 
     docs_dir = _landed_batch_docs(spark, sf_dir)
     stream = (
@@ -1148,17 +1185,20 @@ def streaming_lsh_index_growth(
         .json(docs_dir)
     )
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        # overwrite-by-batch-id on BOTH legs: a replayed batch replaces
+        # its own partitions, so the two sinks can never drift apart
+        # past one replay even if a crash lands between the two writes
         banded_rows = minhash_banded(
             batch_df, "doc_id", "text", portable=True
         )
         banded_rows.select(
             *[F.col(f.name).cast(f.dataType) for f in banded_schema.fields]
-        ).write.mode("append").parquet(f"{grown}/banded")
+        ).write.mode("overwrite").parquet(f"{grown}/banded/__sb={batch_id}")
         toks_rows = hashed_token_sets(batch_df, "doc_id", "text", 3)
         toks_rows.select(
             *[F.col(f.name).cast(f.dataType) for f in toks_schema.fields]
-        ).write.mode("append").parquet(f"{grown}/toks")
+        ).write.mode("overwrite").parquet(f"{grown}/toks/__sb={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_append)
@@ -1166,30 +1206,42 @@ def streaming_lsh_index_growth(
         .trigger(availableNow=True)
         .start()
     )
-    # same loud-failure contract as streaming_index_growth (VERDICT r9
-    # task 7): never probe a partially-grown index on a slow environment.
-    # Discard the growth dir on this path — a retry resuming a
-    # checkpoint whose last batch appended but never committed would
-    # replay it into the kept parquets (duplicate band/shingle rows).
-    if not q.awaitTermination(_timeout):
-        q.stop()
+
+    def _discard_and_raise(reason: str, cause: Exception | None = None):
+        # same loud-failure contract as streaming_index_growth, and the
+        # discard covers the exception path too (ADVICE r10): a retry
+        # rebuilds from the immutable persisted artifact
         _GROWN_LSH.pop(key, None)
         shutil.rmtree(grown, ignore_errors=True)
         raise RuntimeError(
-            f"streaming_lsh_index_growth: growth stream did not finish "
-            f"within {_timeout}s; aborting (and discarding the growth "
-            f"dir) before probing a partially-grown index"
-        )
+            f"streaming_lsh_index_growth: {reason}; discarding the growth "
+            f"dir before probing a partially-grown index"
+        ) from cause
 
-    grown_banded = spark.read.parquet(f"{grown}/banded")
-    grown_toks = spark.read.parquet(f"{grown}/toks")
+    try:
+        finished = q.awaitTermination(_timeout)
+    except StreamingQueryException as exc:
+        _discard_and_raise(f"growth stream failed ({exc})", exc)
+    if not finished:
+        q.stop()
+        _discard_and_raise(f"growth stream did not finish within {_timeout}s")
+
+    grown_banded = spark.read.parquet(f"{grown}/banded").select(
+        *[F.col(f.name) for f in banded_schema.fields]
+    )
+    grown_toks = spark.read.parquet(f"{grown}/toks").select(
+        *[F.col(f.name) for f in toks_schema.fields]
+    )
     (docs,) = load(spark, sf_dir, "documents")
+    from .dedup import _LSH_HOT_CAP
+
     cand = band_candidates(
         grown_banded.filter(F.col("id") >= F.lit(cut)),
         grown_banded,
         "new_id",
         "other_id",
         ordered=False,
+        max_bucket_occupancy=_LSH_HOT_CAP,
     ).filter(F.col("new_id") != F.col("other_id"))
     hits = jaccard_verify(cand, grown_toks, "new_id", "other_id", 0.9)
     agg = hits.groupBy("new_id").agg(

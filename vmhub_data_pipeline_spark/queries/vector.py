@@ -9,7 +9,6 @@ measured against the exact baseline in tests/test_operators.py.
 
 from __future__ import annotations
 
-import shutil as _shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,7 +22,7 @@ from ..operators.similarity import (
 )
 from ..tables import load
 from . import register
-from ..operators.caching import session_cache_put, sweep_at_exit
+from ..operators.caching import session_cache_put
 
 _KNN_ORACLE = """
 WITH q AS (
@@ -1341,79 +1340,89 @@ def _opq_ann_oracle(
 _OPQ_MODEL_CACHE: dict[tuple, tuple] = {}
 
 
-def opq_model_cached(
-    spark: SparkSession, sf_dir: str, dim: int = 64, m: int = 8,
-    iters: int = 48,
-) -> tuple:
-    """Fit (or fetch) the OPQ rotation model ``(w, perm)``: the
-    Householder direction from the unit corpus's top PC, and the
+def opq_model_fit(e: DataFrame, dim: int = 64, m: int = 8, iters: int = 48) -> tuple:
+    """Fit the OPQ rotation model ``(w, perm)`` over a ``(vec_id, v)``
+    frame: the Householder direction from the corpus's top PC, and the
     energy-balanced snake permutation over the ROTATED corpus's
     per-dimension second moments (exact-integer longs, so the oracle
     ranks the identical values). Fit cost: the shared ``_power_top_pc``
     scatter pass + one rotated-energy scan — both O(corpus) with
-    O(model) driver state."""
+    O(model) driver state. Frame-parametrized (r11) so the recall-pin
+    fixtures can fit the same model on synthetic corpora;
+    ``opq_model_cached`` is the session-cached view over the unit
+    corpus."""
     import math
 
     from ..operators.similarity import dot_expr
 
+    _mu, v1, _lam = _power_top_pc(e, dim, iters)
+    # Householder direction w = normalize(v1 - e1): H = I - 2ww^T
+    # maps v1 onto coordinate 0 (left-to-right accumulation, matching
+    # list_dot_product)
+    u = list(v1)
+    u[0] = u[0] - 1.0
+    acc = 0.0
+    for x_ in u:
+        acc = acc + x_ * x_
+    n = math.sqrt(acc)
+    w = [x_ / n for x_ in u]
+    # rotated-corpus per-dimension energy (second moment, quantized
+    # longs); __d staged once per row and referenced dim times, so
+    # CollapseProject keeps it materialized (one fold per row, not
+    # per element)
+    w_lit = F.array(*[F.lit(x_) for x_ in w])
+    staged = e.select(
+        "vec_id", "v", dot_expr(F.col("v"), w_lit).alias("__d")
+    )
+    rot = staged.select(
+        F.array(
+            *[
+                F.element_at("v", i + 1)
+                - F.lit(2.0) * F.col("__d") * F.lit(w[i])
+                for i in range(dim)
+            ]
+        ).alias("rv")
+    )
+    en_rows = (
+        rot.select(F.posexplode("rv").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("val") * F.lit(1e9) + F.lit(0.5)
+                ).cast("long")
+            ).alias("en")
+        )
+        .collect()
+    )
+    en = {r["pos"]: r["en"] for r in en_rows}
+    order = sorted(range(dim), key=lambda p: (-en[p], p))
+    per_sub: dict[int, list[int]] = {}
+    for r_, p in enumerate(order):
+        block, sl = divmod(r_, m)
+        sj = sl if block % 2 == 0 else m - 1 - sl
+        per_sub.setdefault(sj, []).append(p)
+    perm = [0] * dim
+    subdim = dim // m
+    for sj, ps in per_sub.items():
+        for slot, p in enumerate(ps):
+            perm[p] = sj * subdim + slot
+    return (w, perm)
+
+
+def opq_model_cached(
+    spark: SparkSession, sf_dir: str, dim: int = 64, m: int = 8,
+    iters: int = 48,
+) -> tuple:
+    """Fit (or fetch) the OPQ rotation model over the unit corpus — the
+    session-cached view of :func:`opq_model_fit` (O(dim) driver floats,
+    the kmeans-centroid legitimacy class)."""
     key = (spark.sparkContext.applicationId, sf_dir, dim, m, iters)
     cached = _OPQ_MODEL_CACHE.get(key)
     if cached is None:
         _, c = _pq_unit_corpus(spark, sf_dir)
         e = c.select("vec_id", F.col("embedding").alias("v"))
-        _mu, v1, _lam = _power_top_pc(e, dim, iters)
-        # Householder direction w = normalize(v1 - e1): H = I - 2ww^T
-        # maps v1 onto coordinate 0 (left-to-right accumulation, matching
-        # list_dot_product)
-        u = list(v1)
-        u[0] = u[0] - 1.0
-        acc = 0.0
-        for x_ in u:
-            acc = acc + x_ * x_
-        n = math.sqrt(acc)
-        w = [x_ / n for x_ in u]
-        # rotated-corpus per-dimension energy (second moment, quantized
-        # longs); __d staged once per row and referenced dim times, so
-        # CollapseProject keeps it materialized (one fold per row, not
-        # per element)
-        w_lit = F.array(*[F.lit(x_) for x_ in w])
-        staged = e.select(
-            "vec_id", "v", dot_expr(F.col("v"), w_lit).alias("__d")
-        )
-        rot = staged.select(
-            F.array(
-                *[
-                    F.element_at("v", i + 1)
-                    - F.lit(2.0) * F.col("__d") * F.lit(w[i])
-                    for i in range(dim)
-                ]
-            ).alias("rv")
-        )
-        en_rows = (
-            rot.select(F.posexplode("rv").alias("pos", "val"))
-            .groupBy("pos")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("val") * F.col("val") * F.lit(1e9) + F.lit(0.5)
-                    ).cast("long")
-                ).alias("en")
-            )
-            .collect()
-        )
-        en = {r["pos"]: r["en"] for r in en_rows}
-        order = sorted(range(dim), key=lambda p: (-en[p], p))
-        per_sub: dict[int, list[int]] = {}
-        for r_, p in enumerate(order):
-            block, sl = divmod(r_, m)
-            sj = sl if block % 2 == 0 else m - 1 - sl
-            per_sub.setdefault(sj, []).append(p)
-        perm = [0] * dim
-        subdim = dim // m
-        for sj, ps in per_sub.items():
-            for slot, p in enumerate(ps):
-                perm[p] = sj * subdim + slot
-        cached = (w, perm)
+        cached = opq_model_fit(e, dim, m, iters)
         session_cache_put(_OPQ_MODEL_CACHE, key, cached)
     return cached
 
@@ -1954,46 +1963,70 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_frame(spark, sf_dir, "ann_ivfpq_topk", build)
 
 
-# (app_id, sf_dir) -> scratch dir holding the PERSISTED serving artifact
-# (model/ one-row parquet of centroids+codebooks, lists/ the inverted-list
-# rows) — the durable handoff between the offline fit job and the serving
-# job. Same lifecycle/keying discipline as the streaming scratch dirs,
-# plus a process-exit sweep (ADVICE r8: evict-on-insert alone leaves the
-# LAST session's index copy on disk after the process exits).
-_IVFPQ_DISK_CACHE: dict[tuple, str] = sweep_at_exit(
-    {}, lambda p: _shutil.rmtree(p, ignore_errors=True)
+# (app_id, sf_dir) -> the resolved STABLE artifact dir of the persisted
+# serving artifact (model/ one-row parquet of centroids+codebooks, lists/
+# the inverted-list rows) — the durable handoff between the offline fit
+# job and the serving job. Since r11 (VERDICT r10 task 3) the dir is
+# CONTENT-KEYED and durable (operators/artifacts.py): no exit sweep, no
+# per-session mkdtemp — a fresh session over the same corpus+config
+# resolves and mounts the same path instead of silently re-fitting. The
+# dict only caches the resolved path per session.
+_IVFPQ_DISK_CACHE: dict[tuple, str] = {}
+
+# model parameters baked into the artifact key (the registered entries'
+# frozen config: 64-dim unit vectors, 16 coarse cells x 3 Lloyd rounds,
+# 8x16 sub-codebooks x 3 rounds, exact-integer means)
+_IVFPQ_MODEL_PARAMS = (
+    "dim64", "cells16", "ci3", "m8", "k16", "pi3", "exact-mean",
 )
 
 
-def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> tuple:
-    """Persist the resident IVF-PQ index to parquet once per
-    (session, sf_dir), then LOAD it back — centroids, sub-codebooks, and
-    inverted lists all round-trip through storage (parquet doubles are
-    IEEE-exact, so the reloaded model is bit-identical to the fitted
-    one). Returns (cents, books, lists_df) read from disk."""
-    import tempfile
+def ivfpq_artifact_dir(sf_dir: str) -> str:
+    """The stable, content-keyed path of the persisted IVF-PQ serving
+    artifact — a pure function of the embeddings files + model params (no
+    session state), so ANY process resolves the same artifact."""
+    from ..operators.artifacts import stable_artifact_dir
 
-    from ..operators.caching import session_cache_put
+    return stable_artifact_dir(
+        "ivfpqidx", sf_dir, _IVFPQ_MODEL_PARAMS, tables=("embeddings",)
+    )
+
+
+def ivfpq_index_persisted(
+    spark: SparkSession, sf_dir: str, artifact_dir: str | None = None
+) -> tuple:
+    """Persist the resident IVF-PQ index to its STABLE content-keyed
+    parquet artifact (build-once, publish-atomic — FAISS ``write_index``),
+    then LOAD it back — centroids, sub-codebooks, and inverted lists all
+    round-trip through storage (parquet doubles are IEEE-exact, so the
+    reloaded model is bit-identical to the fitted one). Returns
+    (cents, books, lists_df) read from disk. Since r11 the artifact
+    SURVIVES the session: a different process over the same corpus mounts
+    the path and serves without any fit work (``ann_ivfpq_cold_reload``;
+    fit-forbidden pin in tests/test_r11_queries.py). ``artifact_dir``
+    overrides the resolved path for callers managing their own store."""
+    from ..operators.artifacts import artifact_complete, publish_artifact
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    scratch = _IVFPQ_DISK_CACHE.get(key)
-    if scratch is None:
-        import shutil
+    scratch = _IVFPQ_DISK_CACHE.get(key) if artifact_dir is None else artifact_dir
+    if scratch is None or not artifact_complete(scratch):
+        scratch = artifact_dir or ivfpq_artifact_dir(sf_dir)
+        if not artifact_complete(scratch):
+            cents, books, index = ivfpq_index_cached(
+                spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16,
+                pq_iter=3,
+            )
 
-        cents, books, index = ivfpq_index_cached(
-            spark, sf_dir, dim=64, n_cells=16, coarse_iter=3, m=8, k=16,
-            pq_iter=3,
-        )
-        scratch = tempfile.mkdtemp(prefix="vmhub_ivfpq_")
-        index.write.mode("overwrite").parquet(f"{scratch}/lists")
-        spark.createDataFrame(
-            [(cents, books)],
-            "cents array<array<double>>, books array<array<array<double>>>",
-        ).write.mode("overwrite").parquet(f"{scratch}/model")
-        session_cache_put(
-            _IVFPQ_DISK_CACHE, key, scratch,
-            on_evict=lambda p: shutil.rmtree(p, ignore_errors=True),
-        )
+            def _build(staging: str) -> None:
+                index.write.mode("overwrite").parquet(f"{staging}/lists")
+                spark.createDataFrame(
+                    [(cents, books)],
+                    "cents array<array<double>>, books array<array<array<double>>>",
+                ).write.mode("overwrite").parquet(f"{staging}/model")
+
+            publish_artifact(scratch, _build)
+        if artifact_dir is None:
+            session_cache_put(_IVFPQ_DISK_CACHE, key, scratch)
     row = spark.read.parquet(f"{scratch}/model").collect()[0]
     cents = [[float(x) for x in c] for c in row["cents"]]
     books = [[[float(x) for x in c] for c in b] for b in row["books"]]
@@ -2040,6 +2073,51 @@ def ann_ivfpq_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _probe_frame(spark, sf_dir, "ann_ivfpq_persist_probe", build)
+
+
+@register(
+    "ann_ivfpq_cold_reload",
+    oracle=_ivfpq_ann_oracle(),
+    tags=("vector", "ivf", "pq", "storage"),
+)
+def ann_ivfpq_cold_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START serving from the stable artifact path (r11, VERDICT r10
+    task 3): resolve the content-keyed artifact dir — a pure function of
+    the corpus files and model params, NO session-cached model or index
+    handle consulted — bootstrap it once if absent, then serve the probe
+    ENTIRELY from the mounted path: one O(model) parquet row rehydrates
+    the centroids+codebooks as plan literals, the lists parquet feeds the
+    celled join. This is FAISS ``read_index`` as deployed: the serving
+    fleet mounts the path the offline fit job published and a fresh
+    process serves without running a single Lloyd round — pinned in
+    tests/test_r11_queries.py by clearing every in-memory model/index
+    cache, monkeypatching the fit entry points to raise, and checking
+    row-equality to the resident-index probe.
+
+    Scale shape: identical to ``ann_ivfpq_persist_probe`` (celled ADC
+    over the reloaded lists, raw vectors only for the shortlist re-rank
+    from the resident unit-vector store — the store is normalization of
+    raw storage, not fit state). The only difference is WHERE the path
+    comes from, which is the entry's whole claim."""
+    from ..operators.artifacts import artifact_complete
+    from ..operators.similarity import ivfpq_knn
+
+    path = ivfpq_artifact_dir(sf_dir)
+    if not artifact_complete(path):
+        ivfpq_index_persisted(spark, sf_dir)  # bootstrap once, publish-atomic
+
+    def build() -> DataFrame:
+        q, c = _pq_unit_corpus(spark, sf_dir)
+        row = spark.read.parquet(f"{path}/model").collect()[0]
+        cents = [[float(x) for x in cc] for cc in row["cents"]]
+        books = [[[float(x) for x in c2] for c2 in b] for b in row["books"]]
+        return ivfpq_knn(
+            c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
+            cents=cents, books=books, nprobe=4, rerank_shortlist=40,
+            index=spark.read.parquet(f"{path}/lists"),
+        )
+
+    return _probe_frame(spark, sf_dir, "ann_ivfpq_cold_reload", build)
 
 
 def _ivfpq_add_batch_oracle(
