@@ -167,20 +167,19 @@ def _recall_at_5(spark, sf_dir, name: str, id_col: str = "corpus_id") -> float:
 
 def test_opq_recall_at_least_flat_pq(spark, sf_dir):
     """The learned transform may not LOSE recall against the flat-PQ
-    baseline on the sf0.001 fixture (VERDICT r8 task 6's done-bar). The
-    docstring documents the honest cross-sf noise picture — at sf0.01
-    the shipped chain measures BELOW flat PQ (0.58 vs 0.72), so the pin
-    is fixture-scoped rather than silently failing there (ADVICE r9)."""
-    if not sf_dir.rstrip("/").endswith("sf0.001"):
-        import pytest
-
-        pytest.skip(
-            "OPQ-vs-PQ recall pin holds on the sf0.001 fixture only; "
-            "other sfs show the docstring's noise picture"
-        )
-    assert _recall_at_5(spark, sf_dir, "ann_opq_topk") >= _recall_at_5(
-        spark, sf_dir, "ann_pq_topk"
-    )
+    baseline on the sf0.001 fixture (VERDICT r8 task 6's done-bar). At
+    other sfs the random fixture is noise-bound for ORDERING (at sf0.01
+    the shipped chain measures below flat PQ, 0.58 vs 0.72), so instead
+    of skipping entirely — which would let a gross recall regression in
+    the rotation/permutation chain pass unnoticed (ADVICE r10) — an
+    absolute floor holds there. The ordering itself is pinned
+    structurally on the r11 anisotropic fixture
+    (tests/test_r11_queries.py::test_opq_beats_pq_on_anisotropic_fixture)."""
+    opq = _recall_at_5(spark, sf_dir, "ann_opq_topk")
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert opq >= _recall_at_5(spark, sf_dir, "ann_pq_topk")
+    else:
+        assert opq >= 0.3, opq
 
 
 def test_opq_transform_is_orthogonal(spark, sf_dir):

@@ -1030,13 +1030,25 @@ def ivfpq_residual_knn(
             "query_id",
             "qv",
             "bucket",
+            # ||qr||^2 is the per-(query, probed-cell) ADC bias term: it
+            # is constant WITHIN a cell but varies ACROSS probed cells
+            # (each cell subtracts its own centroid from the query), so
+            # dropping it — legal for the flat LUT, whose dropped ||q||^2
+            # is per-query constant — silently mis-ranks candidates
+            # between cells at nprobe > 1 (found by the r11 clusterable
+            # fixture: top-5 came from the wrong cluster). FAISS's
+            # by_residual ADC carries exactly this term.
+            dot_expr(F.col("__qr"), F.col("__qr")).alias("__qr2"),
             _residual_lut_col(books, sub).alias("__lut"),
         ),
         eager=False,
     )
-    score = F.expr(" + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books))))
+    # qr^2 leads the left-to-right fold (bit-parity with the oracle's sum)
+    score = F.col("__qr2") + F.expr(
+        " + ".join(f"__lut[{j}][codes[{j}]]" for j in range(len(books)))
+    )
     scored = (
-        F.broadcast(qp.select("query_id", "bucket", "__lut"))
+        F.broadcast(qp.select("query_id", "bucket", "__qr2", "__lut"))
         .join(index, "bucket")
         .select("query_id", "corpus_id", score.alias("pq_dist"))
     )

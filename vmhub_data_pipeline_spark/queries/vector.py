@@ -2555,16 +2555,22 @@ lut AS (
          list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(q.sv, c.cv) AS term
   FROM qrsub q JOIN {pfinal} c ON c.j = q.j
 ),
+qr2 AS (
+  -- the per-(query, probed-cell) ADC bias ||qr||^2 (r11): constant within
+  -- a cell, NOT across cells — required for cross-cell comparability
+  SELECT query_id, bucket, list_dot_product(rv, rv) AS qr2 FROM qres
+),
 cand AS (
   SELECT p.query_id, p.bucket, b.vec_id AS corpus_id
   FROM probes p JOIN bkt b USING (bucket)
 ),
 scored AS (
-  SELECT cd.query_id, cd.corpus_id, {adc_sum} AS pq_dist
+  SELECT cd.query_id, cd.corpus_id, MAX(q2.qr2) + ({adc_sum}) AS pq_dist
   FROM cand cd
   JOIN enc e ON e.vec_id = cd.corpus_id
   JOIN lut l ON l.query_id = cd.query_id AND l.bucket = cd.bucket
             AND l.j = e.j AND l.cidx = e.code
+  JOIN qr2 q2 ON q2.query_id = cd.query_id AND q2.bucket = cd.bucket
   GROUP BY cd.query_id, cd.corpus_id
 ),
 short AS (
@@ -2691,12 +2697,17 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans exactly the same pruned code volume. FULLY oracle-checked:
     both Lloyd fits exact-integer-mean, residual subtraction replayed
     element-wise, per-cell LUTs and celled ADC as unrolled CTEs
-    (``_ivfpq_residual_ann_oracle``). Honesty note: on THIS fixture the
-    two variants measure comparable recall@5 (0.36 residual vs 0.40
-    vector-coded at sf0.001) — the embeddings are unstructured random,
-    so the coarse quantizer explains almost no variance and residuals
-    are as hard to code as the vectors; the residual win materializes
-    on clusterable corpora, which is why both layouts ship. Floor +
+    (``_ivfpq_residual_ann_oracle``). r11: the ADC score now carries the
+    per-(query, probed-cell) ``||qr||^2`` bias term — constant within a
+    cell but not across cells, so dropping it (fine for the flat LUT's
+    per-query ``||q||^2``) silently mis-ranked candidates BETWEEN probed
+    cells; found by the r11 clusterable fixture, where recall went
+    0.000 → 0.500 with the fix, and the oracle replays the corrected
+    sum. Honesty note: on THIS fixture the two variants still measure
+    comparable recall@5 — the embeddings are unstructured random, so the
+    coarse quantizer explains almost no variance and residuals are as
+    hard to code as the vectors; the residual>vector ordering is pinned
+    on the clustered fixture in tests/test_r11_queries.py. Floor +
     determinism pinned in tests/test_operators.py."""
     from ..operators.similarity import ivfpq_residual_knn
 
