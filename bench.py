@@ -169,6 +169,21 @@ HEADLINE = [
     # the checkpointed index, the serving-health monitor priced next to
     # ann_ivf_cell_stats)
     "dedup_lsh_bucket_stats",
+    # r11: the ENFORCED-cap miner on the boilerplate-augmented corpus
+    # (detail-only; consumes the warm augmented index — its build is the
+    # lsh_aug_index_build line — so this prices candidates+verify under
+    # the cap, comparable to dedup_minhash_lsh's full re-mine above)
+    "dedup_minhash_lsh_capped",
+    # r11: full-signature re-band of hot buckets (detail-only; pure
+    # index maintenance over the warm augmented index, band/bucket-grain
+    # rollups — the dedup ann_ivf_rebalance)
+    "dedup_lsh_reband_hot",
+    # r11: cold-start probes from the stable content-keyed artifacts
+    # (detail-only; first rep may pay the artifact publish — the root is
+    # wiped at bench start — remaining reps are mount+probe, directly
+    # comparable to the persist-probe siblings above)
+    "dedup_lsh_cold_probe",
+    "ann_ivfpq_cold_reload",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -308,6 +323,13 @@ SCALING_TABLES = {
     # reloaded parquet, pushed batch cutoff); artifact prewarmed per
     # sf_dir outside the timed runs (the dedup_incremental_lsh posture)
     "dedup_lsh_persist_probe": "documents",
+    # r11 (detail-only): the enforced bucket cap on a boilerplate-HEAVY
+    # synthetic (template slice scaled to ~10% of the corpus, so the hot
+    # bucket GROWS with sf): capped mining must stay near the organic
+    # miner's exponent — without the cap this corpus is quadratic in the
+    # slice (a 500-doc slice at sf0.1 would add ~1M candidate pairs per
+    # band; the capped run drops them at one bucket-grain rollup)
+    "lsh_capped_boilerplate": "documents",
 }
 
 # Scaling probes recorded in BENCH_DETAIL.json only — kept OFF the stdout
@@ -317,7 +339,22 @@ SCALING_DETAIL_ONLY = {
     "dedup_incremental_lsh",
     "text_passage_dedup_rebuild",
     "dedup_lsh_persist_probe",
+    "lsh_capped_boilerplate",
 }
+
+# r11 (VERDICT r10 task 7): host-drift calibration. The r10 boundary
+# showed +11% median session-level drift on entries the round never
+# touched — diagnosable only by hand-comparing BENCH_DETAIL across
+# rounds. These FIXED entries have round-invariant plans and inputs (a
+# pure-JVM compute loop; the frozen q1 aggregation over the frozen
+# sf0.001 lineitem), so their ratio against the previous round's
+# committed BENCH_DETAIL is the session's drift normalizer: uniform
+# upticks that match the calibration ratio are host drift, not
+# regressions. 5-run medians, detail-only (BENCH_DETAIL "calibration");
+# excluded from the headline total and the stdout line
+# (tests/test_bench_line.py pins the exclusion).
+CALIBRATION = ("calib_jvm_compute", "calib_scan_agg_sf0001")
+_CALIB_FIXED_SF_DIR = "/root/testdata/sf0.001"
 
 
 def build_stdout_line(
@@ -383,6 +420,32 @@ def main() -> None:
 
     _landed_events(spark, sf_dir)
 
+    # host-drift calibration (r11): timed FIRST after warm-up, before the
+    # index builds can compete for the machine
+    calibration: dict[str, float] = {}
+
+    def _calib(label: str, thunk) -> None:
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+        calibration[label] = round(sorted(runs)[len(runs) // 2], 3)
+        print(
+            f"# [calibration] {label}: {calibration[label]:.3f}s",
+            file=sys.stderr,
+        )
+
+    _calib(
+        "calib_jvm_compute",
+        lambda: spark.range(200_000_000).selectExpr("sum(id * 3 + 1) AS s").collect(),
+    )
+    if os.path.isdir(_CALIB_FIXED_SF_DIR):
+        _calib(
+            "calib_scan_agg_sf0001",
+            lambda: qs["q1_pricing_summary"](spark, _CALIB_FIXED_SF_DIR).count(),
+        )
+
     # Shared-artifact builds, reported as their OWN lines (VERDICT r7
     # task 5 — the ann_*_fit/ann_*_probe convention): the LSH pair-set /
     # portable-signature artifact is built once per (session, sf_dir) and
@@ -421,6 +484,25 @@ def main() -> None:
     lsh_pairs_cached(spark, sf_dir).count()
     builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
     print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
+
+    # r11: the boilerplate-AUGMENTED index (documents ∪ the 150-doc
+    # template slice) consumed by dedup_minhash_lsh_capped and
+    # dedup_lsh_reband_hot — its own detail line so both entries measure
+    # warm marginal cost (the lsh_index_build convention).
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _LSH_AUG_CACHE,
+        lsh_aug_index_cached,
+    )
+
+    _LSH_AUG_CACHE.clear()
+    t0 = time.perf_counter()
+    lsh_aug_index_cached(spark, sf_dir)
+    build_detail["lsh_aug_index_build"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [build sf{sf}, detail-only] lsh_aug_index_build: "
+        f"{build_detail['lsh_aug_index_build']:.3f}s",
+        file=sys.stderr,
+    )
 
     # r9: the headline-sf 16-cell IVF-PQ fit, timed as its own detail
     # build line so the three sf-hi IVF-PQ entries (ann_ivfpq_topk /
@@ -679,6 +761,34 @@ def main() -> None:
             max_token_doc_freq=100,
         )
 
+    def _lsh_capped_boilerplate(s, d):
+        # boilerplate-HEAVY variant of the registered capped entry: the
+        # template slice scales with the corpus (~10%), so the hot
+        # bucket grows with sf and the exponent proves the cap holds
+        import pyspark.sql.functions as BF
+
+        from vmhub_data_pipeline_spark.operators.dedup import (
+            minhash_neardup_pairs,
+        )
+        from vmhub_data_pipeline_spark.queries.dedup import (
+            _BOILER_TEMPLATE,
+            _LSH_HOT_CAP,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        boiler_n = max(150, n // 10)
+        boiler = s.range(boiler_n).select(
+            (BF.lit(1_000_000) + BF.col("id")).alias("doc_id"),
+            BF.concat(
+                BF.lit(_BOILER_TEMPLATE + " uniq"), BF.col("id").cast("string")
+            ).alias("text"),
+        )
+        return minhash_neardup_pairs(
+            docs.unionByName(boiler), "doc_id", "text", threshold=0.9,
+            portable=True, max_bucket_occupancy=_LSH_HOT_CAP,
+        )
+
     scaling: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         import math
@@ -715,6 +825,8 @@ def main() -> None:
                 return _jaccard_capped
             if name == "ann_ivfpq_probe":
                 return _ivfpq_probe_scaled
+            if name == "lsh_capped_boilerplate":
+                return _lsh_capped_boilerplate
             return lambda s, d: qs[name](s, d)
 
         for name, table in SCALING_TABLES.items():
@@ -744,6 +856,16 @@ def main() -> None:
                 lsh_index_persisted(spark, sec_dir)
                 lsh_index_persisted(spark, sf_dir)
             rows_lo, rows_hi = nrows(sec_dir, table), nrows(sf_dir, table)
+            if rows_hi == rows_lo:
+                # some fixture tables do not grow between adjacent sfs
+                # (documents/embeddings are 500 rows at BOTH sf0.001 and
+                # sf0.01) — no growth, no exponent
+                print(
+                    f"# [scaling] {name}: skipped ({table} has {rows_lo} "
+                    f"rows at both sfs)",
+                    file=sys.stderr,
+                )
+                continue
 
             def once(d):
                 t0 = time.perf_counter()
@@ -778,6 +900,10 @@ def main() -> None:
         "secondary_sf": sec_sf,
         "scaling": scaling,
         "repeats": {"default": REPEATS_DEFAULT, "line": REPEATS_LINE},
+        # r11 host-drift normalizer: divide by the previous round's
+        # committed values before reading any uniform uptick as a
+        # regression (r11 establishes the reference series)
+        "calibration": calibration,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

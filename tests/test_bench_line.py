@@ -49,6 +49,20 @@ def test_final_line_fits_driver_tail_with_headroom():
     )
 
 
+def test_calibration_entries_configured_and_off_the_line():
+    """The r11 host-drift calibration entries exist, are fixed-input by
+    construction (their labels name the frozen input), and stay OFF the
+    stdout line so the byte budget is untouched — they live in
+    BENCH_DETAIL's "calibration" block only."""
+    assert len(bench.CALIBRATION) >= 2
+    assert set(bench.CALIBRATION).isdisjoint(bench.LINE_QUERIES)
+    assert set(bench.CALIBRATION).isdisjoint(bench.HEADLINE)
+    assert set(bench.CALIBRATION).isdisjoint(bench.SECONDARY)
+    line = _worst_case_line()
+    for name in bench.CALIBRATION:
+        assert name not in line
+
+
 def test_final_line_is_one_parseable_json_object():
     line = _worst_case_line()
     assert "\n" not in line
@@ -72,8 +86,12 @@ def test_all_bench_entries_are_registered_queries():
     for name in bench.HEADLINE + bench.SECONDARY:
         assert name in qs, name
     # pseudo-entries with bench-local runners: the capped-jaccard
-    # production config and the resident-index IVF-PQ probe (runs
-    # ann_ivfpq_topk against a prewarmed per-sf_dir index)
+    # production config, the resident-index IVF-PQ probe (runs
+    # ann_ivfpq_topk against a prewarmed per-sf_dir index), and the
+    # boilerplate-HEAVY capped-LSH probe (the registered twin uses a
+    # fixed 150-doc slice; the probe scales it with the corpus)
     for name in bench.SCALING_TABLES:
-        if name not in ("jaccard_capped_100", "ann_ivfpq_probe"):
+        if name not in (
+            "jaccard_capped_100", "ann_ivfpq_probe", "lsh_capped_boilerplate"
+        ):
             assert name in qs, name

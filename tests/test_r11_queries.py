@@ -151,6 +151,41 @@ def test_reband_resolves_hot_buckets(spark, sf_dir):
         assert r["buckets_after"] > r["buckets_before"], r
 
 
+def test_reband_restores_serving_under_the_cap(spark, sf_dir):
+    """The repair closes the loop: pre-reband, the capped band join drops
+    the boilerplate family entirely (its only colliding buckets are hot);
+    post-reband the split buckets sit under the cap, so the SAME capped
+    join serves template-family candidates again — bounded by the
+    exact-signature group sizes instead of quadratic in the family."""
+    from vmhub_data_pipeline_spark.operators.dedup import (
+        band_candidates,
+        reband_hot_buckets,
+    )
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _BOILER_BASE_ID,
+        lsh_aug_index_cached,
+    )
+
+    banded, _toks = lsh_aug_index_cached(spark, sf_dir)
+
+    def boiler_pairs(b) -> int:
+        c = band_candidates(
+            b, b, "doc_a", "doc_b", ordered=True,
+            max_bucket_occupancy=_LSH_HOT_CAP,
+        )
+        return c.filter(
+            (F.col("doc_a") >= _BOILER_BASE_ID)
+            & (F.col("doc_b") >= _BOILER_BASE_ID)
+        ).count()
+
+    assert boiler_pairs(banded) == 0
+    reb = reband_hot_buckets(banded, _LSH_HOT_CAP)
+    served = boiler_pairs(reb)
+    assert served > 0
+    # still bounded: far below the family's all-pairs volume
+    assert served < 150 * 149 / 2, served
+
+
 # --- task 2: crash-idempotent growth appends ------------------------------
 
 
@@ -353,6 +388,174 @@ def test_ann_cold_reload_serves_without_any_fit(spark, sf_dir, monkeypatch):
     )
     cold = Q["ann_ivfpq_cold_reload"].fn(spark, sf_dir)
     assert {tuple(r) for r in cold.collect()} == ref_rows
+
+
+# --- task 4: clusterable ANN fixtures — recall ordering pinned, not argued
+
+
+def _fixture_frames(spark, rows):
+    from vmhub_data_pipeline_spark.operators.similarity import checkpoint_index
+
+    return checkpoint_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    )
+
+
+def _ann_truth(corpus, queries):
+    from vmhub_data_pipeline_spark.operators.similarity import brute_force_knn
+
+    t: dict[int, set] = {}
+    for r in brute_force_knn(corpus, queries, "vec_id", "embedding", k=5).collect():
+        t.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return t
+
+
+def _ann_recall(df, truth, id_col="corpus_id"):
+    got: dict[int, set] = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r[id_col])
+    return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+        len(t) for t in truth.values()
+    )
+
+
+def test_opq_beats_pq_on_anisotropic_fixture(spark):
+    """The recall ordering OPQ > PQ, pinned on a fixture where the effect
+    is structural instead of noise (VERDICT r10 task 4): variance lives in
+    8 hot dimensions that are CONTIGUOUS — all land in PQ subspace 0, so
+    its 16 codes must encode 8 signal dimensions while subspaces 1-7 code
+    noise; OPQ's energy-balanced snake permutation spreads them one per
+    subspace. numpy PCG64(seed) is platform-stable, so the measured
+    recalls are exact constants (0.833 vs 0.200 at authoring), pinned
+    with wide margins. sf-independent (pure synthetic)."""
+    import numpy as np
+
+    import pyspark.sql.functions as F2
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        checkpoint_index,
+        pq_fit,
+        pq_knn,
+    )
+    from vmhub_data_pipeline_spark.queries.vector import (
+        _opq_transform,
+        opq_model_fit,
+    )
+
+    dim = 64
+    rng = np.random.default_rng(1107)
+    scale = np.array([3.0] * 8 + [0.25] * 56)
+
+    def mk(n, base):
+        out = []
+        for i in range(n):
+            v = rng.normal(size=dim) * scale
+            v = v / np.linalg.norm(v)
+            out.append((base + i, [float(x) for x in v], 0))
+        return out
+
+    corpus = _fixture_frames(spark, mk(240, 0))
+    queries = _fixture_frames(spark, mk(24, 100_000))
+    truth = _ann_truth(corpus, queries)
+
+    books_raw = pq_fit(
+        corpus, "vec_id", "embedding", dim=dim, m=8, k=16, max_iter=3,
+        exact_mean=True,
+    )
+    r_pq = _ann_recall(
+        pq_knn(corpus, queries, "vec_id", "embedding", k=5, dim=dim,
+               books=books_raw, rerank_shortlist=None),
+        truth,
+    )
+    w, perm = opq_model_fit(
+        corpus.select("vec_id", F2.col("embedding").alias("v")), dim, 8, 48
+    )
+    rot_c = checkpoint_index(_opq_transform(corpus, w, perm, dim))
+    rot_q = _opq_transform(queries, w, perm, dim)
+    books_rot = pq_fit(
+        rot_c, "vec_id", "embedding", dim=dim, m=8, k=16, max_iter=3,
+        exact_mean=True,
+    )
+    r_opq = _ann_recall(
+        pq_knn(rot_c, rot_q, "vec_id", "embedding", k=5, dim=dim,
+               books=books_rot, rerank_shortlist=None),
+        truth,
+    )
+    assert r_opq >= r_pq + 0.3, (r_opq, r_pq)
+    assert r_opq >= 0.7, r_opq
+    assert r_pq <= 0.4, r_pq
+
+
+def test_residual_beats_vector_coded_on_clustered_fixture(spark):
+    """The recall ordering residual-coded > vector-coded IVF-PQ, pinned on
+    the fixture the layouts differ on: far-apart cluster centers (the
+    coarse quantizer's job) plus ANISOTROPIC decaying within-cluster
+    offsets (rankable structure for the codes). Vector-coded burns its
+    code budget re-encoding the center; residual codes spend it on the
+    offsets. This fixture also found the cross-cell ADC bias bug fixed in
+    r11 (the missing ||qr||^2 term — recall was 0.000 before the fix,
+    0.500 vs 0.350 after; see ivfpq_residual_knn). sf-independent."""
+    import numpy as np
+
+    import pyspark.sql.functions as F2
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _nearest_centroid_expr,
+        _residual_expr,
+        ivfpq_knn,
+        ivfpq_residual_knn,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    dim = 64
+    rng = np.random.default_rng(2211)
+    centers = rng.normal(size=(8, dim)) * 3.0
+    sig = 0.6 * (0.9 ** np.arange(dim))
+
+    def mk(n, base):
+        out = []
+        for i in range(n):
+            v = centers[i % 8] + rng.normal(size=dim) * sig
+            v = v / np.linalg.norm(v)
+            out.append((base + i, [float(x) for x in v], 0))
+        return out
+
+    corpus = _fixture_frames(spark, mk(240, 0))
+    queries = _fixture_frames(spark, mk(24, 100_000))
+    truth = _ann_truth(corpus, queries)
+
+    cents = kmeans_fit(
+        corpus, "vec_id", "embedding", k=16, max_iter=3, exact_mean=True
+    )
+    books_vec = pq_fit(
+        corpus, "vec_id", "embedding", dim=dim, m=8, k=16, max_iter=3,
+        exact_mean=True,
+    )
+    r_vec = _ann_recall(
+        ivfpq_knn(corpus, queries, id_col="vec_id", vec_col="embedding",
+                  k=5, dim=dim, cents=cents, books=books_vec, nprobe=4,
+                  rerank_shortlist=None),
+        truth,
+    )
+    v = _as_double(F2.col("embedding"))
+    res = corpus.select(
+        "vec_id",
+        _residual_expr(v, cents, _nearest_centroid_expr(cents, v)).alias(
+            "embedding"
+        ),
+    )
+    books_res = pq_fit(
+        res, "vec_id", "embedding", dim=dim, m=8, k=16, max_iter=3,
+        exact_mean=True,
+    )
+    r_res = _ann_recall(
+        ivfpq_residual_knn(corpus, queries, id_col="vec_id",
+                           vec_col="embedding", k=5, dim=dim, cents=cents,
+                           books=books_res, nprobe=4, rerank_shortlist=None),
+        truth,
+    )
+    assert r_res >= r_vec + 0.1, (r_res, r_vec)
+    assert r_res >= 0.45, r_res
 
 
 def test_cold_probe_plan_is_parquet_only(spark, sf_dir):

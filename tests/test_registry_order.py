@@ -12,48 +12,36 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-10 composition (VERDICT r9 tasks 1-5): the window rotates onto
-# ALL 42 queries whose latest driver evidence is round 5 — after r10 no
-# query's evidence predates round 6 — plus 5 first contacts for the r10
-# additions (LSH persist probe / tombstone delete / bucket-occupancy
-# audit / streamed LSH growth / IVF-OPQ), 2 regression guards for the
-# rewritten paths (dedup_lsh_index_append's single-signature-pass audit,
-# streaming_index_growth's loud-timeout contract), and the 1 spare slot
-# starting the r6 queue (q6_forecast_revenue). The class-coverage
-# requirement below reflects THIS composition: the r7-r9-fresh tiers
-# (window functions, setops, subquery, most star joins, most of the ANN
-# serving family) sit the round out.
+# Round-11 composition (VERDICT r10 tasks 1-6): 4 first contacts for the
+# r11 additions (enforced-cap miner, re-band repair, the two stable-path
+# cold-start entries), 7 regression guards for the round's rewritten
+# paths (cap threading, batch-keyed growth appends, stable-path
+# artifacts, the residual ADC bias fix), and 39 slots draining the
+# next-oldest evidence cohort (r6) in registration order: the core
+# agg/window/join/setops tiers rotate back in; the r7-r10-fresh tiers
+# (events, text, multimodal, stats, curation, pipeline, graph) hold
+# recent greens and sit this round out — they stay covered by the
+# full-catalog local mirror.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_mode", "agg_kmv_merge", "agg_regression_trend"],
-    "join": ["join_feature_store_pit"],
-    "events": [
-        "events_funnel",
-        "events_cdc_apply",
-        "events_ab_experiment",
-    ],
-    "text": ["text_bm25_topk", "text_perplexity_filter"],
+    "agg": ["agg_rollup", "agg_cube", "agg_count_distinct"],
+    "window": ["window_rank", "window_running_sum", "window_lag_lead"],
+    "join": ["join_q5_region_revenue", "join_broadcast_dim", "join_semi"],
+    "setops": ["set_intersect", "set_except", "set_union_distinct"],
+    "events": ["events_sliding_2h"],
+    "text": ["text_stats"],
     "dedup": [
+        "dedup_minhash_lsh_capped",
+        "dedup_lsh_reband_hot",
+        "dedup_lsh_cold_probe",
+        "dedup_minhash_lsh",
+        "dedup_incremental_lsh",
         "dedup_lsh_persist_probe",
-        "dedup_lsh_index_delete",
-        "dedup_lsh_bucket_stats",
-        "dedup_lsh_index_append",
-        "dedup_exact_substring",
     ],
-    "vector": ["ann_ivfopq_topk", "vector_centroids", "vector_drift_report"],
-    "graph": ["graph_label_propagation"],
-    "multimodal": ["multimodal_format_detect", "multimodal_video_frames"],
-    "stats": ["stats_kanonymity_audit", "stats_benford_audit"],
-    "curation": [
-        "curation_temperature_mix",
-        "curation_cluster_split",
-        "curation_shard_manifest",
-    ],
+    "vector": ["ann_ivfpq_cold_reload", "ann_ivfpq_residual_topk"],
     "streaming": [
         "streaming_lsh_index_growth",
         "streaming_index_growth",
-        "streaming_cms_fold",
     ],
-    "pipeline": ["pipeline_fk_integrity", "pipeline_rag_manifest"],
 }
 
 

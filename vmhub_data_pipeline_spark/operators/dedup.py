@@ -363,6 +363,63 @@ def band_candidates(
     return l.join(r, cond).select(a_col, b_col).distinct()
 
 
+def reband_hot_buckets(banded: DataFrame, cap: int) -> DataFrame:
+    """Split over-cap LSH buckets by the FULL signature (r11 — the repair
+    step the bucket audit drives, the dedup analog of an IVF hot-cell
+    rebalance): rows whose ``(band_id, band_hash)`` bucket holds more
+    than ``cap`` documents get their band key extended with the
+    document's full signature (all band hashes joined in band order —
+    i.e. rows-per-band raised to the whole signature for the hot bucket
+    only), every other bucket frozen. A hot bucket therefore splits into
+    exact-signature groups: documents identical in all mins stay
+    together (true clone families), everything else separates — after
+    which the occupancy cap no longer drops the bucket and the band join
+    SERVES the family again (pinned in tests/test_r11_queries.py).
+
+    Pure index maintenance: the salt is an aggregation of the banded
+    index itself (one groupBy at document grain — no document re-scan,
+    no re-signing; the hash family stays frozen), the hot set is the
+    bucket-grain rollup the audit already runs (broadcast-sized), and
+    the re-key is a projection. Returns the re-keyed
+    ``(id, band_id, band_hash)`` frame."""
+    occ = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    hot = occ.filter(F.col("__occ") > cap).select(
+        F.col("band_id").alias("__hot_band"),
+        F.col("band_hash").alias("__hot_hash"),
+        F.lit(True).alias("__is_hot"),
+    )
+    fsig = banded.groupBy("id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band_id", "band_hash"))),
+                lambda s: s["band_hash"],
+            ),
+        ).alias("__fs")
+    )
+    return (
+        banded.join(fsig, "id")
+        .join(
+            F.broadcast(hot),
+            (F.col("band_id") == F.col("__hot_band"))
+            & (F.col("band_hash") == F.col("__hot_hash")),
+            "left",
+        )
+        .select(
+            "id",
+            "band_id",
+            F.when(
+                F.col("__is_hot"),
+                F.concat(F.col("band_hash"), F.lit("~"), F.col("__fs")),
+            )
+            .otherwise(F.col("band_hash"))
+            .alias("band_hash"),
+        )
+    )
+
+
 def jaccard_verify(
     cands: DataFrame,
     toks: DataFrame,

@@ -68,80 +68,77 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-10 composition (VERDICT r9 tasks 1-5): rotate onto ALL 42
-    # queries whose latest driver evidence is round 5 — after this round
-    # no registered query's latest driver evidence predates round 6 —
-    # plus 5 first contacts for the r10 additions (the LSH index
-    # lifecycle brought to parity with the ANN tier: persisted-artifact
-    # probe, tombstone delete, streamed growth — the 12th real streaming
-    # execution — the bucket-occupancy audit, and IVF-OPQ, the learned
-    # rotation composed with the coarse-celled layout), 2 regression
-    # guards for the round's REWRITTEN paths (dedup_lsh_index_append —
-    # its audit now consumes the checkpointed grown index, one signature
-    # pass total, task 6; streaming_index_growth — the awaitTermination
-    # loud-failure contract, task 7), and the 1 spare slot starting the
-    # next-oldest (r6, 47 queries) queue in registration order.
-    # 5 + 2 + 42 + 1 = the 50-slot window exactly, zero deferrals — the
-    # same arithmetic that cleared r3/r4 in r9 and r5 here. Every other
-    # registered query holds an r6-r9 driver green and remains covered
-    # by the full-catalog local mirror at sf0.001
+    # Round-11 composition (VERDICT r10 tasks 1-6): 4 first contacts for
+    # the r11 additions (the enforced band-bucket cap's production entry,
+    # the re-band repair, and the two stable-path cold-start entries), 7
+    # regression guards for the round's REWRITTEN paths (the cap threaded
+    # through the incremental/persisted/streamed probes; the growth
+    # streams' batch-keyed idempotent appends; the persisted artifacts'
+    # stable-path move; and ann_ivfpq_residual_topk, whose ADC score
+    # gained the per-(query, cell) ||qr||^2 bias term the clusterable
+    # fixture exposed as missing), and 39 slots draining the next-oldest
+    # evidence cohort (r6, 46 strong; dedup_minhash_lsh of that cohort
+    # rides as a guard) in registration order. 4 + 7 + 39 = the 50-slot
+    # window exactly; the 6 r6 stragglers (text_token_count,
+    # dedup_jaccard_pairs_capped, dedup_simhash, events_lorenz_curve,
+    # agg_theta_difference, curation_dsir_weights) head the r12 queue and
+    # remain covered by the full-catalog local mirror at sf0.001
     # (tests/test_queries_oracle.py).
     #
-    # -- r10 first driver contact --
-    "dedup_lsh_persist_probe",      # probe from the persisted dedup artifact (r10-new)
-    "dedup_lsh_index_delete",       # tombstone remove_ids for the dedup index (r10-new)
-    "dedup_lsh_bucket_stats",       # bucket-occupancy audit, the dedup cell_stats (r10-new)
-    "streaming_lsh_index_growth",   # 12th streaming execution: dedup index growth (r10-new)
-    "ann_ivfopq_topk",              # OPQ rotation composed with IVF-PQ (r10-new)
-    # -- r10-touched regression guards --
-    "dedup_lsh_index_append",       # audit rewritten onto the checkpointed grown index
-    "streaming_index_growth",       # loud-timeout contract added
-    # -- oldest-evidence rotation: all 42 r5 greens, registration order --
-    "join_feature_store_pit",
-    "events_funnel",
-    "events_json_extract",
-    "events_pivot",
-    "events_cdc_apply",
-    "window_period_over_period",
-    "events_association_rules",
-    "events_ab_experiment",
-    "text_perplexity_filter",
-    "dedup_levenshtein_pairs",
-    "text_bm25_topk",
-    "text_bigram_lm_score",
-    "text_ngram_novelty",
-    "dedup_survivorship",
-    "graph_label_propagation",
-    "dedup_blocking_eval",
-    "dedup_exact_substring",
-    "dedup_dbscan_grid",
-    "vector_centroids",
-    "vector_norms",
-    "vector_quantize_int8",
-    "knn_mmr_diverse",
-    "vector_drift_report",
-    "pipeline_fk_integrity",
-    "pipeline_bloom_prefilter",
-    "case_bucketing",
-    "agg_kmv_merge",
-    "agg_mode",
-    "agg_gini_concentration",
-    "agg_bottomk_quantile_sketch",
-    "stats_kanonymity_audit",
-    "stats_benford_audit",
-    "agg_kmv_intersection",
-    "multimodal_format_detect",
-    "multimodal_video_frames",
-    "multimodal_audio_energy",
-    "pipeline_rag_manifest",
-    "curation_temperature_mix",
-    "curation_cluster_split",
-    "curation_shard_manifest",
-    "streaming_cms_fold",
-    "agg_regression_trend",
-    # -- next-oldest queue head: the oldest r6 green, registration order
-    # (the r6 tier is 47 strong; this starts its drain) --
-    "q6_forecast_revenue",
+    # -- r11 first driver contact --
+    "dedup_minhash_lsh_capped",   # enforced bucket cap on the boilerplate corpus
+    "dedup_lsh_reband_hot",       # full-signature re-band of hot buckets
+    "dedup_lsh_cold_probe",       # cold-start serving from the stable artifact
+    "ann_ivfpq_cold_reload",      # FAISS read_index: mount-and-serve, no fit
+    # -- r11-touched regression guards --
+    "dedup_minhash_lsh",          # band_candidates signature change (cap param)
+    "dedup_incremental_lsh",      # cap enforced on the frozen-index probe
+    "dedup_lsh_persist_probe",    # cap + stable-path artifact
+    "streaming_lsh_index_growth", # batch-keyed appends + capped grown probe
+    "streaming_index_growth",     # batch-keyed appends
+    "ann_ivfpq_residual_topk",    # cross-cell ADC bias term added (bug fix)
+    "ann_ivfpq_persist_probe",    # stable-path artifact
+    # -- oldest-evidence rotation: first 39 of the r6 cohort, registration
+    # order --
+    "daily_revenue",
+    "agg_stats_by_segment",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+    "agg_having",
+    "agg_conditional",
+    "agg_count_distinct",
+    "window_rank",
+    "window_ntile",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_range_interval",
+    "window_percent_rank",
+    "window_first_value",
+    "join_q5_region_revenue",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_full_outer",
+    "join_q7_nation_volume",
+    "join_q4_priority",
+    "join_q10_returned",
+    "join_q12_priority_class",
+    "join_q14_promo_share",
+    "join_q19_disjunctive",
+    "join_range_banded",
+    "join_q2_min_cost_supplier",
+    "join_q16_supplier_variety",
+    "join_q11_important_stock",
+    "set_intersect",
+    "set_except",
+    "set_union_distinct",
+    "set_distinct",
+    "events_sliding_2h",
+    "text_stats",
 )
 
 

@@ -1579,13 +1579,17 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``candidate_pairs = Σ occ·(occ-1)/2`` is exactly the band's
     contribution to tomorrow's probe volume and ``hot_*`` isolates the
     share coming from buckets over the production cap (occupancy > 100,
-    the ``max_token_doc_freq=100`` convention). This is the monitor that
-    drives the cap decision: LSH candidate generation is quadratic in
-    bucket occupancy, so a single degenerate band hash (boilerplate
-    pages, templated documents) silently turns the "never all-pairs"
-    guarantee into all-pairs-within-one-bucket — the same skew failure
-    IVF's cell audit catches, with the same remedy cadence (cap or
-    re-band, as IVF rebalances).
+    the ``max_token_doc_freq=100`` convention). Since r11 the cap this
+    audit measures is ENFORCED at candidate generation in every
+    production-config probe (``band_candidates(max_bucket_occupancy)``),
+    so ``hot_pairs`` now reports exactly the volume the cap DROPS — and
+    the re-band repair (``dedup_lsh_reband_hot``) is the ACT that wins
+    those pairs back at bounded cost. LSH candidate generation is
+    quadratic in bucket occupancy, so a single degenerate band hash
+    (boilerplate pages, templated documents) would otherwise silently
+    turn the "never all-pairs" guarantee into all-pairs-within-one-bucket
+    — the same skew failure IVF's cell audit catches, with the same
+    remedy cadence (cap + re-band, as IVF rebalances).
 
     Scale shape: reads the checkpointed resident index only (ExistingRDD
     scan, zero signature recompute — plan-gated), one bucket-grain
@@ -1792,43 +1796,14 @@ def dedup_lsh_reband_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over index rows with a broadcast-sized hot list. Output is
     8 band-grain audit rows (before/after buckets, max occupancy, hot
     buckets, candidate pairs) however large the corpus."""
+    from ..operators.dedup import reband_hot_buckets
+
     banded, _toks = lsh_aug_index_cached(spark, sf_dir)
     cap = _LSH_HOT_CAP
     occ = banded.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
-    hot = occ.filter(F.col("occ") > cap).select(
-        F.col("band_id").alias("__hot_band"),
-        F.col("band_hash").alias("__hot_hash"),
-        F.lit(True).alias("__is_hot"),
-    )
-    fsig = banded.groupBy("id").agg(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("band_id", "band_hash"))),
-                lambda s: s["band_hash"],
-            ),
-        ).alias("fs")
-    )
-    reb = (
-        banded.join(fsig, "id")
-        .join(
-            F.broadcast(hot),
-            (F.col("band_id") == F.col("__hot_band"))
-            & (F.col("band_hash") == F.col("__hot_hash")),
-            "left",
-        )
-        .select(
-            "band_id",
-            F.when(
-                F.col("__is_hot"),
-                F.concat(F.col("band_hash"), F.lit("~"), F.col("fs")),
-            )
-            .otherwise(F.col("band_hash"))
-            .alias("band_hash"),
-        )
-    )
+    reb = reband_hot_buckets(banded, cap)
     occ2 = reb.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
