@@ -186,6 +186,23 @@ def test_reband_restores_serving_under_the_cap(spark, sf_dir):
     assert served < 150 * 149 / 2, served
 
 
+def test_rebanded_serving_is_superset_of_capped(spark, sf_dir):
+    """The close of the cap→audit→re-band loop: serving from the repaired
+    index keeps every organic pair the capped miner found (repair never
+    touches sub-cap buckets) AND recovers the boilerplate family's
+    near-dup pairs, each exact-verified at the threshold."""
+    from vmhub_data_pipeline_spark.queries.dedup import _BOILER_BASE_ID
+
+    capped = Q["dedup_minhash_lsh_capped"].fn(spark, sf_dir)
+    served = Q["dedup_minhash_lsh_rebanded"].fn(spark, sf_dir)
+    assert capped.exceptAll(served).isEmpty()
+    recovered = served.exceptAll(capped).collect()
+    assert recovered
+    for r in recovered:
+        assert r["doc_a"] >= _BOILER_BASE_ID and r["doc_b"] >= _BOILER_BASE_ID
+        assert r["jaccard"] >= 0.9
+
+
 # --- task 2: crash-idempotent growth appends ------------------------------
 
 

@@ -12,11 +12,11 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-11 composition (VERDICT r10 tasks 1-6): 4 first contacts for the
+# Round-11 composition (VERDICT r10 tasks 1-6): 5 first contacts for the
 # r11 additions (enforced-cap miner, re-band repair, the two stable-path
 # cold-start entries), 7 regression guards for the round's rewritten
 # paths (cap threading, batch-keyed growth appends, stable-path
-# artifacts, the residual ADC bias fix), and 39 slots draining the
+# artifacts, the residual ADC bias fix), and 38 slots draining the
 # next-oldest evidence cohort (r6) in registration order: the core
 # agg/window/join/setops tiers rotate back in; the r7-r10-fresh tiers
 # (events, text, multimodal, stats, curation, pipeline, graph) hold
@@ -28,9 +28,9 @@ REQUIRED_IN_WINDOW = {
     "join": ["join_q5_region_revenue", "join_broadcast_dim", "join_semi"],
     "setops": ["set_intersect", "set_except", "set_union_distinct"],
     "events": ["events_sliding_2h"],
-    "text": ["text_stats"],
     "dedup": [
         "dedup_minhash_lsh_capped",
+        "dedup_minhash_lsh_rebanded",
         "dedup_lsh_reband_hot",
         "dedup_lsh_cold_probe",
         "dedup_minhash_lsh",

@@ -68,18 +68,19 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-11 composition (VERDICT r10 tasks 1-6): 4 first contacts for
+    # Round-11 composition (VERDICT r10 tasks 1-6): 5 first contacts for
     # the r11 additions (the enforced band-bucket cap's production entry,
-    # the re-band repair, and the two stable-path cold-start entries), 7
+    # the re-band repair, and the two stable-path cold-start entries, and the
+    # serve-from-repaired-index close of the cap loop), 7
     # regression guards for the round's REWRITTEN paths (the cap threaded
     # through the incremental/persisted/streamed probes; the growth
     # streams' batch-keyed idempotent appends; the persisted artifacts'
     # stable-path move; and ann_ivfpq_residual_topk, whose ADC score
     # gained the per-(query, cell) ||qr||^2 bias term the clusterable
-    # fixture exposed as missing), and 39 slots draining the next-oldest
+    # fixture exposed as missing), and 38 slots draining the next-oldest
     # evidence cohort (r6, 46 strong; dedup_minhash_lsh of that cohort
-    # rides as a guard) in registration order. 4 + 7 + 39 = the 50-slot
-    # window exactly; the 6 r6 stragglers (text_token_count,
+    # rides as a guard) in registration order. 5 + 7 + 38 = the 50-slot
+    # window exactly; the 7 r6 stragglers (text_stats, text_token_count,
     # dedup_jaccard_pairs_capped, dedup_simhash, events_lorenz_curve,
     # agg_theta_difference, curation_dsir_weights) head the r12 queue and
     # remain covered by the full-catalog local mirror at sf0.001
@@ -90,6 +91,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_lsh_reband_hot",       # full-signature re-band of hot buckets
     "dedup_lsh_cold_probe",       # cold-start serving from the stable artifact
     "ann_ivfpq_cold_reload",      # FAISS read_index: mount-and-serve, no fit
+    "dedup_minhash_lsh_rebanded", # serve from the repaired index (cap loop closed)
     # -- r11-touched regression guards --
     "dedup_minhash_lsh",          # band_candidates signature change (cap param)
     "dedup_incremental_lsh",      # cap enforced on the frozen-index probe
@@ -98,7 +100,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_index_growth",     # batch-keyed appends
     "ann_ivfpq_residual_topk",    # cross-cell ADC bias term added (bug fix)
     "ann_ivfpq_persist_probe",    # stable-path artifact
-    # -- oldest-evidence rotation: first 39 of the r6 cohort, registration
+    # -- oldest-evidence rotation: first 38 of the r6 cohort, registration
     # order --
     "daily_revenue",
     "agg_stats_by_segment",
@@ -138,7 +140,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "set_union_distinct",
     "set_distinct",
     "events_sliding_2h",
-    "text_stats",
 )
 
 

@@ -1831,6 +1831,80 @@ def dedup_lsh_reband_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REBAND_SERVE_ORACLE = f"""
+WITH aug AS ({_BOILER_SQL}),
+{_minhash_sig_ctes(32, 8, 3, src="aug")},
+occ0 AS (
+  SELECT band_id, band_hash, COUNT(*) AS occ FROM banded GROUP BY band_id, band_hash
+),
+hot AS (SELECT band_id, band_hash FROM occ0 WHERE occ > {_LSH_HOT_CAP}),
+fsig AS (
+  SELECT doc_id, string_agg(band_hash, '|' ORDER BY band_id) AS fs
+  FROM banded GROUP BY doc_id
+),
+reb AS (
+  SELECT b.doc_id, b.band_id,
+    CASE WHEN h.band_hash IS NOT NULL
+         THEN b.band_hash || '~' || f.fs ELSE b.band_hash END AS band_hash
+  FROM banded b
+  JOIN fsig f ON f.doc_id = b.doc_id
+  LEFT JOIN hot h ON h.band_id = b.band_id AND h.band_hash = b.band_hash
+),
+okept AS (
+  SELECT band_id, band_hash FROM reb
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= {_LSH_HOT_CAP}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM reb l JOIN reb r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+  JOIN okept k ON k.band_id = l.band_id AND k.band_hash = l.band_hash
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      / CAST(LEN(ta.hs) + LEN(tb.hs) - LEN(LIST_INTERSECT(ta.hs, tb.hs)) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN t13 ta ON ta.doc_id = c.doc_a
+  JOIN t13 tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.9
+"""
+
+
+@register(
+    "dedup_minhash_lsh_rebanded",
+    oracle=_REBAND_SERVE_ORACLE,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh_rebanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE from the REPAIRED index (r11 — the close of the cap→audit→
+    re-band loop): the capped miner run over ``reband_hot_buckets``'
+    output on the boilerplate-augmented corpus. Where
+    ``dedup_minhash_lsh_capped`` must DROP the template family (its only
+    colliding buckets are hot), the re-keyed index's split buckets sit
+    under the cap, so the SAME capped candidate join + exact-Jaccard
+    verify now wins the family's near-dup pairs back — at
+    exact-signature-group volume (Σ C(group, 2)), never the quadratic
+    all-pairs the cap exists to prevent. Output ⊇ the capped miner's
+    organic pairs (repair never loses sub-cap buckets, pinned) plus the
+    recovered boilerplate pairs, every one exact-verified at 0.9.
+
+    Scale shape: reband is one doc-grain aggregation + a broadcast hot
+    list over the maintained index (no re-signing); the capped join and
+    verify are unchanged. The oracle replays re-key, cap, candidates,
+    and verification end-to-end as plain CTEs."""
+    from ..operators.dedup import minhash_pairs_from_index, reband_hot_buckets
+
+    banded, toks = lsh_aug_index_cached(spark, sf_dir)
+    reb = reband_hot_buckets(banded, _LSH_HOT_CAP)
+    return minhash_pairs_from_index(
+        reb, toks, 0.9, max_bucket_occupancy=_LSH_HOT_CAP
+    )
+
+
 # LSH index tombstone DELETE (r10, VERDICT r9 task 3): the dedup analog of
 # FAISS remove_ids / ann_ivf_delete — documents get retracted (takedowns,
 # relicensing, retention expiry) and the maintained near-dup index must
