@@ -469,6 +469,15 @@ def main() -> None:
     # Detail-only (BENCH_DETAIL "builds"; kept off the stdout line for
     # its byte budget).
     build_detail: dict[str, float] = {}
+    # the compiled LSH probe frames bind the index they were built
+    # against — clearing the index cache without them would leave probes
+    # reading the PREVIOUS (still-resident) checkpoint (the
+    # _PROBE_FRAME_CACHE rule)
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _LSH_PROBE_FRAME_CACHE,
+    )
+
+    _LSH_PROBE_FRAME_CACHE.clear()
     _LSH_INDEX_CACHE.clear()
     t0 = time.perf_counter()
     lsh_index_cached(spark, sf_dir)

@@ -55,6 +55,31 @@ def bounded_cache_put(cache: dict, key: tuple, value: Any, max_entries: int = 64
     return value
 
 
+def dir_fingerprint(*paths: str) -> int:
+    """Hash of the dirs' data-file listing (relpath, size): a compiled
+    plan over these paths is valid exactly as long as this value — an
+    appended batch, a replay that rewrites part-files in place (fresh
+    file UUIDs), or a rebuilt artifact all change it, so a probe-frame
+    cache keyed on it can never serve a stale file index. Driver-side
+    metadata walk only (~file count of the dir); checkpoint dirs and
+    dot/underscore bookkeeping files are skipped."""
+    import os
+
+    acc: list[tuple] = []
+    for root in paths:
+        for dirpath, _dirs, files in os.walk(root):
+            if "_ckpt" in dirpath:
+                continue
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                acc.append(
+                    (root, rel, os.stat(os.path.join(dirpath, f)).st_size)
+                )
+    return hash(tuple(sorted(acc)))
+
+
 # Caches whose values own on-disk scratch (landed NDJSON fixtures, the
 # persisted IVF-PQ index copy) registered for a process-exit sweep: the
 # evict-on-insert path only reclaims a session's scratch when a LATER

@@ -1162,9 +1162,14 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-new-doc rollup and best-match window run at candidate grain.
     md5-portable hashing end to end, so the oracle replays candidates,
     verification, and the best-match choice exactly."""
-    (docs,) = load(spark, sf_dir, "documents")
-    banded_idx, toks = lsh_index_cached(spark, sf_dir)
-    return _incremental_probe(docs, banded_idx, toks)
+    key = (spark.sparkContext.applicationId, sf_dir, "resident")
+    probe = _LSH_PROBE_FRAME_CACHE.get(key)
+    if probe is None:
+        (docs,) = load(spark, sf_dir, "documents")
+        banded_idx, toks = lsh_index_cached(spark, sf_dir)
+        probe = _incremental_probe(docs, banded_idx, toks)
+        session_cache_put(_LSH_PROBE_FRAME_CACHE, key, probe)
+    return probe
 
 
 # (app_id, sf_dir) -> the resolved STABLE artifact dir of the persisted
@@ -1261,11 +1266,22 @@ def dedup_lsh_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     job reads a 100 TB maintained dedup table: prune by the batch
     boundary at the scan, join at band grain, fetch shingle sets for
     candidates only."""
-    (docs,) = load(spark, sf_dir, "documents")
+    from ..operators.caching import dir_fingerprint
+
     banded_idx, toks = lsh_index_persisted(spark, sf_dir)
-    return _incremental_probe(
-        docs, banded_idx, toks, cut=_lsh_batch_cut(spark, sf_dir)
+    art = _LSH_DISK_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    key = (
+        spark.sparkContext.applicationId, sf_dir, "persisted",
+        dir_fingerprint(art),
     )
+    probe = _LSH_PROBE_FRAME_CACHE.get(key)
+    if probe is None:
+        (docs,) = load(spark, sf_dir, "documents")
+        probe = _incremental_probe(
+            docs, banded_idx, toks, cut=_lsh_batch_cut(spark, sf_dir)
+        )
+        session_cache_put(_LSH_PROBE_FRAME_CACHE, key, probe)
+    return probe
 
 
 @register(
@@ -1292,16 +1308,26 @@ def dedup_lsh_cold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path comes from, which is the entry's whole claim."""
     from ..operators.artifacts import artifact_complete
 
+    from ..operators.caching import dir_fingerprint
+
     path = lsh_artifact_dir(sf_dir)
     if not artifact_complete(path):
         lsh_index_persisted(spark, sf_dir)  # bootstrap once, publish-atomic
-    (docs,) = load(spark, sf_dir, "documents")
-    return _incremental_probe(
-        docs,
-        spark.read.parquet(f"{path}/banded"),
-        spark.read.parquet(f"{path}/toks"),
-        cut=_lsh_batch_cut(spark, sf_dir),
+    key = (
+        spark.sparkContext.applicationId, sf_dir, "cold",
+        dir_fingerprint(path),
     )
+    probe = _LSH_PROBE_FRAME_CACHE.get(key)
+    if probe is None:
+        (docs,) = load(spark, sf_dir, "documents")
+        probe = _incremental_probe(
+            docs,
+            spark.read.parquet(f"{path}/banded"),
+            spark.read.parquet(f"{path}/toks"),
+            cut=_lsh_batch_cut(spark, sf_dir),
+        )
+        session_cache_put(_LSH_PROBE_FRAME_CACHE, key, probe)
+    return probe
 
 
 # LSH index APPEND (r9, VERDICT r8 task 4): the dedup analog of the FAISS
@@ -1371,6 +1397,17 @@ LEFT JOIN coll USING (band_id)
 # (the per-invocation driver-cost class _CENTS_CUM_CACHE closes for the
 # drift monitors).
 _LSH_CUT_CACHE: dict[tuple, int] = {}
+
+# (app_id, sf_dir, source_tag[, source_fingerprint]) -> the COMPILED
+# incremental-probe frame. The ``_probe_frame`` lesson applied to the LSH
+# probe family (r11): rebuilding the probe plan per invocation costs
+# ~0.3-0.5 s of driver analysis at sf0.1 on top of execution — a serving
+# system compiles its probe once per index version. The resident entry
+# keys on the session (its checkpointed index is session-stable); the
+# persisted/cold entries key on a ``dir_fingerprint`` of the artifact
+# dir, so a rebuilt artifact (new part-file UUIDs at the same path) can
+# never serve a plan bound to deleted files.
+_LSH_PROBE_FRAME_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _lsh_batch_cut(spark: SparkSession, sf_dir: str) -> int:

@@ -1020,26 +1020,9 @@ _GROWN_LSH: dict[tuple, str] = sweep_at_exit(
 _GROWN_PROBE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _sink_fingerprint(*paths: str) -> int:
-    """Hash of the sink dirs' data-file listing (relpath, size): a plan
-    compiled over these paths is valid exactly as long as this value —
-    an appended batch OR a replay that rewrites a partition's part-files
-    in place (fresh file UUIDs) both change it, so a cached probe frame
-    can never serve a stale file index. Driver-side metadata walk only
-    (~file count of the growth dir)."""
-    import os
-
-    acc: list[tuple] = []
-    for root in paths:
-        for dirpath, _dirs, files in os.walk(root):
-            if "_ckpt" in dirpath:
-                continue
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                rel = os.path.relpath(os.path.join(dirpath, f), root)
-                acc.append((root, rel, os.stat(os.path.join(dirpath, f)).st_size))
-    return hash(tuple(sorted(acc)))
+# the sink-file fingerprint that keys the probe-frame cache — shared with
+# the LSH probe family (operators/caching.py since r11)
+from ..operators.caching import dir_fingerprint as _sink_fingerprint  # noqa: E402
 
 # (app_id, sf_dir) -> NDJSON scratch dir holding the new-document batch as
 # TWO arrival files (so the growth stream runs >1 micro-batch): the
