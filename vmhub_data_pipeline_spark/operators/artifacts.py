@@ -17,9 +17,12 @@ process mounts) needs three properties this module provides:
   readers either see a complete artifact or none (a concurrent builder
   losing the rename race adopts the winner's copy);
 * **durability** — nothing registers these dirs for the process-exit
-  sweep; deleting an artifact is an explicit operator action (or a
-  ``VMHUB_SPARK_ARTIFACTS`` root wipe, which bench.py does so its build
-  lines stay honest cold-fit measurements).
+  sweep; deleting an artifact is an explicit operator action. Processes
+  that need cold-fit semantics (bench.py, the test suite) point
+  ``VMHUB_SPARK_ARTIFACTS`` at their own PRIVATE temp root instead of
+  wiping the shared one (ADVICE r11: a root wipe would destroy every
+  published artifact for every corpus and yank files out from under a
+  concurrently serving process).
 """
 
 from __future__ import annotations
@@ -45,9 +48,15 @@ def artifact_root() -> str:
 
 
 def _corpus_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> list:
-    """(table, file, size, mtime) for every data file of the named tables —
-    cheap (pure fs metadata), and any regeneration of the corpus changes
-    it, so a stale artifact can never be served against new data."""
+    """(table, file, size, mtime_ns) for every data file of the named
+    tables — cheap (pure fs metadata), and any regeneration of the corpus
+    changes it, so a stale artifact can never be served against new data.
+
+    Raises when NO data file matches any requested table (ADVICE r11): a
+    typo'd ``sf_dir`` must fail at key time, not resolve a "stable" path
+    keyed to nothing and publish an artifact for a corpus that doesn't
+    exist. ``st_mtime_ns`` (not whole seconds) so a corpus regenerated in
+    place within the same second with identical sizes still re-keys."""
     fp = []
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -56,10 +65,15 @@ def _corpus_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> list:
                 if name.startswith(("_", ".")):
                     continue
                 st = os.stat(os.path.join(path, name))
-                fp.append([t, name, st.st_size, int(st.st_mtime)])
+                fp.append([t, name, st.st_size, st.st_mtime_ns])
         elif os.path.exists(path):
             st = os.stat(path)
-            fp.append([t, os.path.basename(path), st.st_size, int(st.st_mtime)])
+            fp.append([t, os.path.basename(path), st.st_size, st.st_mtime_ns])
+    if not fp:
+        raise FileNotFoundError(
+            f"no data files found for tables {tables} under {sf_dir!r} — "
+            f"refusing to key an artifact to an empty corpus"
+        )
     return fp
 
 

@@ -55,14 +55,21 @@ def bounded_cache_put(cache: dict, key: tuple, value: Any, max_entries: int = 64
     return value
 
 
-def dir_fingerprint(*paths: str) -> int:
-    """Hash of the dirs' data-file listing (relpath, size): a compiled
-    plan over these paths is valid exactly as long as this value — an
-    appended batch, a replay that rewrites part-files in place (fresh
-    file UUIDs), or a rebuilt artifact all change it, so a probe-frame
-    cache keyed on it can never serve a stale file index. Driver-side
-    metadata walk only (~file count of the dir); checkpoint dirs and
-    dot/underscore bookkeeping files are skipped."""
+def dir_fingerprint(*paths: str) -> str:
+    """Stable digest of the dirs' data-file listing (relpath, size): a
+    compiled plan over these paths is valid exactly as long as this value
+    — an appended batch, a replay that rewrites part-files in place
+    (fresh file UUIDs), or a rebuilt artifact all change it, so a
+    probe-frame cache keyed on it can never serve a stale file index.
+    Driver-side metadata walk only (~file count of the dir); checkpoint
+    dirs and dot/underscore bookkeeping files are skipped.
+
+    sha256 over the sorted listing, NOT the builtin ``hash()`` (ADVICE
+    r11): ``hash()`` is PYTHONHASHSEED-salted per process, which is fine
+    for in-process cache keys but silently breaks the first time a
+    fingerprint is persisted or compared across processes — the exact
+    cross-process regime the stable artifact store runs in."""
+    import hashlib
     import os
 
     acc: list[tuple] = []
@@ -77,7 +84,8 @@ def dir_fingerprint(*paths: str) -> int:
                 acc.append(
                     (root, rel, os.stat(os.path.join(dirpath, f)).st_size)
                 )
-    return hash(tuple(sorted(acc)))
+    payload = "\n".join(f"{r}\t{rel}\t{sz}" for r, rel, sz in sorted(acc))
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 # Caches whose values own on-disk scratch (landed NDJSON fixtures, the

@@ -281,8 +281,15 @@ _IVF_INDEX_CACHE: dict[tuple, tuple] = {}
 _PROBE_FRAME_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _probe_frame(spark: SparkSession, sf_dir: str, entry: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, entry)
+def _probe_frame(spark: SparkSession, sf_dir: str, entry: str, build, fingerprint: str | None = None):
+    """``fingerprint`` (ADVICE r11): entries that serve from a DURABLE
+    on-disk artifact must key their compiled plan on a digest of the
+    artifact's data files (``dir_fingerprint``), matching the LSH probe
+    family's discipline — now that artifacts survive the session and are
+    externally deletable, a mid-session wipe+rebuild would otherwise
+    leave the cached plan bound to deleted part-files. Session-resident
+    indexes (checkpointed in-memory) keep the plain key."""
+    key = (spark.sparkContext.applicationId, sf_dir, entry, fingerprint)
     df = _PROBE_FRAME_CACHE.get(key)
     if df is None:
         df = build()
@@ -2061,18 +2068,24 @@ def ann_ivfpq_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-vector store (``_pq_unit_corpus`` — since r10 a checkpointed
     artifact, the FAISS vectors-live-in-the-index posture). Probe plan
     compiled once per session+model (``_probe_frame``)."""
+    from ..operators.caching import dir_fingerprint
     from ..operators.similarity import ivfpq_knn
+
+    cents, books, lists = ivfpq_index_persisted(spark, sf_dir)
+    art = _IVFPQ_DISK_CACHE[(spark.sparkContext.applicationId, sf_dir)]
 
     def build() -> DataFrame:
         q, c = _pq_unit_corpus(spark, sf_dir)
-        cents, books, lists = ivfpq_index_persisted(spark, sf_dir)
         return ivfpq_knn(
             c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
             cents=cents, books=books, nprobe=4, rerank_shortlist=40,
             index=lists,
         )
 
-    return _probe_frame(spark, sf_dir, "ann_ivfpq_persist_probe", build)
+    return _probe_frame(
+        spark, sf_dir, "ann_ivfpq_persist_probe", build,
+        fingerprint=dir_fingerprint(art),
+    )
 
 
 @register(
@@ -2100,6 +2113,7 @@ def ann_ivfpq_cold_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw storage, not fit state). The only difference is WHERE the path
     comes from, which is the entry's whole claim."""
     from ..operators.artifacts import artifact_complete
+    from ..operators.caching import dir_fingerprint
     from ..operators.similarity import ivfpq_knn
 
     path = ivfpq_artifact_dir(sf_dir)
@@ -2117,7 +2131,10 @@ def ann_ivfpq_cold_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
             index=spark.read.parquet(f"{path}/lists"),
         )
 
-    return _probe_frame(spark, sf_dir, "ann_ivfpq_cold_reload", build)
+    return _probe_frame(
+        spark, sf_dir, "ann_ivfpq_cold_reload", build,
+        fingerprint=dir_fingerprint(path),
+    )
 
 
 def _ivfpq_add_batch_oracle(
