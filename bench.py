@@ -179,11 +179,23 @@ HEADLINE = [
     # rollups — the dedup ann_ivf_rebalance)
     "dedup_lsh_reband_hot",
     # r11: cold-start probes from the stable content-keyed artifacts
-    # (detail-only; first rep may pay the artifact publish — the root is
-    # wiped at bench start — remaining reps are mount+probe, directly
-    # comparable to the persist-probe siblings above)
+    # (detail-only; first rep may pay the artifact publish — the bench
+    # runs against a fresh private root — remaining reps are mount+probe,
+    # directly comparable to the persist-probe siblings above)
     "dedup_lsh_cold_probe",
     "ann_ivfpq_cold_reload",
+    # r12: the one-pass detect->repair->verify maintenance job over the
+    # multi-family index (detail-only; the fixture index build is its own
+    # lsh_multi_index_build line, so this prices detect+repair+re-audit —
+    # two bucket-grain rollups, one doc-grain salt aggregation, one
+    # broadcast re-key — comparable to dedup_lsh_reband_hot above)
+    "dedup_lsh_repair_all",
+    # r12: cold-start serving from the GROWN artifacts (detail-only; the
+    # growth streams above run first and publish, so these price
+    # mount+probe of persist→grow→serve output — the grown siblings of
+    # dedup_lsh_cold_probe / ann_ivfpq_cold_reload)
+    "dedup_lsh_grown_cold_probe",
+    "ann_ivfpq_grown_cold_reload",
 ]
 
 # The stdout-line subset: one representative per capability tier. Entries
@@ -390,22 +402,73 @@ def build_stdout_line(
     return json.dumps(obj, separators=(",", ":"))
 
 
+def drift_normalized_block(
+    calibration: dict[str, float],
+    timings: dict[str, float],
+    prev_detail: dict | None,
+) -> tuple[dict[str, float], float | None]:
+    """Per-entry drift-normalized ratios against the PREVIOUS round's
+    committed BENCH_DETAIL (r12, VERDICT r11 task 7): the calibration
+    ratio (median now/prev over the fixed-plan calibration entries) is
+    this session's host-drift factor; each headline entry's raw
+    round-over-round ratio divided by it is the number a reader
+    adjudicates — ~1.0 means pure host drift, >1 beyond the noise band
+    means a real regression. Computed in the artifact so the
+    adjudication lives in-repo instead of judge arithmetic."""
+    if not prev_detail:
+        return {}, None
+    prev_calib = prev_detail.get("calibration") or {}
+    ratios = sorted(
+        calibration[k] / prev_calib[k]
+        for k in calibration
+        if prev_calib.get(k) and calibration[k] > 0
+    )
+    if not ratios:
+        return {}, None
+    calib_ratio = ratios[len(ratios) // 2]
+    prev_t = prev_detail.get("headline_all") or {}
+    drift = {
+        name: round((t / prev_t[name]) / calib_ratio, 3)
+        for name, t in timings.items()
+        if prev_t.get(name) and t > 0 and calib_ratio > 0
+    }
+    return drift, round(calib_ratio, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # the previous round's committed artifact, read BEFORE this run
+    # overwrites it — the reference series for drift normalization
+    prev_detail = None
+    try:
+        with open(detail_path) as f:
+            prev_detail = json.load(f)
+    except (OSError, ValueError):
+        prev_detail = None
     spark = build_session("vmhub-bench")
     qs = catalog.queries()
 
-    # start from a CLEAN stable-artifact root (r11): the persisted-index
-    # artifacts are durable across sessions by design, so without the wipe
-    # a bench run would inherit the previous run's fits and the build /
-    # first-rep-pays-write lines would silently measure a no-op
+    # start from a CLEAN, PRIVATE stable-artifact root (r12, ADVICE r11):
+    # the persisted-index artifacts are durable across sessions by design,
+    # so a bench run must not inherit the previous run's fits (the build /
+    # first-rep-pays-write lines would silently measure a no-op) — but
+    # wiping the SHARED root would destroy every published artifact for
+    # every corpus and yank files out from under a concurrently serving
+    # process. The bench therefore redirects VMHUB_SPARK_ARTIFACTS to its
+    # own fresh temp dir before any artifact path is resolved, and sweeps
+    # only that private root at exit.
+    import atexit as _atexit
     import shutil as _sh
+    import tempfile as _tf
 
-    from vmhub_data_pipeline_spark.operators.artifacts import artifact_root
-
-    _sh.rmtree(artifact_root(), ignore_errors=True)
-    print(f"# cleared stable artifact root {artifact_root()}", file=sys.stderr)
+    bench_root = _tf.mkdtemp(prefix="vmhub_bench_artifacts_")
+    os.environ["VMHUB_SPARK_ARTIFACTS"] = bench_root
+    _atexit.register(_sh.rmtree, bench_root, ignore_errors=True)
+    print(f"# private stable artifact root {bench_root}", file=sys.stderr)
 
     # warm-up: JVM/codegen startup + parquet footer/file-index priming so
     # query 1 doesn't pay one-time session costs (bench measures queries)
@@ -488,9 +551,15 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # r12: the pair set is mined under the PRODUCTION bucket cap and
+    # PUBLISHED to the stable artifact store (durable parquet) — this
+    # build line now prices mine+publish, and the cluster entry's warm
+    # reps read the published parquet instead of a session checkpoint
+    from vmhub_data_pipeline_spark.queries.dedup import _LSH_HOT_CAP as _CAP
+
     _LSH_PAIRS_CACHE.clear()
     t0 = time.perf_counter()
-    lsh_pairs_cached(spark, sf_dir).count()
+    lsh_pairs_cached(spark, sf_dir, max_bucket_occupancy=_CAP).count()
     builds["lsh_pairs_build"] = round(time.perf_counter() - t0, 3)
     print(f"# [build sf{sf}] lsh_pairs_build: {builds['lsh_pairs_build']:.3f}s", file=sys.stderr)
 
@@ -510,6 +579,24 @@ def main() -> None:
     print(
         f"# [build sf{sf}, detail-only] lsh_aug_index_build: "
         f"{build_detail['lsh_aug_index_build']:.3f}s",
+        file=sys.stderr,
+    )
+
+    # r12: the three-family index consumed by dedup_lsh_repair_all — its
+    # own detail line (the lsh_aug_index_build convention), so the
+    # maintenance entry measures warm detect+repair+verify cost.
+    from vmhub_data_pipeline_spark.queries.dedup import (
+        _LSH_MULTI_CACHE,
+        lsh_multi_index_cached,
+    )
+
+    _LSH_MULTI_CACHE.clear()
+    t0 = time.perf_counter()
+    lsh_multi_index_cached(spark, sf_dir)
+    build_detail["lsh_multi_index_build"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# [build sf{sf}, detail-only] lsh_multi_index_build: "
+        f"{build_detail['lsh_multi_index_build']:.3f}s",
         file=sys.stderr,
     )
 
@@ -914,9 +1001,17 @@ def main() -> None:
         # regression (r11 establishes the reference series)
         "calibration": calibration,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # r12 (VERDICT r11 task 7): drift-vs-regression adjudication IN the
+    # artifact — per-entry (t_now/t_prev)/calibration_ratio vs the
+    # previous committed BENCH_DETAIL
+    drift, calib_ratio = drift_normalized_block(calibration, timings, prev_detail)
+    detail["drift_normalized"] = drift
+    detail["calibration_ratio"] = calib_ratio
+    if calib_ratio is not None:
+        print(
+            f"# calibration_ratio vs previous committed detail: {calib_ratio}",
+            file=sys.stderr,
+        )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# full detail written to {detail_path}", file=sys.stderr)

@@ -95,3 +95,25 @@ def test_all_bench_entries_are_registered_queries():
             "jaccard_capped_100", "ann_ivfpq_probe", "lsh_capped_boilerplate"
         ):
             assert name in qs, name
+
+
+def test_drift_normalized_block_math_and_guards():
+    """r12 (VERDICT r11 task 7): the drift normalizer divides each
+    entry's raw round-over-round ratio by the session's calibration
+    ratio, and degrades to empty when there is no reference series."""
+    calib = {"calib_jvm_compute": 0.28, "calib_scan_agg_sf0001": 0.55}
+    prev = {
+        "calibration": {"calib_jvm_compute": 0.224, "calib_scan_agg_sf0001": 0.436},
+        "headline_all": {"q1_pricing_summary": 1.0, "daily_revenue": 0.5},
+    }
+    timings = {"q1_pricing_summary": 1.25, "daily_revenue": 0.5, "brand_new": 0.3}
+    drift, ratio = bench.drift_normalized_block(calib, timings, prev)
+    # calibration ratios: 1.25 and ~1.261 -> median is the upper of two
+    assert ratio == round(sorted([0.28 / 0.224, 0.55 / 0.436])[1], 3)
+    # q1 moved exactly with calibration -> normalized ~1.0
+    assert abs(drift["q1_pricing_summary"] - round((1.25 / 1.0) / ratio, 3)) < 0.01
+    # an entry with no previous measurement is simply absent
+    assert "brand_new" not in drift
+    # no reference series -> empty block, not a crash
+    assert bench.drift_normalized_block(calib, timings, None) == ({}, None)
+    assert bench.drift_normalized_block(calib, timings, {}) == ({}, None)

@@ -12,32 +12,42 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-11 composition (VERDICT r10 tasks 1-6): 5 first contacts for the
-# r11 additions (enforced-cap miner, re-band repair, the two stable-path
-# cold-start entries), 7 regression guards for the round's rewritten
-# paths (cap threading, batch-keyed growth appends, stable-path
-# artifacts, the residual ADC bias fix), and 38 slots draining the
-# next-oldest evidence cohort (r6) in registration order: the core
-# agg/window/join/setops tiers rotate back in; the r7-r10-fresh tiers
-# (events, text, multimodal, stats, curation, pipeline, graph) hold
+# Round-12 composition (VERDICT r11 tasks 1, 4, 5, 6): 3 first contacts
+# for the r12 additions (the one-pass maintenance entry and the two
+# durable-GROWN-index cold-serve entries), 7 regression guards for the
+# round's rewritten paths (the capped cluster entry + durable pair
+# artifact, the hardened artifact/dir fingerprints on every cold/persist
+# entry, the growth streams' publish step), and 40 slots draining the
+# oldest evidence (all 7 r6 stragglers + the first 33 of the r7 cohort)
+# in registration order. The r8-r11-fresh tiers (multimodal, stats,
+# graph, sampling beyond DSIR, setops beyond the r7 leftovers) hold
 # recent greens and sit this round out — they stay covered by the
 # full-catalog local mirror.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_rollup", "agg_cube", "agg_count_distinct"],
-    "window": ["window_rank", "window_running_sum", "window_lag_lead"],
-    "join": ["join_q5_region_revenue", "join_broadcast_dim", "join_semi"],
-    "setops": ["set_intersect", "set_except", "set_union_distinct"],
-    "events": ["events_sliding_2h"],
+    "agg": ["agg_theta_difference", "agg_percentiles", "agg_variance_corr"],
+    "window": ["window_topk_per_group"],
+    "join": ["join_q3_shipping", "join_asof_attribution"],
+    "subquery": ["subquery_scalar", "subquery_exists"],
+    "events": ["events_sessionize", "events_rfm_segmentation"],
+    "text": ["text_stats", "text_token_count", "text_quality"],
+    "curation": ["curation_dsir_weights"],
+    "pipeline": ["pipeline_training_manifest", "pipeline_date_functions"],
     "dedup": [
-        "dedup_minhash_lsh_capped",
-        "dedup_minhash_lsh_rebanded",
-        "dedup_lsh_reband_hot",
+        "dedup_lsh_repair_all",
+        "dedup_lsh_grown_cold_probe",
+        "dedup_cluster_lsh",
         "dedup_lsh_cold_probe",
-        "dedup_minhash_lsh",
-        "dedup_incremental_lsh",
         "dedup_lsh_persist_probe",
+        "dedup_jaccard_pairs_capped",
+        "dedup_simhash",
     ],
-    "vector": ["ann_ivfpq_cold_reload", "ann_ivfpq_residual_topk"],
+    "vector": [
+        "ann_ivfpq_grown_cold_reload",
+        "ann_ivfpq_cold_reload",
+        "ann_ivfpq_persist_probe",
+        "knn_cosine_topk",
+        "ann_ivf_topk",
+    ],
     "streaming": [
         "streaming_lsh_index_growth",
         "streaming_index_growth",

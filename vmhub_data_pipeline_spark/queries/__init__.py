@@ -68,78 +68,79 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-11 composition (VERDICT r10 tasks 1-6): 5 first contacts for
-    # the r11 additions (the enforced band-bucket cap's production entry,
-    # the re-band repair, and the two stable-path cold-start entries, and the
-    # serve-from-repaired-index close of the cap loop), 7
-    # regression guards for the round's REWRITTEN paths (the cap threaded
-    # through the incremental/persisted/streamed probes; the growth
-    # streams' batch-keyed idempotent appends; the persisted artifacts'
-    # stable-path move; and ann_ivfpq_residual_topk, whose ADC score
-    # gained the per-(query, cell) ||qr||^2 bias term the clusterable
-    # fixture exposed as missing), and 38 slots draining the next-oldest
-    # evidence cohort (r6, 46 strong; dedup_minhash_lsh of that cohort
-    # rides as a guard) in registration order. 5 + 7 + 38 = the 50-slot
-    # window exactly; the 7 r6 stragglers (text_stats, text_token_count,
-    # dedup_jaccard_pairs_capped, dedup_simhash, events_lorenz_curve,
-    # agg_theta_difference, curation_dsir_weights) head the r12 queue and
-    # remain covered by the full-catalog local mirror at sf0.001
-    # (tests/test_queries_oracle.py).
+    # Round-12 composition (VERDICT r11 tasks 1, 4, 5, 6): 3 first
+    # contacts for the r12 additions (the one-pass detect->repair->verify
+    # maintenance entry and the two durable-GROWN-index cold-serve
+    # entries), 7 regression guards for the round's rewritten paths (the
+    # cluster entry now consumes the CAPPED pair set published as a
+    # durable artifact — its oracle gained the HAVING-count band CTE; the
+    # fitted-artifact cold/persist entries re-key under the hardened
+    # st_mtime_ns corpus fingerprint and the sha256 dir fingerprints; the
+    # growth streams gained the post-drain publish step), and 40 slots
+    # draining the oldest evidence: all 7 r6 stragglers plus the first 33
+    # of the 42-row r7 cohort in registration order. 3 + 7 + 40 = the
+    # 50-slot window exactly; the 9 r7 leftovers
+    # (subquery_correlated_scalar, set_union_all, curation_hash_split,
+    # curation_stratified_sample, curation_pack_sequences,
+    # curation_global_shuffle, streaming_tumbling_day,
+    # streaming_session_windows, streaming_interval_join) head the r13
+    # queue and remain covered by the full-catalog local mirror at
+    # sf0.001 (tests/test_queries_oracle.py).
     #
-    # -- r11 first driver contact --
-    "dedup_minhash_lsh_capped",   # enforced bucket cap on the boilerplate corpus
-    "dedup_lsh_reband_hot",       # full-signature re-band of hot buckets
-    "dedup_lsh_cold_probe",       # cold-start serving from the stable artifact
-    "ann_ivfpq_cold_reload",      # FAISS read_index: mount-and-serve, no fit
-    "dedup_minhash_lsh_rebanded", # serve from the repaired index (cap loop closed)
-    # -- r11-touched regression guards --
-    "dedup_minhash_lsh",          # band_candidates signature change (cap param)
-    "dedup_incremental_lsh",      # cap enforced on the frozen-index probe
-    "dedup_lsh_persist_probe",    # cap + stable-path artifact
-    "streaming_lsh_index_growth", # batch-keyed appends + capped grown probe
-    "streaming_index_growth",     # batch-keyed appends
-    "ann_ivfpq_residual_topk",    # cross-cell ADC bias term added (bug fix)
-    "ann_ivfpq_persist_probe",    # stable-path artifact
-    # -- oldest-evidence rotation: first 38 of the r6 cohort, registration
-    # order --
-    "daily_revenue",
-    "agg_stats_by_segment",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_having",
-    "agg_conditional",
-    "agg_count_distinct",
-    "window_rank",
-    "window_ntile",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_range_interval",
-    "window_percent_rank",
-    "window_first_value",
-    "join_q5_region_revenue",
-    "join_broadcast_dim",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_full_outer",
-    "join_q7_nation_volume",
-    "join_q4_priority",
-    "join_q10_returned",
-    "join_q12_priority_class",
-    "join_q14_promo_share",
-    "join_q19_disjunctive",
-    "join_range_banded",
-    "join_q2_min_cost_supplier",
-    "join_q16_supplier_variety",
-    "join_q11_important_stock",
-    "set_intersect",
-    "set_except",
-    "set_union_distinct",
-    "set_distinct",
-    "events_sliding_2h",
+    # -- r12 first driver contact --
+    "dedup_lsh_repair_all",        # one-pass detect->repair->verify + idempotence
+    "dedup_lsh_grown_cold_probe",  # mount a previously-GROWN dedup index
+    "ann_ivfpq_grown_cold_reload", # mount a previously-GROWN ANN index
+    # -- r12-touched regression guards --
+    "dedup_cluster_lsh",           # capped pair set + durable pair artifact + new oracle
+    "dedup_lsh_cold_probe",        # hardened artifact/dir fingerprints
+    "ann_ivfpq_cold_reload",       # hardened fingerprints + fingerprinted probe frame
+    "dedup_lsh_persist_probe",     # hardened fingerprints
+    "ann_ivfpq_persist_probe",     # fingerprinted probe frame
+    "streaming_lsh_index_growth",  # post-drain publish step added
+    "streaming_index_growth",      # post-drain publish step added
+    # -- oldest-evidence rotation: the 7 r6 stragglers, registration order --
+    "text_stats",
+    "text_token_count",
+    "dedup_jaccard_pairs_capped",
+    "dedup_simhash",
+    "events_lorenz_curve",
+    "agg_theta_difference",
+    "curation_dsir_weights",
+    # -- then the first 33 of the r7 cohort, registration order --
+    "q1_pricing_summary",
+    "window_topk_per_group",
+    "join_q3_shipping",
+    "join_asof_attribution",
+    "join_q20_potential_promotion",
+    "topk_orders",
+    "events_sessionize",
+    "events_rfm_segmentation",
+    "text_quality",
+    "text_fingerprint",
+    "text_shingles",
+    "text_pii_redact",
+    "text_line_dedup",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+    "pipeline_training_manifest",
+    "knn_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "pipeline_lake_paths",
+    "pipeline_date_functions",
+    "pipeline_bad_date_tolerance",
+    "pipeline_string_functions",
+    "pipeline_date_series",
+    "agg_variance_corr",
+    "agg_percentiles",
+    "agg_arg_minmax",
+    "agg_collect_sorted",
+    "subquery_scalar",
+    "subquery_exists",
 )
 
 

@@ -981,6 +981,31 @@ def streaming_index_growth(
     # plan over the sink must re-list before its next action — the
     # REFRESH TABLE a serving system issues after ingest commits
     spark.catalog.refreshByPath(lists_dir)
+
+    # r12 (VERDICT r11 task 4): publish the committed grown index — the
+    # grown lists plus the frozen model, so the artifact is self-contained
+    # — to the stable content-keyed store; a fresh process mounts it and
+    # serves without re-running fit OR growth (``ann_ivfpq_grown_cold_
+    # reload``). Atomic, idempotent (no-op once complete).
+    from ..operators.artifacts import artifact_complete, publish_artifact
+
+    art = ivfpq_grown_artifact_dir(sf_dir)
+    if not artifact_complete(art):
+
+        def _publish(staging: str) -> None:
+            (
+                spark.read.parquet(lists_dir)
+                .select(*[F.col(f.name) for f in base_schema.fields])
+                .write.mode("overwrite")
+                .parquet(f"{staging}/lists")
+            )
+            spark.createDataFrame(
+                [(cents, books)],
+                "cents array<array<double>>, books array<array<array<double>>>",
+            ).write.mode("overwrite").parquet(f"{staging}/model")
+
+        publish_artifact(art, _publish)
+
     probe_key = (
         spark.sparkContext.applicationId, sf_dir, grown,
         _sink_fingerprint(lists_dir),
@@ -1260,6 +1285,31 @@ def streaming_lsh_index_growth(
     # over both legs must re-list before their next action
     spark.catalog.refreshByPath(f"{grown}/banded")
     spark.catalog.refreshByPath(f"{grown}/toks")
+
+    # r12 (VERDICT r11 task 4): the GROWN index becomes durable. The
+    # session growth dir is working state (checkpoint + __sb partitions);
+    # once the drain commits, the grown serving tables are published to
+    # the stable content-keyed artifact store — frozen ∪ batch is a pure
+    # function of the corpus, so the key needs only corpus+params — and a
+    # fresh process can mount persist→grow→serve output without re-running
+    # the stream (``dedup_lsh_grown_cold_probe``). Publish is atomic and
+    # idempotent (no-op once complete).
+    from ..operators.artifacts import artifact_complete, publish_artifact
+
+    art = lsh_grown_artifact_dir(sf_dir)
+    if not artifact_complete(art):
+
+        def _publish(staging: str) -> None:
+            for leg, schema in (("banded", banded_schema), ("toks", toks_schema)):
+                (
+                    spark.read.parquet(f"{grown}/{leg}")
+                    .select(*[F.col(f.name) for f in schema.fields])
+                    .write.mode("overwrite")
+                    .parquet(f"{staging}/{leg}")
+                )
+
+        publish_artifact(art, _publish)
+
     probe_key = (
         spark.sparkContext.applicationId, sf_dir, grown,
         _sink_fingerprint(f"{grown}/banded", f"{grown}/toks"),
@@ -1273,9 +1323,24 @@ def streaming_lsh_index_growth(
     grown_toks = spark.read.parquet(f"{grown}/toks").select(
         *[F.col(f.name) for f in toks_schema.fields]
     )
-    (docs,) = load(spark, sf_dir, "documents")
+    probe = _grown_lsh_probe(spark, sf_dir, grown_banded, grown_toks, cut)
+    session_cache_put(_GROWN_PROBE_CACHE, probe_key, probe)
+    return probe
+
+
+def _grown_lsh_probe(
+    spark: SparkSession, sf_dir: str, grown_banded: DataFrame,
+    grown_toks: DataFrame, cut: int,
+) -> DataFrame:
+    """The whole-grown-index probe plan (batch vs frozen ∪ batch, self
+    excluded, production cap enforced) — shared by the streamed growth
+    entry and the cold grown-serve entry so the two can never drift."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import band_candidates, jaccard_verify
     from .dedup import _LSH_HOT_CAP
 
+    (docs,) = load(spark, sf_dir, "documents")
     cand = band_candidates(
         grown_banded.filter(F.col("id") >= F.lit(cut)),
         grown_banded,
@@ -1295,7 +1360,7 @@ def streaming_lsh_index_growth(
         .select(F.col("new_id").alias("best_new_id"), "other_id", "jaccard")
     )
     newdocs = docs.filter(F.col("doc_id") >= F.lit(cut)).select("doc_id")
-    probe = (
+    return (
         newdocs.join(agg, newdocs["doc_id"] == agg["new_id"], "left")
         .join(best, newdocs["doc_id"] == F.col("best_new_id"), "left")
         .select(
@@ -1308,5 +1373,123 @@ def streaming_lsh_index_growth(
             F.col("new_id").isNotNull().alias("is_near_dup"),
         )
     )
-    session_cache_put(_GROWN_PROBE_CACHE, probe_key, probe)
+
+
+def lsh_grown_artifact_dir(sf_dir: str) -> str:
+    """Stable content-keyed path of the GROWN dedup index (r12): the
+    grown content (frozen ∪ batch under the frozen hash family) is a
+    pure function of the corpus, so corpus files + model params key it."""
+    from ..operators.artifacts import stable_artifact_dir
+    from .dedup import _LSH_MODEL_PARAMS
+
+    return stable_artifact_dir(
+        "lshgrown", sf_dir, _LSH_MODEL_PARAMS + ("grown",),
+        tables=("documents",),
+    )
+
+
+def ivfpq_grown_artifact_dir(sf_dir: str) -> str:
+    """Stable content-keyed path of the GROWN IVF-PQ index (r12): lists
+    grown by the held-out add batch plus the frozen model, both pure
+    functions of the corpus + model params."""
+    from ..operators.artifacts import stable_artifact_dir
+    from .vector import _IVFPQ_MODEL_PARAMS
+
+    return stable_artifact_dir(
+        "ivfpqgrown", sf_dir, _IVFPQ_MODEL_PARAMS + ("grown",),
+        tables=("embeddings",),
+    )
+
+
+@register(
+    "dedup_lsh_grown_cold_probe",
+    oracle=_lsh_grown_probe_oracle(),
+    tags=("dedup", "lsh", "incremental", "storage"),
+)
+def dedup_lsh_grown_cold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START serving from the GROWN dedup-index artifact (r12,
+    VERDICT r11 task 4 — closes the durability gap the r11 cold entries
+    left: they served the FITTED index only, so streamed append work died
+    with the session). The growth stream now publishes its committed
+    output to the stable artifact store; this entry resolves that
+    content-keyed path — no session state consulted — bootstraps it once
+    if absent, and runs the whole-grown-index probe ENTIRELY from the
+    mounted parquets: persist→grow→serve survives the session exactly
+    like fit→serve does. Pinned in tests/test_r12_queries.py by clearing
+    every in-memory cache, forbidding BOTH the signer functions and the
+    growth stream outright (monkeypatched to raise), and checking
+    row-equality to the warm streamed-growth probe.
+
+    Scale shape: identical to ``streaming_lsh_index_growth``'s post-drain
+    probe (band equi-join under the occupancy cap over the grown index,
+    candidate-grain verify, query-grain windows) — the only difference is
+    WHERE the index comes from, which is the entry's whole claim."""
+    from ..operators.artifacts import artifact_complete
+    from ..operators.caching import dir_fingerprint
+    from .dedup import _lsh_batch_cut
+
+    path = lsh_grown_artifact_dir(sf_dir)
+    if not artifact_complete(path):
+        # bootstrap once: run the growth stream, which publishes on commit
+        streaming_lsh_index_growth(spark, sf_dir)
+    key = (
+        spark.sparkContext.applicationId, sf_dir, "lsh-grown-cold",
+        dir_fingerprint(path),
+    )
+    probe = _GROWN_PROBE_CACHE.get(key)
+    if probe is None:
+        probe = _grown_lsh_probe(
+            spark, sf_dir,
+            spark.read.parquet(f"{path}/banded"),
+            spark.read.parquet(f"{path}/toks"),
+            cut=_lsh_batch_cut(spark, sf_dir),
+        )
+        session_cache_put(_GROWN_PROBE_CACHE, key, probe)
+    return probe
+
+
+@register(
+    "ann_ivfpq_grown_cold_reload",
+    oracle=_grown_probe_oracle(),
+    tags=("vector", "ivf", "pq", "incremental", "storage"),
+)
+def ann_ivfpq_grown_cold_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START serving from the GROWN IVF-PQ artifact (r12, VERDICT
+    r11 task 4 — the ANN twin of ``dedup_lsh_grown_cold_probe``): the
+    growth stream publishes the grown inverted lists PLUS the frozen
+    model to the stable store, so a fresh process mounts one path and
+    serves the post-growth probe — every query retrieving its own
+    newly-added vector — with fit AND growth forbidden (pinned in
+    tests/test_r12_queries.py, plus row-equality to the warm streamed-
+    growth probe).
+
+    Scale shape: identical to ``streaming_index_growth``'s post-drain
+    probe — one O(model) parquet row rehydrates centroids+codebooks as
+    plan literals, the grown lists feed the celled ADC join, raw vectors
+    touched only for the shortlist re-rank."""
+    from ..operators.artifacts import artifact_complete
+    from ..operators.caching import dir_fingerprint
+    from ..operators.similarity import ivfpq_knn
+    from .vector import _pq_unit_corpus
+
+    path = ivfpq_grown_artifact_dir(sf_dir)
+    if not artifact_complete(path):
+        # bootstrap once: run the growth stream, which publishes on commit
+        streaming_index_growth(spark, sf_dir)
+    key = (
+        spark.sparkContext.applicationId, sf_dir, "ivfpq-grown-cold",
+        dir_fingerprint(path),
+    )
+    probe = _GROWN_PROBE_CACHE.get(key)
+    if probe is None:
+        row = spark.read.parquet(f"{path}/model").collect()[0]
+        cents = [[float(x) for x in c] for c in row["cents"]]
+        books = [[[float(x) for x in c2] for c2 in b] for b in row["books"]]
+        qdf, c = _pq_unit_corpus(spark, sf_dir)
+        probe = ivfpq_knn(
+            qdf.unionByName(c), qdf, id_col="vec_id", vec_col="embedding",
+            k=5, dim=64, cents=cents, books=books, nprobe=4,
+            rerank_shortlist=40, index=spark.read.parquet(f"{path}/lists"),
+        )
+        session_cache_put(_GROWN_PROBE_CACHE, key, probe)
     return probe
