@@ -285,6 +285,25 @@ def test_grown_artifact_paths_are_distinct_and_content_keyed(sf_dir):
 # --- plan gates for the r12 entries ------------------------------------------
 
 
+def test_cluster_entry_warm_path_reads_published_parquet(spark, sf_dir):
+    """dedup_cluster_lsh's pair stage must be a parquet scan of the
+    published artifact — zero signature expressions, zero band-join work
+    in the entry's own plan (all paid once in the pair-set build line),
+    which is the r12 warm-path claim behind pinning the bench median."""
+    from vmhub_data_pipeline_spark.plans import explain_str
+
+    Q["dedup_cluster_lsh"].fn(spark, sf_dir).count()  # ensure published
+    from vmhub_data_pipeline_spark.queries.dedup import lsh_pairs_cached
+
+    pairs = lsh_pairs_cached(
+        spark, sf_dir, threshold=0.9, max_bucket_occupancy=_LSH_HOT_CAP
+    )
+    plan = explain_str(pairs)
+    assert "Scan parquet" in plan, plan
+    for expensive in ("md5(", "posexplode", "SortMergeJoin"):
+        assert expensive not in plan, expensive
+
+
 def test_repair_all_plan_is_index_grain_maintenance(spark, sf_dir):
     """dedup_lsh_repair_all: everything derives from the CHECKPOINTED
     multi-family index (ExistingRDD scans) — zero re-signing (no md5 /
