@@ -2068,14 +2068,21 @@ def ann_ivfpq_persist_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-vector store (``_pq_unit_corpus`` — since r10 a checkpointed
     artifact, the FAISS vectors-live-in-the-index posture). Probe plan
     compiled once per session+model (``_probe_frame``)."""
+    from ..operators.artifacts import artifact_complete
     from ..operators.caching import dir_fingerprint
     from ..operators.similarity import ivfpq_knn
 
-    cents, books, lists = ivfpq_index_persisted(spark, sf_dir)
-    art = _IVFPQ_DISK_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    # resolve (and if needed publish) the artifact path WITHOUT paying the
+    # model rehydration per invocation — the O(model) collect lives inside
+    # build(), which the fingerprint-keyed probe-frame cache amortizes
+    art = _IVFPQ_DISK_CACHE.get((spark.sparkContext.applicationId, sf_dir))
+    if art is None or not artifact_complete(art):
+        ivfpq_index_persisted(spark, sf_dir)
+        art = _IVFPQ_DISK_CACHE[(spark.sparkContext.applicationId, sf_dir)]
 
     def build() -> DataFrame:
         q, c = _pq_unit_corpus(spark, sf_dir)
+        cents, books, lists = ivfpq_index_persisted(spark, sf_dir)
         return ivfpq_knn(
             c, q, id_col="vec_id", vec_col="embedding", k=5, dim=64,
             cents=cents, books=books, nprobe=4, rerank_shortlist=40,
