@@ -404,3 +404,67 @@ def test_corpus_fingerprint_refuses_empty_corpus(tmp_path):
         stable_artifact_dir(
             "k", str(tmp_path / "nope"), ("p",), tables=("documents",)
         )
+
+
+# --- artifact-store operator actions (r12) ----------------------------------
+
+
+def test_prune_stale_staging_removes_only_old_debris(tmp_path, monkeypatch):
+    """A hard-killed builder's staging dir is debris ONLY once old: young
+    staging dirs (a live concurrent builder) and complete artifacts are
+    never touched."""
+    import os
+    import time
+
+    from vmhub_data_pipeline_spark.operators import artifacts as A
+
+    root = tmp_path / "store"
+    root.mkdir()
+    monkeypatch.setenv("VMHUB_SPARK_ARTIFACTS", str(root))
+
+    done = root / "lshidx-abc123"
+    done.mkdir()
+    (done / A._MARKER).write_bytes(b"")
+    (done / "part-0.parquet").write_bytes(b"x")
+
+    old_stage = root / "lshidx-abc123.tmp-dead0000"
+    old_stage.mkdir()
+    f = old_stage / "part-0.parquet"
+    f.write_bytes(b"y")
+    past = time.time() - 48 * 3600
+    os.utime(f, (past, past))
+
+    young_stage = root / "ivfpqidx-def456.tmp-live0000"
+    young_stage.mkdir()
+    (young_stage / "part-0.parquet").write_bytes(b"z")
+
+    removed = A.prune_stale_staging(max_age_s=24 * 3600)
+    assert removed == [str(old_stage)]
+    assert done.exists() and young_stage.exists() and not old_stage.exists()
+
+    inv = {r["path"]: r for r in A.artifact_inventory()}
+    assert inv[str(done)]["complete"] and not inv[str(done)]["staging"]
+    assert inv[str(young_stage)]["staging"]
+    assert inv[str(done)]["kind"] == "lshidx"
+    assert inv[str(young_stage)]["kind"] == "ivfpqidx"
+
+
+def test_delete_artifact_refuses_paths_outside_the_root(tmp_path, monkeypatch):
+    from vmhub_data_pipeline_spark.operators import artifacts as A
+
+    root = tmp_path / "store"
+    root.mkdir()
+    monkeypatch.setenv("VMHUB_SPARK_ARTIFACTS", str(root))
+    victim = tmp_path / "not_an_artifact"
+    victim.mkdir()
+    with pytest.raises(ValueError):
+        A.delete_artifact(str(victim))
+    with pytest.raises(ValueError):
+        A.delete_artifact(str(root))  # the root itself is not deletable
+    assert victim.exists()
+
+    art = root / "lshidx-zzz"
+    art.mkdir()
+    assert A.delete_artifact(str(art)) is True
+    assert not art.exists()
+    assert A.delete_artifact(str(art)) is False  # idempotent

@@ -99,6 +99,81 @@ def artifact_complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, _MARKER))
 
 
+def artifact_inventory(root: str | None = None) -> list[dict]:
+    """Operator view of the store: one row per entry under ``root`` —
+    kind (the path's ``<kind>-<key>`` prefix), completeness, whether it
+    is a staging dir, total bytes, and newest-file mtime. Pure fs
+    metadata; the tooling surface behind explicit deletion and pruning
+    (the store never garbage-collects itself — content-keyed dirs for
+    regenerated corpora and crashed builders' staging debris accumulate
+    until an operator acts)."""
+    root = root or artifact_root()
+    rows: list[dict] = []
+    if not os.path.isdir(root):
+        return rows
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        size = 0
+        mtime = 0.0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(dirpath, f))
+                size += st.st_size
+                mtime = max(mtime, st.st_mtime)
+        staging = ".tmp-" in name
+        rows.append(
+            {
+                "path": path,
+                "kind": name.split(".tmp-")[0].rsplit("-", 1)[0],
+                "complete": artifact_complete(path),
+                "staging": staging,
+                "bytes": size,
+                "newest_mtime": mtime or os.stat(path).st_mtime,
+            }
+        )
+    return rows
+
+
+def delete_artifact(path: str) -> bool:
+    """The explicit operator deletion the module contract promises:
+    refuses paths outside the artifact root (a typo must never rmtree an
+    arbitrary directory), returns whether anything was removed."""
+    root = os.path.realpath(artifact_root())
+    target = os.path.realpath(path)
+    if os.path.commonpath([root, target]) != root or target == root:
+        raise ValueError(
+            f"refusing to delete {path!r}: not an artifact under {root!r}"
+        )
+    existed = os.path.isdir(target)
+    shutil.rmtree(target, ignore_errors=True)
+    return existed
+
+
+def prune_stale_staging(max_age_s: float = 24 * 3600, root: str | None = None) -> list[str]:
+    """Remove staging debris left by HARD-KILLED builders (``.tmp-<nonce>``
+    dirs; ``publish_artifact``'s cleanup only covers in-process
+    exceptions — a kill -9 / OOM mid-build leaks its staging dir
+    forever). Only staging dirs whose newest file is older than
+    ``max_age_s`` go: a young staging dir may belong to a LIVE concurrent
+    builder about to rename it into place, so age is the safety margin.
+    Complete artifacts are never touched. Returns the removed paths —
+    the scheduled-maintenance audit trail."""
+    import time
+
+    removed: list[str] = []
+    now = time.time()
+    for row in artifact_inventory(root):
+        if not row["staging"]:
+            continue
+        if now - row["newest_mtime"] < max_age_s:
+            continue
+        shutil.rmtree(row["path"], ignore_errors=True)
+        removed.append(row["path"])
+    return removed
+
+
 def publish_artifact(path: str, build_into: Callable[[str], None]) -> str:
     """Build once, publish atomically. ``build_into(staging_dir)`` writes
     the artifact's contents; the staging dir is renamed into ``path``
