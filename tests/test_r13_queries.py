@@ -265,6 +265,50 @@ def test_compact_grown_lsh_dir_preserves_probe_without_reencode(
     assert after == before
 
 
+# --- task 6: the maintenance runbook as one query ----------------------------
+
+
+def test_index_maintenance_flagship_composes_all_steps(spark, sf_dir):
+    """detect->repair->compact->prune across both families in one pass:
+    the audit trail carries each family's native totals, and a SECOND
+    invocation (compaction now a skip, prune re-planted) emits the
+    identical rows — the scheduled job is deterministic run-to-run."""
+    first = sorted(
+        tuple(r) for r in Q["pipeline_index_maintenance"].fn(spark, sf_dir).collect()
+    )
+    steps = {(r[0], r[1]) for r in first}
+    assert steps == {
+        ("ann", "repair"), ("dedup", "repair"),
+        ("dedup", "compact"), ("store", "prune"),
+    }
+    by_step = {(r[0], r[1]): r for r in first}
+    assert by_step[("ann", "repair")][2:] == (3, 0, 0)
+    assert by_step[("dedup", "repair")][2:] == (24, 0, 0)
+    c = by_step[("dedup", "compact")]
+    assert c[2] == c[3] and c[4] == 0  # conserved rows, nothing lost
+    assert by_step[("store", "prune")][2:] == (2, 0, 2)
+    second = sorted(
+        tuple(r) for r in Q["pipeline_index_maintenance"].fn(spark, sf_dir).collect()
+    )
+    assert second == first
+
+
+def test_index_maintenance_plan_adds_no_corpus_scans(spark, sf_dir):
+    """The flagship's plan gate (VERDICT r12 task 6): both repair legs
+    aggregate RESIDENT checkpointed indexes and the operator-action rows
+    ride in as literals — adding a family must never add a corpus scan,
+    so the composed plan contains zero parquet scans and no Python
+    evaluator."""
+    from vmhub_data_pipeline_spark.plans import explain_str
+
+    df = Q["pipeline_index_maintenance"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # --- ADVICE r12: artifact-op hardening ---------------------------------------
 
 
