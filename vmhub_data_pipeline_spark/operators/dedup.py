@@ -503,6 +503,92 @@ def minhash_pairs_from_index(
     return jaccard_verify(cands, toks, "doc_a", "doc_b", threshold)
 
 
+def minhash_signed_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, ws hashed-shingle set, sig minhash array) from ONE corpus scan
+    (r13, guide §2.3/§2.4/§8): the signature and verification sides of the
+    LSH dedup family used to be two independent corpus passes — the
+    candidate side tokenized + hashed every shingle twice (h1, h2) and the
+    verify side re-tokenized the corpus a third hash pass for the shingle
+    digests. The verify digest IS h1's hash: portable h1 is the int48 of
+    md5(w)'s first 12 hex chars and the 13-hex verify digest carries those
+    same 12 chars, so h1 derives from the digest with string ops only
+    (bit-identical: substring(substring(md5,1,13),1,12) ==
+    substring(md5,1,12)); non-portable h1 = pmod(xxhash64(w)) and the
+    verify digest is xxhash64(w) itself. One projection computes the
+    digest + h2 arrays, a second derives h1s from the digests (separate
+    projections — CollapseProject keeps non-cheap aliases
+    single-evaluated, the token_set_df staging rule), a third folds the
+    minhash mins. ``ws`` and ``sig`` values are bit-identical to the old
+    ``hashed_token_sets`` / ``_minhash_signatures`` pair; one tokenize +
+    2 hash evaluations per shingle instead of two tokenizes + 3."""
+    p = 2147483647  # 2^31-1 (see _minhash_signatures)
+    if portable:
+        digest_fn = lambda w: F.substring(F.md5(w), 1, 13)  # noqa: E731
+        h1_fn = lambda d: F.pmod(  # noqa: E731
+            F.conv(F.substring(d, 1, 12), 16, 10).cast("long"), F.lit(p)
+        )
+        h2_fn = lambda w: F.pmod(_md5_int48(w, "salt:"), F.lit(p))  # noqa: E731
+    else:
+        digest_fn = lambda w: F.xxhash64(w)  # noqa: E731
+        h1_fn = lambda d: F.pmod(d, F.lit(p))  # noqa: E731
+        h2_fn = lambda w: F.pmod(F.xxhash64(F.lit("salt"), w), F.lit(p))  # noqa: E731
+    staged = (
+        token_set_df(df, id_col, text_col, shingle_size)
+        .select(
+            "id",
+            F.transform("ws", digest_fn).alias("__ds"),
+            F.transform("ws", h2_fn).alias("h2s"),
+        )
+        .select("id", "__ds", F.transform("__ds", h1_fn).alias("h1s"), "h2s")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.zip_with("h1s", "h2s", lambda a, b: F.pmod(a + F.lit(i) * b, F.lit(p)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    # array_distinct on the digests mirrors hashed_token_sets exactly (ws
+    # is already shingle-distinct; the second distinct guards the
+    # astronomically-unlikely digest collision identically on both engines)
+    return staged.select("id", F.array_distinct("__ds").alias("ws"), sig.alias("sig"))
+
+
+def banded_from_sig(
+    joint: DataFrame, num_hashes: int = 32, bands: int = 8, portable: bool = False
+) -> DataFrame:
+    """(id, band_id, band_hash) exploded from a ``sig``-carrying frame —
+    the band-key arithmetic of :func:`minhash_banded`, applied to an
+    already-computed signature column (values identical)."""
+    rows_per_band = num_hashes // bands
+
+    def band_key(b: int) -> Column:
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws("-", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
+    return joint.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_id", "bh.band_hash")
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -523,25 +609,20 @@ def minhash_neardup_pairs(
     replays candidates AND verification exactly. ``max_bucket_occupancy``
     drops over-cap band buckets from candidate generation (the production
     posture — see :func:`band_candidates`); verification is unchanged."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_size, portable=portable,
+    # r13 (guide §2.3/§2.4/§8): ONE corpus scan feeds both the signature
+    # and the verification legs — see minhash_signed_sets. A single
+    # id-hash exchange is then ReusedExchange'd by all four consumers
+    # (both band-join legs, both verify legs). Signatures, band keys,
+    # candidate set and verified pairs are all unchanged.
+    joint = minhash_signed_sets(
+        df, id_col, text_col, num_hashes, shingle_size, portable=portable
+    ).repartition(F.col("id"))
+    banded = banded_from_sig(joint, num_hashes, bands, portable=portable)
+    cands = band_candidates(
+        banded, banded, "doc_a", "doc_b", ordered=True,
         max_bucket_occupancy=max_bucket_occupancy,
     )
-    # verify on hashed shingles, not shingle strings: set cardinality and
-    # intersections are preserved (collisions ~2^-64 / ~16^-13 per pair —
-    # far below fixture or production materiality; in portable mode BOTH
-    # engines truncate md5 identically, so even a collision agrees), while
-    # the verify join moves fixed-width hashes instead of multi-word text
-    shingle_hash = (
-        (lambda t: F.substring(F.md5(t), 1, 13)) if portable else (lambda t: F.xxhash64(t))
-    )
-    toks = (
-        token_set_df(df, id_col, text_col, shingle_size)
-        .select("id", F.array_distinct(F.transform("ws", shingle_hash)).alias("ws"))
-        # same ReusedExchange trick as _minhash_signatures: doc_a and doc_b
-        # verify legs otherwise re-tokenize the corpus once each
-        .repartition(F.col("id"))
-    )
+    toks = joint.select("id", "ws")
     return jaccard_verify(cands, toks, "doc_a", "doc_b", threshold)
 
 

@@ -1113,17 +1113,25 @@ _LSH_INDEX_CACHE: dict[tuple, tuple] = {}
 
 
 def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
-    from ..operators.dedup import hashed_token_sets, minhash_banded
+    from ..operators.dedup import banded_from_sig, minhash_signed_sets
     from ..operators.similarity import checkpoint_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LSH_INDEX_CACHE.get(key)
     if cached is None:
         (docs,) = load(spark, sf_dir, "documents")
-        banded = checkpoint_index(
-            minhash_banded(docs, "doc_id", "text", portable=True)
+        # r13 (guide §2.3/§2.4): the banded signatures and the hashed
+        # shingle sets used to be two independent corpus materializations
+        # (two tokenize passes, 3 md5 evaluations per shingle). One scan
+        # now computes (id, ws, sig) jointly — h1 derives from the verify
+        # digests, see minhash_signed_sets — and the band explode runs
+        # over the checkpointed blocks, not the corpus. banded and toks
+        # row values are bit-identical to the old build.
+        joint = checkpoint_index(
+            minhash_signed_sets(docs, "doc_id", "text", portable=True)
         )
-        toks = checkpoint_index(hashed_token_sets(docs, "doc_id", "text", 3))
+        banded = checkpoint_index(banded_from_sig(joint, portable=True))
+        toks = joint.select("id", "ws")
         cached = (banded, toks)
         session_cache_put(_LSH_INDEX_CACHE, key, cached)
     return cached
@@ -1758,17 +1766,20 @@ _LSH_AUG_CACHE: dict[tuple, tuple] = {}
 
 
 def lsh_aug_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
-    from ..operators.dedup import hashed_token_sets, minhash_banded
+    from ..operators.dedup import banded_from_sig, minhash_signed_sets
     from ..operators.similarity import checkpoint_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LSH_AUG_CACHE.get(key)
     if cached is None:
         aug = boilerplate_corpus(spark, sf_dir)
-        banded = checkpoint_index(
-            minhash_banded(aug, "doc_id", "text", portable=True)
+        # r13: one joint scan for banded + toks (the lsh_index_cached
+        # single-scan build — see minhash_signed_sets; values unchanged)
+        joint = checkpoint_index(
+            minhash_signed_sets(aug, "doc_id", "text", portable=True)
         )
-        toks = checkpoint_index(hashed_token_sets(aug, "doc_id", "text", 3))
+        banded = checkpoint_index(banded_from_sig(joint, portable=True))
+        toks = joint.select("id", "ws")
         cached = (banded, toks)
         session_cache_put(_LSH_AUG_CACHE, key, cached)
     return cached

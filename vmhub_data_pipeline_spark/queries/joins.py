@@ -90,15 +90,37 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r13 (guide §3.2): the ASIA restriction used to land only at the LAST
+    # broadcast join, so the whole cust->orders->lineitem->supplier chain
+    # carried every region's rows (~5x the surviving volume). The inner-join
+    # conjunction c_nationkey = s_nationkey = n_nationkey (+ r_name filter)
+    # lets the region constraint commute to the leaves: broadcast-semi-join
+    # customer AND supplier on the ASIA nation keys FIRST (a ~25-row
+    # broadcast), so every downstream shuffle moves only rows that can
+    # survive. Pure pre-filter — the retained join chain is unchanged, so
+    # the result is identical.
+    asia_keys = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust_asia = cust.join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    supp_asia = supp.join(
+        F.broadcast(asia_keys), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        cust_asia.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp,
+            supp_asia,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -168,12 +168,25 @@ WHERE rn = 1
 def _langid_scored(docs: DataFrame) -> DataFrame:
     """Shared langid scoring subplan: per-(doc, candidate-lang) quantized
     log-prob sums. Used by text_langid (argmax) and text_langid_margin
-    (top-2 gap); both oracles inline the identical CTE chain."""
+    (top-2 gap); both oracles inline the identical CTE chain.
+
+    r13 (guide §2.3/§2.4): ONE token-grain pass instead of four. The
+    exploded word frame used to be scanned independently by wc, profile,
+    lang_tot and vocab (4 scans + 4 partial aggregations of the corpus's
+    token stream). Everything derives exactly from one per-(doc, lang,
+    word) count frame: doc_id determines lang, so grouping by (doc_id,
+    lang, word) is row-identical to (doc_id, word); profile's COUNT(*) at
+    (lang, word) equals SUM(wcnt); lang_tot's COUNT(*) at lang equals
+    SUM(cnt); vocab's COUNT(DISTINCT word) over tokens equals the same
+    over profile rows — all exact-integer identities, so every downstream
+    value is bit-unchanged. Catalyst reuses the base exchange across the
+    four consumers (ReusedExchange), so the corpus is tokenized once."""
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-    wc = wd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("wcnt"))
-    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = wd.agg(F.countDistinct("word").alias("v"))
+    base = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
+    wc = base.select("doc_id", "word", "wcnt")
+    profile = base.groupBy("lang", "word").agg(F.sum("wcnt").alias("cnt"))
+    lang_tot = profile.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = profile.agg(F.countDistinct("word").alias("v"))
 
     scored = (
         wc.crossJoin(F.broadcast(lang_tot.select(F.col("lang").alias("cand_lang"), "tot")))
@@ -435,10 +448,15 @@ def text_perplexity_filter(
     cuts can't drift with summation order; doc_id breaks exact ties."""
     (docs,) = load(spark, sf_dir, "documents")
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    # r13 (guide §2.3/§2.4): one token-grain pass — profile/lang_tot/vocab
+    # derive exactly from the per-(doc, lang, word) counts (SUM of counts ==
+    # COUNT(*) at the coarser grain; DISTINCT word over profile == over
+    # tokens), so the explode+partial-agg runs once and is exchange-reused
+    # by all four consumers. Values are bit-identical (see _langid_scored).
     wc = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
-    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = wd.agg(F.countDistinct("word").alias("v"))
+    profile = wc.groupBy("lang", "word").agg(F.sum("wcnt").alias("cnt"))
+    lang_tot = profile.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = profile.agg(F.countDistinct("word").alias("v"))
 
     profile_side = profile.select(
         F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt"
@@ -1933,10 +1951,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    bprof = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).withColumnsRenamed(
+    # r13 (guide §2.3/§2.4): both profiles derive exactly from the
+    # per-(doc, w1, w2) counts (SUM(cnt) at the coarser grain == COUNT(*)
+    # over bigram occurrences), so the bigram explode runs once and its
+    # exchange is reused by all three consumers instead of three
+    # independent corpus passes. Values are bit-identical.
+    bprof = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2")).withColumnsRenamed(
         {"w1": "p_w1", "w2": "p_w2"}
     )
-    uprof = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed(
+    uprof = dbc.groupBy("w1").agg(F.sum("cnt").alias("c1")).withColumnRenamed(
         "w1", "u_w1"
     )
     vocab = docs.select(

@@ -32,6 +32,15 @@ _BUILD_TIME_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # r13 (guide §3.1/§9): let the planner pick shuffled-hash join when its
+    # size conditions hold (one side moderately small per partition — no
+    # sort of either side), and let AQE rewrite SMJ->SHJ at runtime when
+    # every post-shuffle partition is under the local-map threshold. Same
+    # results, fewer sorts; SMJ remains the fallback whenever the size
+    # conditions fail, so nothing regresses at 100 TB — partitions larger
+    # than the threshold keep the spill-graceful sort-merge path.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
@@ -50,6 +59,10 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.python.filterPushdown.enabled": "true",
+    # r13 (guide §3.1/§9): see _BUILD_TIME_CONF — both are runtime-settable,
+    # so the driver's externally built session gets the same join planning.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
 
 
