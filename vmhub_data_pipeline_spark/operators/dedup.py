@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .similarity import spread_small_input as _spread_small_input
+
 
 def keep_latest(df: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame:
     """Keep the newest row per key (A4/W1): row_number over desc order.
@@ -540,7 +542,7 @@ def minhash_signed_sets(
         h1_fn = lambda d: F.pmod(d, F.lit(p))  # noqa: E731
         h2_fn = lambda w: F.pmod(F.xxhash64(F.lit("salt"), w), F.lit(p))  # noqa: E731
     staged = (
-        token_set_df(df, id_col, text_col, shingle_size)
+        token_set_df(_spread_small_input(df, id_col), id_col, text_col, shingle_size)
         .select(
             "id",
             F.transform("ws", digest_fn).alias("__ds"),
@@ -610,13 +612,25 @@ def minhash_neardup_pairs(
     drops over-cap band buckets from candidate generation (the production
     posture — see :func:`band_candidates`); verification is unchanged."""
     # r13 (guide §2.3/§2.4/§8): ONE corpus scan feeds both the signature
-    # and the verification legs — see minhash_signed_sets. A single
-    # id-hash exchange is then ReusedExchange'd by all four consumers
-    # (both band-join legs, both verify legs). Signatures, band keys,
-    # candidate set and verified pairs are all unchanged.
-    joint = minhash_signed_sets(
-        df, id_col, text_col, num_hashes, shingle_size, portable=portable
-    ).repartition(F.col("id"))
+    # and the verification legs — see minhash_signed_sets. A shared
+    # id-hash exchange alone does NOT survive planning here: the band
+    # joins broadcast one leg each (the streamed side is not an exchange,
+    # the broadcast side plans its own subtree), so the executed plan
+    # re-ran the scan+hash chain once per leg — 4 corpus scans, 6 md5
+    # evaluations per shingle (measured; ReusedExchange never fired).
+    # An EAGER localCheckpoint forces the joint frame to materialize
+    # exactly once; all four legs then read the resident blocks. Per
+    # invocation the hash work runs once (2 md5/shingle) and, via
+    # _spread_small_input, across every core instead of the scan's one
+    # split. Signatures, band keys, candidates and verified pairs are
+    # all unchanged.
+    from .similarity import checkpoint_index
+
+    joint = checkpoint_index(
+        minhash_signed_sets(
+            df, id_col, text_col, num_hashes, shingle_size, portable=portable
+        )
+    )
     banded = banded_from_sig(joint, num_hashes, bands, portable=portable)
     cands = band_candidates(
         banded, banded, "doc_a", "doc_b", ordered=True,

@@ -85,6 +85,23 @@ def brute_force_knn(
     )
 
 
+def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """CPU-heavy projections (hash chains, shingle explodes, outer
+    products) ride their input's scan partitioning, and a small corpus
+    (one parquet split) runs them on ONE core (r13, guide §2.5
+    input-skew): spread the input across the session's cores FIRST when —
+    and only when — the scan has fewer splits than cores. The partition
+    count is pinned explicitly (``repartition(n, col)``) because AQE's
+    partition coalescing would otherwise fold a few-MB exchange right
+    back to one partition, re-serializing the CPU-bound work. At scale
+    the scan already has >= cores splits and this is a no-op — no
+    unconditional payload shuffle is introduced."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def checkpoint_index(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` + origin-constraint strip — the
     materialization for INDEX frames that outlive the query that built
@@ -279,6 +296,7 @@ def kmeans_fit(
     k: int = 16,
     max_iter: int = 5,
     exact_mean: bool = False,
+    materialize: bool = True,
 ) -> list[list[float]]:
     """Plain Lloyd's k-means over an embedding column, Spark-distributed.
 
@@ -298,8 +316,20 @@ def kmeans_fit(
     same integers, which is what lets a DuckDB oracle replay the whole
     fit (see ``queries/vector.py:ann_pq_topk``). Quantization error is
     ~1e-9 per component — far below any clustering-relevant distance.
+
+    ``materialize`` (r13, guide §2.4/§5): every Lloyd round is a
+    SEQUENTIAL job that used to re-plan the corpus subtree (scan + cast)
+    from scratch — max_iter + 1 corpus passes per fit, each riding the
+    scan's (often single) split. An eager localCheckpoint (input spread
+    across cores first) pays one materialization and every round reads
+    the resident blocks in parallel. Values are bit-identical. Pass
+    ``False`` for tiny already-resident inputs (the single-cell
+    rebalance sub-fits) where the extra jobs outweigh the saved
+    re-reads.
     """
     v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    if materialize:
+        v = checkpoint_index(spread_small_input(v, "id"))
     cents = [
         [float(x) for x in r["v"]]
         for r in v.orderBy("id").limit(k).collect()
@@ -469,7 +499,13 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    # r13: one materialization feeds every Lloyd round (see kmeans_fit)
+    v = checkpoint_index(
+        spread_small_input(
+            df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
+            "id",
+        )
+    )
     seed_rows = v.orderBy("id").limit(k).collect()
     if not seed_rows:
         raise ValueError("pq_fit: empty corpus")
@@ -557,7 +593,13 @@ def ivfpq_fit_fused(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    # r13: one materialization feeds every fused round (see kmeans_fit)
+    v = checkpoint_index(
+        spread_small_input(
+            df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
+            "id",
+        )
+    )
     seed_rows = v.orderBy("id").limit(max(n_cells, k)).collect()
     if not seed_rows:
         raise ValueError("ivfpq_fit_fused: empty corpus")

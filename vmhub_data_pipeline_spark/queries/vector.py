@@ -559,7 +559,8 @@ def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = index.filter(F.col("bucket") == hot).select("neighbor_id", "cv")
     sub = kmeans_fit(
-        members, "neighbor_id", "cv", k=2, max_iter=2, exact_mean=True
+        members, "neighbor_id", "cv", k=2, max_iter=2, exact_mean=True,
+        materialize=False,  # r13: cell-sized resident input, skip the checkpoint
     )
     return members.select(
         F.col("neighbor_id").alias("vec_id"),
@@ -971,7 +972,8 @@ def ann_ivf_rebalance_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         kc = (n + cap - 1) // cap
         members = index.filter(F.col("bucket") == b).select("neighbor_id", "cv")
         sub = kmeans_fit(
-            members, "neighbor_id", "cv", k=kc, max_iter=2, exact_mean=True
+            members, "neighbor_id", "cv", k=kc, max_iter=2, exact_mean=True,
+            materialize=False,  # r13: cell-sized resident input, skip the checkpoint
         )
         moved_parts.append(
             members.select(
@@ -1748,8 +1750,11 @@ def opq_model_fit(e: DataFrame, dim: int = 64, m: int = 8, iters: int = 48) -> t
     corpus."""
     import math
 
-    from ..operators.similarity import dot_expr
+    from ..operators.similarity import checkpoint_index, dot_expr, spread_small_input
 
+    # r13: one materialization feeds the scatter pass AND the rotated-
+    # energy scan below (see vector_pca_power; values bit-identical)
+    e = checkpoint_index(spread_small_input(e, "vec_id"))
     _mu, v1, _lam = _power_top_pc(e, dim, iters)
     # Householder direction w = normalize(v1 - e1): H = I - 2ww^T
     # maps v1 onto coordinate 0 (left-to-right accumulation, matching
@@ -3482,10 +3487,24 @@ def vector_pca_power(
     Spark's dot_expr fold, so eigenvector, eigenvalue, and projections are
     bit-reproducible and the oracle replays the whole pipeline as
     unrolled CTEs (the ann_pq_topk technique applied to spectral math)."""
-    from ..operators.similarity import _as_double, dot_expr
+    from ..operators.similarity import (
+        _as_double,
+        checkpoint_index,
+        dot_expr,
+        spread_small_input,
+    )
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # r13 (guide §2.4/§5): the fit is three SEQUENTIAL corpus passes (mu,
+    # scatter, projection), each of which re-planned the scan+cast subtree
+    # on the scan's single split. One eager materialization (spread across
+    # cores) feeds all three; the scatter — the only data-heavy pass —
+    # now runs on every core. Values are bit-identical.
+    e = checkpoint_index(
+        spread_small_input(
+            emb.select("vec_id", _as_double(F.col("embedding")).alias("v")), "vec_id"
+        )
+    )
     mu, v, lam = _power_top_pc(e, dim, iters)
     mu_lit = F.array(*[F.lit(m) for m in mu])
     cent = e.select("vec_id", F.zip_with("v", mu_lit, lambda a, b: a - b).alias("cv"))
