@@ -67,16 +67,24 @@ def brute_force_knn(
     top-k via the window-limit rewrite.
     """
     qid = query_id_col or id_col
+    # r13 (guide §2.3): norms are per-ROW invariants — computing
+    # cosine_expr per pair folds each vector's self-dot |Q| (resp. |C|)
+    # times. Factor them into the row projections, so the per-pair work
+    # is ONE array fold (the cross dot) instead of three. The pair-side
+    # expression multiplies the same two sqrt values in the same order
+    # cosine_expr does (norm(qv) * norm(cv)), so every cosine — and
+    # therefore every rank — is bit-identical.
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm_expr(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm_expr(F.col("cv")))
+    denom = F.col("__qn") * F.col("__cn")
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        F.when(denom > 0, dot_expr(F.col("qv"), F.col("cv")) / denom).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -194,12 +202,16 @@ def lsh_bucketed_knn(
     candidates). Output schema matches brute_force_knn.
     """
     qid = query_id_col or id_col
+    # r13 (guide §2.3): per-row norms factored out of the candidate-pair
+    # re-rank (the brute_force_knn treatment) — one array fold per pair
+    # instead of three; same sqrt values multiplied in cosine_expr's
+    # order, so every cosine and rank is bit-identical.
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm_expr(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm_expr(F.col("cv")))
 
     def bucketed(df: DataFrame, vcol: str) -> DataFrame:
         rows = []
@@ -222,12 +234,15 @@ def lsh_bucketed_knn(
     # carrying both vectors would shuffle ~1 KB/row of payload just to dedup
     # two ids; here the post-join shuffle is two longs + a double, and
     # map-side partial aggregation collapses most duplicates before the wire.
+    pair_denom = F.col("__qn") * F.col("__cn")
     scored = (
         qb.join(cb, ["table_id", "bucket"])
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            F.when(
+                pair_denom > 0, dot_expr(F.col("qv"), F.col("cv")) / pair_denom
+            ).alias("cosine"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))

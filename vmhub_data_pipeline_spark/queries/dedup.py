@@ -518,7 +518,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to DISTINCT ids (two longs on the wire), then an id-only
     left anti join marks survivors. Hash-verified against a DuckDB oracle
     carrying the identical plane constants."""
-    from ..operators.similarity import _as_double, cosine_expr, lsh_bucket_expr
+    from ..operators.similarity import _as_double, dot_expr, lsh_bucket_expr, norm_expr
 
     (emb,) = load(spark, sf_dir, "embeddings")
     b = emb.select(
@@ -528,15 +528,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket"),
     )
-    lo = b.select(
-        F.col("bucket").alias("bkt"), F.col("vec_id").alias("lo_id"), F.col("v").alias("lo_v")
+    # r13 (guide §2.3): per-row norms factored out of the within-bucket
+    # pair filter — cosine_expr per pair folds each vector's self-dot
+    # once per PARTNER; computing them in the row projections makes the
+    # per-pair work one array fold (the cross dot) instead of three.
+    # The denominator multiplies the same sqrt values in the same order
+    # cosine_expr does (norm(lo_v) * norm(hi_v)), so every cosine — and
+    # the >= threshold verdict — is bit-identical (NULL when a norm is
+    # zero, exactly cosine_expr's zero-norm guard; the filter drops it).
+    bn = b.withColumn("n", norm_expr(F.col("v")))
+    lo = bn.select(
+        F.col("bucket").alias("bkt"), F.col("vec_id").alias("lo_id"),
+        F.col("v").alias("lo_v"), F.col("n").alias("lo_n"),
     )
+    pair_denom = F.col("lo_n") * F.col("hi_n")
     dropped = (
         lo.join(
-            b.select("bucket", F.col("vec_id").alias("hi_id"), F.col("v").alias("hi_v")),
+            bn.select(
+                "bucket", F.col("vec_id").alias("hi_id"),
+                F.col("v").alias("hi_v"), F.col("n").alias("hi_n"),
+            ),
             (F.col("bkt") == F.col("bucket")) & (F.col("lo_id") < F.col("hi_id")),
         )
-        .filter(cosine_expr(F.col("lo_v"), F.col("hi_v")) >= _SEM_THRESHOLD)
+        .filter(
+            F.when(
+                pair_denom > 0,
+                dot_expr(F.col("lo_v"), F.col("hi_v")) / pair_denom,
+            )
+            >= _SEM_THRESHOLD
+        )
         .select(F.col("hi_id").alias("vec_id"))
         .distinct()
     )

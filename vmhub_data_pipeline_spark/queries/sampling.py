@@ -1184,18 +1184,25 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_chunks = (
         chunks.withColumn("rn", F.row_number().over(wdig)).filter(F.col("rn") == 1)
     )
+    from ..operators.similarity import dot_expr, norm_expr
+
+    # r13 (guide §2.3): per-row norms factored out of the pair scoring
+    # (the brute_force_knn treatment) — one array fold per (query, chunk)
+    # pair instead of three; same sqrt values multiplied in cosine_expr's
+    # order, so every cosine and rank is bit-identical.
     cvec = index_chunks.select(
         F.col("doc_id").alias("src_doc_id"), "source", "chunk_no", "chunk_md5",
         _hashed_bow(F.col("ct"), dim).alias("e"),
-    )
+    ).withColumn("__cn", norm_expr(F.col("e")))
     qvec = ws.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_doc_id"), _hashed_bow(F.col("w"), dim).alias("qe")
-    )
-    from ..operators.similarity import cosine_expr
-
+    ).withColumn("__qn", norm_expr(F.col("qe")))
+    rag_denom = F.col("__qn") * F.col("__cn")
     scored = F.broadcast(qvec).crossJoin(cvec).select(
         "query_doc_id", "src_doc_id", "chunk_no", "chunk_md5", "source",
-        cosine_expr(F.col("qe"), F.col("e")).alias("cosine"),
+        F.when(rag_denom > 0, dot_expr(F.col("qe"), F.col("e")) / rag_denom).alias(
+            "cosine"
+        ),
     )
     wr = Window.partitionBy("query_doc_id").orderBy(
         F.desc_nulls_last("cosine"), F.asc("chunk_md5")
