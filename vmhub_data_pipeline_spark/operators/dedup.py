@@ -142,6 +142,13 @@ def jaccard_similarity_pairs(
     full recall when the corpus is known to have no pathological tokens
     (e.g. the tiny-vocabulary test fixture, where EVERY token is hot).
     """
+    # r13: an eager localCheckpoint of the doc-grain token sets (the
+    # minhash_neardup_pairs treatment — the legs re-plan the tokenize up
+    # to 5x at runtime) was A/B'd on every consumer and REGRESSED all of
+    # them (capped entry +40%, survivorship/cluster_cc/cluster_split +40
+    # to +60% at sf0.01): plain split-tokenize carries no per-token hash
+    # work, so the concurrent re-runs are cheaper than the serial
+    # materialization job. Kept plan-side.
     toks = df.select(
         F.col(id_col).alias("id"),
         *([F.col(group_col).alias("grp")] if group_col else []),

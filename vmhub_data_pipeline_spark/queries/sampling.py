@@ -1705,7 +1705,19 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nats BEFORE summation, so the result is BIGINT-exact on both
     engines."""
     (docs,) = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    # r13 batch 4 (guide §2.4/§5): the 256-row bucket profile and its
+    # 1-row total each re-planned the full tokenize+md5 pass inside their
+    # own broadcast subtree (3 corpus passes at runtime, no reuse —
+    # measured in the final adaptive plan). The profile is BUCKET-grain
+    # (256 rows), so it is materialized eagerly once off the spread input
+    # and the total derives from the resident frame: 2 corpus passes,
+    # both parallel. (The r12 experiment that checkpointed the TOKEN-
+    # grain bucket frame regressed — materializing ~1M rows cost more
+    # than the re-run; the 256-row profile is the right grain.) Counts
+    # are the same exact integers; scores unchanged.
+    from ..operators.similarity import checkpoint_index, spread_small_input
+
+    tok = spread_small_input(docs, "doc_id").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     b = tok.select(
@@ -1720,9 +1732,13 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bkt"),
     )
-    prof = b.groupBy("bkt").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_t"),
-        F.count(F.lit(1)).cast("long").alias("n_r"),
+    prof = checkpoint_index(
+        b.groupBy("bkt").agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+            F.count(F.lit(1)).cast("long").alias("n_r"),
+        )
     )
     tot = prof.agg(
         F.sum("n_t").cast("long").alias("tt"), F.sum("n_r").cast("long").alias("tr")

@@ -179,8 +179,17 @@ def _langid_scored(docs: DataFrame) -> DataFrame:
     (lang, word) equals SUM(wcnt); lang_tot's COUNT(*) at lang equals
     SUM(cnt); vocab's COUNT(DISTINCT word) over tokens equals the same
     over profile rows — all exact-integer identities, so every downstream
-    value is bit-unchanged. Catalyst reuses the base exchange across the
-    four consumers (ReusedExchange), so the corpus is tokenized once."""
+    value is bit-unchanged.
+
+    r13 measured and kept as-is: at runtime the four consumers still plan
+    independent tokenize subtrees (pruning specializes the legs, so no
+    exchange/stage reuse fires) but they execute CONCURRENTLY as cheap
+    explode+partial-agg passes; eagerly materializing the vocabulary-
+    grain profile and deriving lang_tot/vocab from it was A/B'd
+    (interleaved subprocesses, calib-normalized) and REGRESSED the entry
+    (the serial checkpoint job costs more than the concurrent re-runs —
+    split+explode carries no per-token hash work, unlike the dsir
+    profile, where the same treatment wins 30%)."""
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
     base = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
     wc = base.select("doc_id", "word", "wcnt")
@@ -451,8 +460,9 @@ def text_perplexity_filter(
     # r13 (guide §2.3/§2.4): one token-grain pass — profile/lang_tot/vocab
     # derive exactly from the per-(doc, lang, word) counts (SUM of counts ==
     # COUNT(*) at the coarser grain; DISTINCT word over profile == over
-    # tokens), so the explode+partial-agg runs once and is exchange-reused
-    # by all four consumers. Values are bit-identical (see _langid_scored).
+    # tokens). Values are bit-identical (see _langid_scored — which also
+    # records why the profile-checkpoint treatment was measured and
+    # rejected for the text scorers).
     wc = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
     profile = wc.groupBy("lang", "word").agg(F.sum("wcnt").alias("cnt"))
     lang_tot = profile.groupBy("lang").agg(F.sum("cnt").alias("tot"))
@@ -1953,9 +1963,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     # r13 (guide §2.3/§2.4): both profiles derive exactly from the
     # per-(doc, w1, w2) counts (SUM(cnt) at the coarser grain == COUNT(*)
-    # over bigram occurrences), so the bigram explode runs once and its
-    # exchange is reused by all three consumers instead of three
-    # independent corpus passes. Values are bit-identical.
+    # over bigram occurrences). Values are bit-identical. (Eagerly
+    # materializing bprof and deriving uprof from it was A/B'd and
+    # regressed — see _langid_scored; the concurrent explode legs carry
+    # no per-token hash work, so the checkpoint job costs more than the
+    # re-runs it removes.)
     bprof = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2")).withColumnsRenamed(
         {"w1": "p_w1", "w2": "p_w2"}
     )

@@ -33,12 +33,15 @@ _BUILD_TIME_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # r13 (guide §3.1/§9): let the planner pick shuffled-hash join when its
-    # size conditions hold (one side moderately small per partition — no
-    # sort of either side), and let AQE rewrite SMJ->SHJ at runtime when
-    # every post-shuffle partition is under the local-map threshold. Same
-    # results, fewer sorts; SMJ remains the fallback whenever the size
-    # conditions fail, so nothing regresses at 100 TB — partitions larger
-    # than the threshold keep the spill-graceful sort-merge path.
+    # size conditions hold and let AQE rewrite SMJ->SHJ at runtime when
+    # every post-shuffle partition is under the local-map threshold. SMJ
+    # stays the fallback above the threshold (spill-graceful at 100 TB).
+    # Measured r13 (flip-flop interleaved A/B with per-rep calibration,
+    # sf0.1/local[32]): parity on every join-bearing suite entry (q20
+    # 1.18 vs 1.16 s, q3 0.82 vs 0.82, ks_drift 0.50 vs 0.53, minhash
+    # 10.8 vs 12.0, q5 1.27 vs 1.23 — shj vs smj medians); sequential
+    # same-mode A/Bs that suggested large deltas were external-host-load
+    # artifacts (calibration swung 0.09-1.2 s within minutes).
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -59,8 +62,8 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.python.filterPushdown.enabled": "true",
-    # r13 (guide §3.1/§9): see _BUILD_TIME_CONF — both are runtime-settable,
-    # so the driver's externally built session gets the same join planning.
+    # see _BUILD_TIME_CONF — runtime-settable, so the driver's externally
+    # built session gets the same join planning.
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
