@@ -275,11 +275,19 @@ def _nearest_centroid_from_col(mat: Column, vec: Column) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
-def _broadcast_matrix(df: DataFrame, mat, colname: str) -> DataFrame:
+def _broadcast_matrix(df: DataFrame, mat, colname: str, schema: str | None = None) -> DataFrame:
     """Cross-join a 1-row broadcast frame carrying a centroid matrix (or a
-    list of matrices) so iterative expressions reference stable columns."""
+    list of matrices) so iterative expressions reference stable columns.
+
+    ``schema`` (a DDL type string for the single column) skips Python-side
+    schema inference over the nested float lists — the values and their
+    DoubleType landing are identical either way (r13, per-round driver
+    overhead; see kmeans_fit)."""
     spark = df.sparkSession
-    one = spark.createDataFrame([(mat,)]).toDF(colname)
+    if schema is not None:
+        one = spark.createDataFrame([(mat,)], schema=f"{colname} {schema}")
+    else:
+        one = spark.createDataFrame([(mat,)]).toDF(colname)
     return df.crossJoin(F.broadcast(one))
 
 
@@ -353,18 +361,29 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: empty corpus")
     k = min(k, len(cents))  # corpus smaller than k: one centroid per row
     mean_expr = _mean_expr(exact_mean)
+    # r13: the per-round Column trees are loop-INVARIANT (the model rides
+    # as a broadcast column, never as literals), but building them inside
+    # the loop paid the py4j expression-construction cost every round —
+    # measured at ~0.8 s/round against ~0.3 s of actual execution at
+    # fixture scale. Hoist once; each round then only swaps the 1-row
+    # model frame and re-chains ~8 DataFrame calls. Same Column objects
+    # -> byte-identical plans -> bit-identical centroids.
+    assign_col = _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("c")
+    pm_col = F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    cent_col = F.transform("pm", lambda s: s["m"]).alias("centroid")
     for _ in range(max_iter):
-        withm = _broadcast_matrix(v, [[float(x) for x in c] for c in cents], "__cents")
-        assigned = withm.select(
-            "id", "v", _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("c")
+        withm = _broadcast_matrix(
+            v, [[float(x) for x in c] for c in cents], "__cents",
+            schema="array<array<double>>",
         )
+        assigned = withm.select("id", "v", assign_col)
         new = (
             assigned.select("c", F.posexplode("v"))
             .groupBy("c", "pos")
             .agg(mean_expr)
             .groupBy("c")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("c", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .agg(pm_col)
+            .select("c", cent_col)
             .collect()
         )
         by_c = {r["c"]: [float(x) for x in r["centroid"]] for r in new}
@@ -530,33 +549,31 @@ def pq_fit(
         for j in range(m)
     ]
     mean_expr = _mean_expr(exact_mean)
+    # r13: per-round Column trees hoisted out of the loop — the m argmin
+    # folds dominated the per-round py4j plan-construction cost (see
+    # kmeans_fit); same Column objects, bit-identical books.
+    assign_cols = [
+        _nearest_centroid_from_col(
+            F.element_at(F.col("__books"), j + 1),
+            F.slice(F.col("v"), j * sub + 1, sub),
+        ).alias(f"c{j}")
+        for j in range(m)
+    ]
+    cs_col = F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs")
+    sj = F.floor(F.col("pos") / sub).cast("int")
+    long_cols = [
+        sj.alias("j"),
+        F.element_at("cs", sj + 1).alias("c"),
+        (F.col("pos") % sub).alias("pos_l"),
+        F.col("col"),
+    ]
     for _ in range(max_iter):
         withm = _broadcast_matrix(
-            v, [[[float(x) for x in c] for c in b] for b in books], "__books"
+            v, [[[float(x) for x in c] for c in b] for b in books], "__books",
+            schema="array<array<array<double>>>",
         )
-        assigned = withm.select(
-            "v",
-            *[
-                _nearest_centroid_from_col(
-                    F.element_at(F.col("__books"), j + 1),
-                    F.slice(F.col("v"), j * sub + 1, sub),
-                ).alias(f"c{j}")
-                for j in range(m)
-            ],
-        )
-        sj = F.floor(F.col("pos") / sub).cast("int")
-        long = (
-            assigned.select(
-                F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs"),
-                F.posexplode("v"),
-            )
-            .select(
-                sj.alias("j"),
-                F.element_at("cs", sj + 1).alias("c"),
-                (F.col("pos") % sub).alias("pos_l"),
-                "col",
-            )
-        )
+        assigned = withm.select("v", *assign_cols)
+        long = assigned.select(cs_col, F.posexplode("v")).select(*long_cols)
         rows = long.groupBy("j", "c", "pos_l").agg(mean_expr).collect()
         by_jc: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
@@ -627,13 +644,17 @@ def ivfpq_fit_fused(
     ]
     mean_expr = _mean_expr(exact_mean)
     spark = df.sparkSession
-    for t in range(max(coarse_iter, pq_iter)):
-        do_g = t < coarse_iter
-        do_p = t < pq_iter
-        one = spark.createDataFrame(
-            [(cents, [[[float(x) for x in c] for c in b] for b in books])]
-        ).toDF("__cents", "__books")
-        withm = v.crossJoin(F.broadcast(one))
+    # r13: per-round Column trees hoisted out of the loop, cached per
+    # (do_g, do_p) combination — the 1 + m argmin folds dominated the
+    # per-round py4j plan-construction cost (see kmeans_fit); same Column
+    # objects, bit-identical models.
+    sj = F.floor(F.col("pos") / sub).cast("int")
+    _shapes: dict[tuple[bool, bool], tuple] = {}
+
+    def _shape(do_g: bool, do_p: bool) -> tuple:
+        cached = _shapes.get((do_g, do_p))
+        if cached is not None:
+            return cached
         cols = [F.col("v")]
         if do_g:
             cols.append(
@@ -647,8 +668,6 @@ def ivfpq_fit_fused(
                 ).alias(f"c{j}")
                 for j in range(m)
             )
-        assigned = withm.select(*cols)
-        sj = F.floor(F.col("pos") / sub).cast("int")
         entries = []
         if do_g:
             entries.append(
@@ -669,9 +688,23 @@ def ivfpq_fit_fused(
         pre = ["cg"] if do_g else []
         if do_p:
             pre.append(F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs"))
+        exploded = F.explode(F.array(*entries)).alias("e")
+        _shapes[(do_g, do_p)] = (cols, pre, exploded)
+        return _shapes[(do_g, do_p)]
+
+    for t in range(max(coarse_iter, pq_iter)):
+        do_g = t < coarse_iter
+        do_p = t < pq_iter
+        one = spark.createDataFrame(
+            [(cents, [[[float(x) for x in c] for c in b] for b in books])],
+            schema="__cents array<array<double>>, __books array<array<array<double>>>",
+        )
+        withm = v.crossJoin(F.broadcast(one))
+        cols, pre, exploded = _shape(do_g, do_p)
+        assigned = withm.select(*cols)
         long = (
             assigned.select(*pre, F.posexplode("v"))
-            .select(F.explode(F.array(*entries)).alias("e"), "col")
+            .select(exploded, "col")
             .select("e.lvl", "e.c", "e.p", "col")
         )
         rows = long.groupBy("lvl", "c", "p").agg(mean_expr).collect()
