@@ -693,7 +693,18 @@ def simhash_neardup_pairs(
     signature (4 x 15-bit chunks) for cross-engine determinism."""
     chunk_bits = 15 if portable else 16
     chunk_mask = (1 << chunk_bits) - 1
-    sig = simhash(df, id_col, text_col, portable=portable)
+    # r13 (guide §2.4/§5 — the minhash_neardup_pairs treatment): both
+    # self-join legs re-planned the ENTIRE signature build (token explode
+    # + per-token md5 + 60 conditional vote sums) — the expensive shared
+    # subtree ran twice per invocation. One eager localCheckpoint of the
+    # doc-grain (id, simhash) frame (input spread across cores first —
+    # the vote aggregation is hash-chain CPU work) and both legs read the
+    # resident rows. Signatures, candidates and hamming are unchanged.
+    from .similarity import checkpoint_index
+
+    sig = checkpoint_index(
+        simhash(_spread_small_input(df, id_col), id_col, text_col, portable=portable)
+    )
     chunks = sig.select(
         "id",
         "simhash",

@@ -1298,7 +1298,22 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     while matching the oracle's NTILE(5) bit-for-bit. The three tile maps
     join back on user_id (user-grain equi-joins). The aggregated user
     frame is localCheckpointed so the three rank paths and the join spine
-    share one computation. All outputs integer/text — hash-exact."""
+    share one computation. All outputs integer/text — hash-exact.
+
+    r13 (guide §2.6 — overlap independent jobs): the three tilings are
+    independent given the materialized user frame, but each one issues
+    ~3 sequential driver jobs (range-sample, checkpoint, count collect),
+    and chaining them serialized ~9 jobs of pure scheduling floor (the
+    entry's measured flat ~3.2 s constant at sf0.01 AND sf0.1 — r12
+    BENCH_DETAIL scaling e=0.038). The tile maps are now built from
+    ``per_user`` directly (not from the previous tiling's join, which
+    only deepened the plan without changing any value — same row set,
+    same order keys) and submitted from a 3-thread pool so their jobs
+    overlap. Tiles, scores and segments are bit-identical: each tiling
+    orders by its own metric with the same user_id tiebreak, and the
+    user-grain equi-joins just attach columns."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.sampling import distributed_ntile
 
     (events,) = load(spark, sf_dir, "events")
@@ -1316,13 +1331,21 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    scored = per_user
-    for metric, out in (
-        ("recency_days", "r_tile"),
-        ("frequency", "f_tile"),
-        ("monetary_cents", "m_tile"),
-    ):
-        scored = distributed_ntile(scored, 5, metric, "user_id", out_col=out)
+    def _tile_map(metric: str, out: str) -> DataFrame:
+        return distributed_ntile(
+            per_user.select("user_id", metric), 5, metric, "user_id", out_col=out
+        ).select("user_id", out)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_map, f_map, m_map = pool.map(
+            lambda a: _tile_map(*a),
+            (
+                ("recency_days", "r_tile"),
+                ("frequency", "f_tile"),
+                ("monetary_cents", "m_tile"),
+            ),
+        )
+    scored = per_user.join(r_map, "user_id").join(f_map, "user_id").join(m_map, "user_id")
     r = (6 - F.col("r_tile")).cast("long")
     f = F.col("f_tile").cast("long")
     m = F.col("m_tile").cast("long")

@@ -1132,7 +1132,10 @@ def _hashed_bow(toks, dim: int):
     deterministic embedding. Each residue-class count re-scans the token
     array (dim x |toks| hash evals, a constant-factor trade documented at
     text_winnow_fingerprint for why the 'hash once into an array column'
-    form is O(n^2) after CollapseProject inlining)."""
+    form is O(n^2) after CollapseProject inlining). Kept only for the
+    row-grain query batch (a handful of rows); corpus-sized embedding
+    uses the token-explode aggregation path in pipeline_rag_retrieval,
+    which hashes every token exactly once."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.size(
@@ -1158,8 +1161,9 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index chunks per query document -> source metadata attached from the
     canonical doc.
 
-    Scale shape: chunking and embedding are scan-stage array math; the
-    dedup is one digest-keyed WindowGroupLimit pass; scoring broadcasts
+    Scale shape: chunking is scan-stage array math; corpus embedding is
+    one md5 per token (explode + two digest-keyed partial aggregations);
+    the dedup is one digest-keyed WindowGroupLimit pass; scoring broadcasts
     the (tiny) query batch across the streamed index — the brute-force
     leg of the kNN tier, swappable for the IVF/LSH/PQ paths when the
     query batch grows; the per-query top-3 is a WindowGroupLimit. The
@@ -1190,9 +1194,50 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the brute_force_knn treatment) — one array fold per (query, chunk)
     # pair instead of three; same sqrt values multiplied in cosine_expr's
     # order, so every cosine and rank is bit-identical.
-    cvec = index_chunks.select(
+    #
+    # r13 (guide §1.2 step 2): the corpus-side embedding hashes every
+    # token exactly ONCE (explode -> md5 -> residue-class counts -> dense
+    # histogram) instead of the _hashed_bow form's dim re-scans of each
+    # chunk's token array (dim x |toks| md5 evals per chunk). The counts
+    # are the same exact integers cast to double, so every e, norm,
+    # cosine and rank is bit-identical (A/B: 10.3 -> 4.0 s at sf0.1).
+    # The aggregation keys on (chunk_md5 & co) — digests, never text —
+    # and both levels partial-aggregate map-side. The query batch keeps
+    # _hashed_bow (a handful of rows; exploding it would add a shuffle).
+    _ckeys = ["src_doc_id", "source", "chunk_no", "chunk_md5"]
+    tok = index_chunks.select(
         F.col("doc_id").alias("src_doc_id"), "source", "chunk_no", "chunk_md5",
-        _hashed_bow(F.col("ct"), dim).alias("e"),
+        F.explode_outer("ct").alias("t"),
+    )
+    _h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("emb-v1:"), F.col("t"))), 1, 13), 16, 10
+        ).cast("long"),
+        F.lit(dim),
+    )
+    bucket_counts = tok.select(*_ckeys, _h.alias("d")).groupBy(*_ckeys, "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cvec = (
+        bucket_counts.groupBy(*_ckeys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    # explode_outer keeps empty chunks as one null token
+                    # (null d) so they still yield an all-zero histogram
+                    F.when(F.col("d").isNotNull(), F.struct(F.col("d"), F.col("c")))
+                )
+            ).alias("m")
+        )
+        .select(
+            *_ckeys,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+                lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("e"),
+        )
     ).withColumn("__cn", norm_expr(F.col("e")))
     qvec = ws.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_doc_id"), _hashed_bow(F.col("w"), dim).alias("qe")

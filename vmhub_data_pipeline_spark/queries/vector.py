@@ -713,7 +713,19 @@ def _ivf_multi_corp_sql(dim: int = _IVF_DIM) -> str:
 
 def ivf_multi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_ivf_multi_corp_sql``: (vec_id, embedding) with the
-    planted families built from ``spark.range`` literals."""
+    planted families built from ``spark.range`` literals.
+
+    r13 (guide §2.2/§6 — fewer, larger partitions): every synthetic
+    ``spark.range`` leg is pinned to ONE partition. The default gives each
+    leg ``defaultParallelism`` slices, so the ~1k-row union carried
+    1 + 6 x cores partitions (193 on local[32]) into ``checkpoint_index``,
+    and EVERY downstream maintenance job — each Lloyd sub-fit round, the
+    occupancy rollups, the 4-leg reassignment union — paid a ~200-task
+    scheduling floor for a few hundred resident rows (measured: the
+    warm repair-all pass spent ~20 s at sf0.01 in task dispatch).
+    The real-corpus leg keeps its scan partitioning; fit results are
+    bit-identical (deterministic smallest-id seeding, exact-integer
+    means, partition-order-free)."""
     from functools import reduce
 
     from ..operators.similarity import _as_double
@@ -729,7 +741,7 @@ def ivf_multi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = float(1000 * (f + 1))
         anchor_vec = [F.lit(k if j == f else 0.0) for j in range(_IVF_DIM)]
         parts.append(
-            spark.range(1).select(
+            spark.range(0, 1, 1, 1).select(
                 F.lit(f + 1).cast("long").alias("vec_id"),
                 F.array(*anchor_vec).alias("embedding"),
             )
@@ -749,7 +761,7 @@ def ivf_multi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_IVF_DIM)
         ]
         parts.append(
-            spark.range(n).select(
+            spark.range(0, n, 1, 1).select(
                 (F.lit(_IVF_FAM_BASE + 100_000 * f) + F.col("id"))
                 .cast("long")
                 .alias("vec_id"),
