@@ -75,6 +75,33 @@ def test_ivf_multi_corpus_partitions_bounded(spark, sf_dir):
     assert c.rdd.getNumPartitions() <= scan_parts + 6
 
 
+def test_grouped_kmeans_fit_matches_per_cell_fits(spark, sf_dir):
+    """ann_ivf_rebalance_all's grouped Lloyd (one job per round for ALL
+    hot cells) must return bit-identical models to the per-cell
+    kmeans_fit loop it replaced — same smallest-id seeds, same argmin,
+    same exact-integer means — including cells of DIFFERENT k."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        grouped_kmeans_fit,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # three disjoint synthetic cells with different k
+    mem = emb.select(
+        (F.col("vec_id") % 3).cast("int").alias("cell"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+    )
+    k_by = {0: 3, 1: 2, 2: 4}
+    grouped = grouped_kmeans_fit(mem, "cell", "id", "v", k_by, max_iter=2)
+    for g, k in k_by.items():
+        solo = kmeans_fit(
+            mem.filter(F.col("cell") == g).select("id", "v"),
+            "id", "v", k=k, max_iter=2, exact_mean=True, materialize=False,
+        )
+        assert grouped[g] == solo, f"cell {g} diverged"
+
+
 def test_rfm_tiles_attach_to_user_frame_independently(spark, sf_dir):
     """The three tile maps must join the checkpointed user frame as
     SIBLINGS (three user-grain equi-joins of narrow maps), not as a

@@ -391,6 +391,93 @@ def kmeans_fit(
     return cents
 
 
+def grouped_kmeans_fit(
+    df: DataFrame,
+    cell_col: str,
+    id_col: str,
+    vec_col: str,
+    k_by_cell: dict[int, int],
+    max_iter: int = 2,
+    exact_mean: bool = True,
+) -> dict[int, list[list[float]]]:
+    """Independent Lloyd's k-means fits over MANY disjoint cells, run as
+    ONE grouped Spark job per round (r13, guide §1.2 step 1 / §2.6): the
+    per-cell loop in ``ann_ivf_rebalance_all`` paid ``cells x (1 seed
+    collect + max_iter round jobs)`` sequential driver round-trips, a pure
+    job-scheduling floor at maintenance scale; the cells are independent
+    recursions over disjoint member sets, so round t of EVERY cell is one
+    pass over the union of hot members — ``1 + max_iter`` jobs total, and
+    the honest at-scale shape (one scan of hot members per round instead
+    of one per cell).
+
+    Bit-identical to looping ``kmeans_fit(materialize=False)`` per cell:
+    seeds are each cell's ``k_by_cell[cell]`` smallest-id vectors (the
+    per-cell ``orderBy(id).limit(k)``, here one partitioned row_number
+    pass); assignments use the SAME ``_nearest_centroid_from_col``
+    argmin over the cell's current centroid list (broadcast-joined per
+    cell instead of cross-joined per fit); and each (cell, centroid,
+    component) group aggregates exactly the same quantized-integer
+    contributions (``_mean_expr`` — integer sums are order-free, then the
+    same two IEEE ops). Empty clusters keep their previous centroid, per
+    cell, as in ``kmeans_fit``.
+
+    Returns ``{cell: centroids[k_by_cell[cell]][dim]}``. Driver state is
+    O(sum of models); members never leave executors except through the
+    per-round model aggregate.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cells = sorted(int(c) for c in k_by_cell)
+    if not cells:
+        return {}
+    mem = df.select(
+        F.col(cell_col).cast("long").alias("g"),
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    max_k = max(k_by_cell.values())
+    w = Window.partitionBy("g").orderBy("id")
+    seed_rows = (
+        mem.select("g", "v", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= F.lit(max_k))
+        .collect()
+    )
+    cents: dict[int, list[list[float]]] = {c: [] for c in cells}
+    for r in sorted(seed_rows, key=lambda r: (r["g"], r["rn"])):
+        g = int(r["g"])
+        if len(cents[g]) < k_by_cell[g]:
+            cents[g].append([float(x) for x in r["v"]])
+    for g in cells:
+        if not cents[g]:
+            raise ValueError(f"grouped_kmeans_fit: empty cell {g}")
+    mean_expr = _mean_expr(exact_mean)
+    assign_col = _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("c")
+    for _ in range(max_iter):
+        model = spark.createDataFrame(
+            [(g, [[float(x) for x in c] for c in cents[g]]) for g in cells],
+            schema="g long, __cents array<array<double>>",
+        )
+        assigned = mem.join(F.broadcast(model), "g").select("g", "v", assign_col)
+        rows = (
+            assigned.select("g", "c", F.posexplode("v"))
+            .groupBy("g", "c", "pos")
+            .agg(mean_expr)
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by.setdefault((int(r["g"]), int(r["c"])), {})[r["pos"]] = float(r["m"])
+        for g in cells:
+            cents[g] = [
+                [by[(g, c)][p] for p in range(len(cents[g][c]))]
+                if (g, c) in by
+                else cents[g][c]
+                for c in range(len(cents[g]))
+            ]
+    return cents
+
+
 def _centroid_scores(cents: list[list[float]], vec: Column | None = None) -> Column:
     """Array of per-centroid scores argmax-equivalent to nearest-by-L2:
     <v,c> - |c|^2/2 (|v|^2 is row-constant). Linear expression size —

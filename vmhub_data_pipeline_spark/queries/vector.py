@@ -965,7 +965,7 @@ def ann_ivf_rebalance_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared ``_ivf_fit_block`` text instantiated on the fixture
     corpus, so the probe, audit, single-split, and repair-all entries
     can never drift apart."""
-    from ..operators.similarity import _nearest_centroid_expr, kmeans_fit
+    from ..operators.similarity import _nearest_centroid_expr, grouped_kmeans_fit
 
     n_cells = 16
     cap = _IVF_HOT_CAP
@@ -978,15 +978,22 @@ def ann_ivf_rebalance_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in occ.filter(F.col("n") > cap).collect()
     )
 
+    # r13 opt (guide §1.2 step 1): all hot-cell sub-fits run as ONE grouped
+    # Lloyd — 1 seed + max_iter round jobs total instead of 3 sequential
+    # jobs PER cell; bit-identical per-cell models (see grouped_kmeans_fit),
+    # and exactly the grouped shape the oracle replay already uses.
+    kc_by = {b: (n + cap - 1) // cap for b, n in hot}
+    subs = grouped_kmeans_fit(
+        index.filter(F.col("bucket").isin(list(kc_by))),
+        "bucket", "neighbor_id", "cv", kc_by, max_iter=2, exact_mean=True,
+    )
+
     base = n_cells
     moved_parts: list[DataFrame] = []
     for b, n in hot:
-        kc = (n + cap - 1) // cap
+        kc = kc_by[b]
         members = index.filter(F.col("bucket") == b).select("neighbor_id", "cv")
-        sub = kmeans_fit(
-            members, "neighbor_id", "cv", k=kc, max_iter=2, exact_mean=True,
-            materialize=False,  # r13: cell-sized resident input, skip the checkpoint
-        )
+        sub = subs[b]
         moved_parts.append(
             members.select(
                 F.col("neighbor_id").alias("vec_id"),
