@@ -275,22 +275,6 @@ def _nearest_centroid_from_col(mat: Column, vec: Column) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
-def _broadcast_matrix(df: DataFrame, mat, colname: str, schema: str | None = None) -> DataFrame:
-    """Cross-join a 1-row broadcast frame carrying a centroid matrix (or a
-    list of matrices) so iterative expressions reference stable columns.
-
-    ``schema`` (a DDL type string for the single column) skips Python-side
-    schema inference over the nested float lists — the values and their
-    DoubleType landing are identical either way (r13, per-round driver
-    overhead; see kmeans_fit)."""
-    spark = df.sparkSession
-    if schema is not None:
-        one = spark.createDataFrame([(mat,)], schema=f"{colname} {schema}")
-    else:
-        one = spark.createDataFrame([(mat,)]).toDF(colname)
-    return df.crossJoin(F.broadcast(one))
-
-
 def _mean_expr(exact_mean: bool):
     """The per-component centroid-mean aggregate over a posexploded ``col``
     — ONE definition shared by kmeans_fit, pq_fit, and ivfpq_fit_fused,
@@ -361,33 +345,35 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: empty corpus")
     k = min(k, len(cents))  # corpus smaller than k: one centroid per row
     mean_expr = _mean_expr(exact_mean)
-    # r13: the per-round Column trees are loop-INVARIANT (the model rides
-    # as a broadcast column, never as literals), but building them inside
-    # the loop paid the py4j expression-construction cost every round —
-    # measured at ~0.8 s/round against ~0.3 s of actual execution at
-    # fixture scale. Hoist once; each round then only swaps the 1-row
-    # model frame and re-chains ~8 DataFrame calls. Same Column objects
-    # -> byte-identical plans -> bit-identical centroids.
-    assign_col = _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("c")
-    pm_col = F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-    cent_col = F.transform("pm", lambda s: s["m"]).alias("centroid")
+    # r13 opt (measured, idle-host interleaved A/B): the model rides as a
+    # LITERAL matrix (one F.expr parse via _mat_sql — NOT k*dim F.lit py4j
+    # round trips) and the round collects at (c, pos) grain directly
+    # (pq_fit's shape), dropping the per-round 1-row model frame, its
+    # BroadcastExchange, and the second component-assembly groupBy. The
+    # literal form re-plans per round but the generated code TEXT is
+    # round-invariant (array literals ride as references), so codegen
+    # caches hit — per-round wall 1.55 -> 1.07 s at sf0.01/local[32]
+    # against the broadcast-column + two-groupBy shape. Bit-parity with
+    # _nearest_centroid_from_col: same zip_with dot fold, |c|^2/2
+    # precomputed by the same left-to-right Python sum, same
+    # array_position tie-break.
     for _ in range(max_iter):
-        withm = _broadcast_matrix(
-            v, [[float(x) for x in c] for c in cents], "__cents",
-            schema="array<array<double>>",
+        assigned = v.select(
+            "id", "v", _nearest_centroid_expr(cents, F.col("v")).alias("c")
         )
-        assigned = withm.select("id", "v", assign_col)
-        new = (
+        rows = (
             assigned.select("c", F.posexplode("v"))
             .groupBy("c", "pos")
             .agg(mean_expr)
-            .groupBy("c")
-            .agg(pm_col)
-            .select("c", cent_col)
             .collect()
         )
-        by_c = {r["c"]: [float(x) for x in r["centroid"]] for r in new}
-        cents = [by_c.get(i, cents[i]) for i in range(k)]
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(int(r["c"]), {})[r["pos"]] = float(r["m"])
+        cents = [
+            [by_c[i][p] for p in range(len(cents[i]))] if i in by_c else cents[i]
+            for i in range(k)
+        ]
     return cents
 
 
@@ -636,16 +622,11 @@ def pq_fit(
         for j in range(m)
     ]
     mean_expr = _mean_expr(exact_mean)
-    # r13: per-round Column trees hoisted out of the loop — the m argmin
-    # folds dominated the per-round py4j plan-construction cost (see
-    # kmeans_fit); same Column objects, bit-identical books.
-    assign_cols = [
-        _nearest_centroid_from_col(
-            F.element_at(F.col("__books"), j + 1),
-            F.slice(F.col("v"), j * sub + 1, sub),
-        ).alias(f"c{j}")
-        for j in range(m)
-    ]
+    # r13 opt: each sub-codebook rides as a LITERAL matrix per round (one
+    # F.expr parse each via _mat_sql) instead of a broadcast model frame —
+    # drops the per-round 1-row createDataFrame + BroadcastExchange; the
+    # generated code text is round-invariant (literal arrays ride as
+    # references) so codegen caches hit. Bit-parity per kmeans_fit.
     cs_col = F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs")
     sj = F.floor(F.col("pos") / sub).cast("int")
     long_cols = [
@@ -655,11 +636,13 @@ def pq_fit(
         F.col("col"),
     ]
     for _ in range(max_iter):
-        withm = _broadcast_matrix(
-            v, [[[float(x) for x in c] for c in b] for b in books], "__books",
-            schema="array<array<array<double>>>",
-        )
-        assigned = withm.select("v", *assign_cols)
+        assign_cols = [
+            _nearest_centroid_expr(
+                books[j], F.slice(F.col("v"), j * sub + 1, sub)
+            ).alias(f"c{j}")
+            for j in range(m)
+        ]
+        assigned = v.select("v", *assign_cols)
         long = assigned.select(cs_col, F.posexplode("v")).select(*long_cols)
         rows = long.groupBy("j", "c", "pos_l").agg(mean_expr).collect()
         by_jc: dict[tuple[int, int], dict[int, float]] = {}
@@ -705,7 +688,7 @@ def ivfpq_fit_fused(
     one shared smallest-id seed collect slices the same rows both seeds
     used (coarse takes the first ``n_cells`` vectors, books the first
     ``k``, exactly the oracle's shared ``init_ids``), assignments use the
-    identical matrix-column argmax expressions, and every
+    identical literal-matrix argmax expressions, and every
     (level, centroid, component) group aggregates exactly the same
     contributions — fitted models are bit-identical, so the unrolled
     DuckDB replay (``_ivfpq_fit_ctes``) is unaffected."""
@@ -730,11 +713,12 @@ def ivfpq_fit_fused(
         for j in range(m)
     ]
     mean_expr = _mean_expr(exact_mean)
-    spark = df.sparkSession
-    # r13: per-round Column trees hoisted out of the loop, cached per
-    # (do_g, do_p) combination — the 1 + m argmin folds dominated the
-    # per-round py4j plan-construction cost (see kmeans_fit); same Column
-    # objects, bit-identical models.
+    # r13 opt: models ride as LITERAL matrices per round (one F.expr parse
+    # per matrix via _mat_sql) instead of a broadcast model frame — drops
+    # the per-round 1-row createDataFrame + crossJoin BroadcastExchange;
+    # generated code text stays round-invariant so codegen caches hit.
+    # Bit-parity per kmeans_fit. The explode/regroup trees below ARE
+    # round-invariant and stay hoisted.
     sj = F.floor(F.col("pos") / sub).cast("int")
     _shapes: dict[tuple[bool, bool], tuple] = {}
 
@@ -742,19 +726,6 @@ def ivfpq_fit_fused(
         cached = _shapes.get((do_g, do_p))
         if cached is not None:
             return cached
-        cols = [F.col("v")]
-        if do_g:
-            cols.append(
-                _nearest_centroid_from_col(F.col("__cents"), F.col("v")).alias("cg")
-            )
-        if do_p:
-            cols.extend(
-                _nearest_centroid_from_col(
-                    F.element_at(F.col("__books"), j + 1),
-                    F.slice(F.col("v"), j * sub + 1, sub),
-                ).alias(f"c{j}")
-                for j in range(m)
-            )
         entries = []
         if do_g:
             entries.append(
@@ -776,19 +747,24 @@ def ivfpq_fit_fused(
         if do_p:
             pre.append(F.array(*[F.col(f"c{j}") for j in range(m)]).alias("cs"))
         exploded = F.explode(F.array(*entries)).alias("e")
-        _shapes[(do_g, do_p)] = (cols, pre, exploded)
+        _shapes[(do_g, do_p)] = (pre, exploded)
         return _shapes[(do_g, do_p)]
 
     for t in range(max(coarse_iter, pq_iter)):
         do_g = t < coarse_iter
         do_p = t < pq_iter
-        one = spark.createDataFrame(
-            [(cents, [[[float(x) for x in c] for c in b] for b in books])],
-            schema="__cents array<array<double>>, __books array<array<array<double>>>",
-        )
-        withm = v.crossJoin(F.broadcast(one))
-        cols, pre, exploded = _shape(do_g, do_p)
-        assigned = withm.select(*cols)
+        cols = [F.col("v")]
+        if do_g:
+            cols.append(_nearest_centroid_expr(cents, F.col("v")).alias("cg"))
+        if do_p:
+            cols.extend(
+                _nearest_centroid_expr(
+                    books[j], F.slice(F.col("v"), j * sub + 1, sub)
+                ).alias(f"c{j}")
+                for j in range(m)
+            )
+        pre, exploded = _shape(do_g, do_p)
+        assigned = v.select(*cols)
         long = (
             assigned.select(*pre, F.posexplode("v"))
             .select(exploded, "col")
