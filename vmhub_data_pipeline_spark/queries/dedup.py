@@ -1258,7 +1258,16 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if probe is None:
         (docs,) = load(spark, sf_dir, "documents")
         banded_idx, toks = lsh_index_cached(spark, sf_dir)
-        probe = _incremental_probe(docs, banded_idx, toks)
+        # r13 opt: the batch boundary rides as the session-cached LITERAL
+        # (_lsh_batch_cut — the persist/append probes' convention) instead
+        # of an in-plan broadcast aggregate: the cut=None form re-ran the
+        # cutoff agg (a parquet scan of documents) plus two broadcast
+        # exchanges on EVERY probe execution; the literal pays one tiny
+        # build-time job and lets the new-docs scan push doc_id >= cut
+        # into the parquet reader. Same cut value -> identical output.
+        probe = _incremental_probe(
+            docs, banded_idx, toks, cut=_lsh_batch_cut(spark, sf_dir)
+        )
         session_cache_put(_LSH_PROBE_FRAME_CACHE, key, probe)
     return probe
 
