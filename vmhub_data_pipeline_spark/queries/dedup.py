@@ -2209,6 +2209,7 @@ def dedup_lsh_repair_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scans, zero re-signing, output fixed at bands x 1 audit rows
     regardless of corpus size."""
     from ..operators.dedup import reband_hot_buckets
+    from ..operators.similarity import checkpoint_index
 
     banded = lsh_multi_index_cached(spark, sf_dir)
     cap = _LSH_HOT_CAP
@@ -2224,7 +2225,15 @@ def dedup_lsh_repair_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("occ").cast("long").alias(f"max_occ_{suffix}"),
         )
 
-    reb = reband_hot_buckets(banded, cap)
+    # r13 opt (guide §2.4/§5 — the batch-2 materialize-once rule): the
+    # repaired index feeds FIVE plan legs (the after-rollup, the second
+    # pass's banded/fsig/occ references, and the change join's a-side),
+    # and each broadcast subtree re-planned the full reband (doc-grain
+    # full-signature aggregation + two joins) from scratch — the executed
+    # plan computed the repair ~5x per invocation. One eager checkpoint
+    # pays the repair once; every leg reads the resident rows. Values
+    # unchanged (the checkpoint only cuts lineage).
+    reb = checkpoint_index(reband_hot_buckets(banded, cap))
     reb2 = reband_hot_buckets(reb, cap)
     chg = (
         reb.alias("a")
