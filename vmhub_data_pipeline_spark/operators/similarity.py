@@ -93,7 +93,9 @@ def brute_force_knn(
     )
 
 
-def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+def spread_small_input(
+    df: DataFrame, id_col: str, bytes_per_slice: int | None = None
+) -> DataFrame:
     """CPU-heavy projections (hash chains, shingle explodes, outer
     products) ride their input's scan partitioning, and a small corpus
     (one parquet split) runs them on ONE core (r13, guide §2.5
@@ -103,11 +105,42 @@ def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
     partition coalescing would otherwise fold a few-MB exchange right
     back to one partition, re-serializing the CPU-bound work. At scale
     the scan already has >= cores splits and this is a no-op — no
-    unconditional payload shuffle is introduced."""
+    unconditional payload shuffle is introduced.
+
+    ``bytes_per_slice`` (r13 opt, guide §2.2 fewer-larger-partitions):
+    consumers whose per-row work is LIGHT relative to the hash chains —
+    the Lloyd fits' argmin folds — additionally cap the spread at
+    ``ceil(input_bytes / bytes_per_slice)``: a task carrying well under
+    ~50 ms of work costs more to schedule than to run, and every fit
+    ROUND pays the task floor again (measured: one k-means round over a
+    sub-MB corpus at 32 slices costs 1.5-1.8x the 4-slice round, both
+    sfs). Sizing is data-derived (input bytes, cores), never a fixed
+    local count; when the input's file set is unknown (unions with
+    synthetic legs, upstream checkpoints) the full-cores behavior is
+    kept."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_slice:
+        import math
+        import os
+
+        try:
+            nbytes = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+            )
+        except OSError:
+            nbytes = 0
+        if nbytes > 0:
+            target = min(target, max(1, math.ceil(nbytes / bytes_per_slice)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(id_col))
     return df
+
+
+# Fit-input slice size: the Lloyd rounds' per-row argmin is ~2k fused
+# interpreted ops per 0.5 KB row, so a 256 KB slice is ~1M ops — above
+# the task-scheduling floor, far below a scan split. Only ever binding
+# for corpora under cores x 256 KB; at scale the scan partitioning wins.
+_FIT_BYTES_PER_SLICE = 256 * 1024
 
 
 def checkpoint_index(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -336,7 +369,7 @@ def kmeans_fit(
     """
     v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     if materialize:
-        v = checkpoint_index(spread_small_input(v, "id"))
+        v = checkpoint_index(spread_small_input(v, "id", _FIT_BYTES_PER_SLICE))
     cents = [
         [float(x) for x in r["v"]]
         for r in v.orderBy("id").limit(k).collect()
@@ -611,6 +644,7 @@ def pq_fit(
         spread_small_input(
             df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
             "id",
+            _FIT_BYTES_PER_SLICE,
         )
     )
     seed_rows = v.orderBy("id").limit(k).collect()
@@ -700,6 +734,7 @@ def ivfpq_fit_fused(
         spread_small_input(
             df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
             "id",
+            _FIT_BYTES_PER_SLICE,
         )
     )
     seed_rows = v.orderBy("id").limit(max(n_cells, k)).collect()
