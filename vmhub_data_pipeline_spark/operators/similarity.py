@@ -613,12 +613,18 @@ def pq_fit(
     k: int = 16,
     max_iter: int = 3,
     exact_mean: bool = False,
+    materialize: bool = True,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector into ``m``
     contiguous subspaces and run the distributed k-means on each — the
     IVF-PQ storage layout (Jégou et al., TPAMI'11) that compresses a
     float32 corpus ~32x (dim floats -> m byte codes) while keeping
     distance computation a table lookup.
+
+    ``materialize`` — as in :func:`kmeans_fit`: pass ``False`` when the
+    caller already holds a checkpointed input (the OPQ/residual index
+    builders), so the fit doesn't re-spread and re-materialize the same
+    rows a second time.
 
     All ``m`` sub-fits are FUSED into one Spark job per Lloyd round: a
     single projection computes every subspace's nearest-centroid
@@ -640,13 +646,9 @@ def pq_fit(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     # r13: one materialization feeds every Lloyd round (see kmeans_fit)
-    v = checkpoint_index(
-        spread_small_input(
-            df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
-            "id",
-            _FIT_BYTES_PER_SLICE,
-        )
-    )
+    v = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    if materialize:
+        v = checkpoint_index(spread_small_input(v, "id", _FIT_BYTES_PER_SLICE))
     seed_rows = v.orderBy("id").limit(k).collect()
     if not seed_rows:
         raise ValueError("pq_fit: empty corpus")

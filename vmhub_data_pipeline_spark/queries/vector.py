@@ -1892,9 +1892,11 @@ def opq_index_cached(
     ``OPQMatrix`` + ``IndexPQ`` chain stores rotated vectors/codes), and
     the encoded codes. Returns (w, perm, books, rot_q, rot_c, codes)."""
     from ..operators.similarity import (
+        _FIT_BYTES_PER_SLICE,
         _pq_code_expr,
         checkpoint_index,
         pq_fit,
+        spread_small_input,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir, dim, m, k, pq_iter, iters)
@@ -1902,11 +1904,19 @@ def opq_index_cached(
     if cached is None:
         q, c = _pq_unit_corpus(spark, sf_dir)
         w, perm = opq_model_cached(spark, sf_dir, dim, m, iters)
-        rot_c = checkpoint_index(_opq_transform(c, w, perm, dim))
+        # r13 opt: spread (byte-capped) BEFORE the one checkpoint; the
+        # sub-codebook fit then consumes the resident rows directly
+        # (materialize=False) instead of re-spreading and re-checkpointing
+        # the same corpus a second time (see pq_fit).
+        rot_c = checkpoint_index(
+            spread_small_input(
+                _opq_transform(c, w, perm, dim), "vec_id", _FIT_BYTES_PER_SLICE
+            )
+        )
         rot_q = _opq_transform(q, w, perm, dim)  # batch-sized, stays lazy
         books = pq_fit(
             rot_c, "vec_id", "embedding", dim=dim, m=m, k=k,
-            max_iter=pq_iter, exact_mean=True,
+            max_iter=pq_iter, exact_mean=True, materialize=False,
         )
         codes = checkpoint_index(
             rot_c.select(
@@ -2763,6 +2773,7 @@ def ivfopq_index_cached(
         cents = kmeans_fit(
             rot_c, "vec_id", "embedding", k=n_cells, max_iter=coarse_iter,
             exact_mean=True,
+            materialize=False,  # r13 opt: rot_c is already the spread checkpoint
         )
         v = _as_double(F.col("embedding"))
         index = checkpoint_index(
@@ -3089,20 +3100,27 @@ def ivfpqr_index_cached(
         # residuals for the same reason; the frame is corpus-sized and
         # fit-scoped (the encode below reuses it, then only the codes
         # index stays resident).
+        from ..operators.similarity import _FIT_BYTES_PER_SLICE, spread_small_input
+
         res = checkpoint_index(
-            c.select(
-                F.col("vec_id").alias("corpus_id"),
-                _nearest_centroid_expr(cents, v).alias("bucket"),
-                v.alias("__v"),
-            ).select(
+            spread_small_input(
+                c.select(
+                    F.col("vec_id").alias("corpus_id"),
+                    _nearest_centroid_expr(cents, v).alias("bucket"),
+                    v.alias("__v"),
+                ).select(
+                    "corpus_id",
+                    "bucket",
+                    _residual_expr(F.col("__v"), cents, F.col("bucket")).alias("resid"),
+                ),
                 "corpus_id",
-                "bucket",
-                _residual_expr(F.col("__v"), cents, F.col("bucket")).alias("resid"),
+                _FIT_BYTES_PER_SLICE,
             )
         )
         books = pq_fit(
             res, "corpus_id", "resid", dim=dim, m=m, k=k, max_iter=pq_iter,
             exact_mean=True,
+            materialize=False,  # r13 opt: res is already the spread checkpoint
         )
         index = checkpoint_index(
             res.select(
