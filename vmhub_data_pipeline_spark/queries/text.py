@@ -170,32 +170,31 @@ def _langid_scored(docs: DataFrame) -> DataFrame:
     log-prob sums. Used by text_langid (argmax) and text_langid_margin
     (top-2 gap); both oracles inline the identical CTE chain.
 
-    r13 (guide §2.3/§2.4): ONE token-grain pass instead of four. The
-    exploded word frame used to be scanned independently by wc, profile,
-    lang_tot and vocab (4 scans + 4 partial aggregations of the corpus's
-    token stream). Everything derives exactly from one per-(doc, lang,
-    word) count frame: doc_id determines lang, so grouping by (doc_id,
-    lang, word) is row-identical to (doc_id, word); profile's COUNT(*) at
-    (lang, word) equals SUM(wcnt); lang_tot's COUNT(*) at lang equals
-    SUM(cnt); vocab's COUNT(DISTINCT word) over tokens equals the same
-    over profile rows — all exact-integer identities, so every downstream
-    value is bit-unchanged.
-
-    r13 measured and kept as-is: at runtime the four consumers still plan
-    independent tokenize subtrees (pruning specializes the legs, so no
-    exchange/stage reuse fires) but they execute CONCURRENTLY as cheap
-    explode+partial-agg passes; eagerly materializing the vocabulary-
-    grain profile and deriving lang_tot/vocab from it was A/B'd
-    (interleaved subprocesses, calib-normalized) and REGRESSED the entry
-    (the serial checkpoint job costs more than the concurrent re-runs —
-    split+explode carries no per-token hash work, unlike the dsir
-    profile, where the same treatment wins 30%)."""
+    r14 (VERDICT r13 #1): REVERTED to direct per-grain aggregation over
+    the exploded word frame. The r13 "one token-grain pass" derived
+    profile/lang_tot/vocab from a per-(doc, lang, word) count frame; the
+    values were exact-integer identical, but Catalyst plans the four
+    consumers as independent subtrees (pruning specializes the legs, so
+    no exchange/stage reuse ever fires), which means the rewrite fused
+    NOTHING at runtime and each leg carried an extra aggregation whose
+    exchange moved from vocabulary grain ((lang, word) / (lang)) to
+    per-doc token grain ((doc_id, lang, word)) — at scale that is shuffle
+    volume proportional to per-doc distinct tokens instead of vocabulary
+    size. Plans regressed 20 -> 26 Exchanges / 24 -> 36 HashAggregates
+    and the driver bench read text_langid -31%. Direct aggregation keeps
+    every exchange at its natural coarse grain (map-side partial
+    aggregation collapses the token stream before the shuffle), and the
+    four cheap explode+partial-agg legs execute concurrently.
+    Also measured (r13) and rejected: eagerly materializing the
+    vocabulary-grain profile regressed the siblings +55% (the serial
+    checkpoint job costs more than the concurrent re-runs — split+explode
+    carries no per-token hash work, unlike the dsir profile, where the
+    same treatment wins 30%)."""
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-    base = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
-    wc = base.select("doc_id", "word", "wcnt")
-    profile = base.groupBy("lang", "word").agg(F.sum("wcnt").alias("cnt"))
-    lang_tot = profile.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = profile.agg(F.countDistinct("word").alias("v"))
+    wc = wd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("wcnt"))
+    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = wd.agg(F.countDistinct("word").alias("v"))
 
     scored = (
         wc.crossJoin(F.broadcast(lang_tot.select(F.col("lang").alias("cand_lang"), "tot")))
@@ -457,16 +456,18 @@ def text_perplexity_filter(
     cuts can't drift with summation order; doc_id breaks exact ties."""
     (docs,) = load(spark, sf_dir, "documents")
     wd = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
-    # r13 (guide §2.3/§2.4): one token-grain pass — profile/lang_tot/vocab
-    # derive exactly from the per-(doc, lang, word) counts (SUM of counts ==
-    # COUNT(*) at the coarser grain; DISTINCT word over profile == over
-    # tokens). Values are bit-identical (see _langid_scored — which also
-    # records why the profile-checkpoint treatment was measured and
-    # rejected for the text scorers).
+    # r14 (VERDICT r13 #1): profile/lang_tot/vocab aggregate DIRECTLY over
+    # the exploded word frame again. Deriving them from the per-(doc, lang,
+    # word) counts was value-identical but fused nothing at runtime (no
+    # exchange reuse fires across the independently-pruned legs) and moved
+    # each leg's exchange from vocabulary grain to per-doc token grain —
+    # strictly more shuffled bytes at scale. Direct aggregation lets the
+    # map-side partial agg collapse the token stream before each shuffle
+    # (see _langid_scored for the full adjudication).
     wc = wd.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("wcnt"))
-    profile = wc.groupBy("lang", "word").agg(F.sum("wcnt").alias("cnt"))
-    lang_tot = profile.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = profile.agg(F.countDistinct("word").alias("v"))
+    profile = wd.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = wd.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = wd.agg(F.countDistinct("word").alias("v"))
 
     profile_side = profile.select(
         F.col("lang").alias("p_lang"), F.col("word").alias("p_word"), "cnt"
@@ -1961,17 +1962,20 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    # r13 (guide §2.3/§2.4): both profiles derive exactly from the
-    # per-(doc, w1, w2) counts (SUM(cnt) at the coarser grain == COUNT(*)
-    # over bigram occurrences). Values are bit-identical. (Eagerly
-    # materializing bprof and deriving uprof from it was A/B'd and
-    # regressed — see _langid_scored; the concurrent explode legs carry
-    # no per-token hash work, so the checkpoint job costs more than the
-    # re-runs it removes.)
-    bprof = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2")).withColumnsRenamed(
+    # r14 (VERDICT r13 #1): both profiles aggregate DIRECTLY over the bigram
+    # stream again. Deriving them from the per-(doc, w1, w2) counts was
+    # value-identical but fused nothing at runtime (independently-pruned
+    # legs, no exchange reuse) and moved their exchanges from profile grain
+    # ((w1, w2) / (w1)) to per-doc grain — strictly more shuffled bytes at
+    # scale. Direct aggregation lets map-side partial aggregation collapse
+    # the stream before each shuffle (see _langid_scored). The r13
+    # profile-checkpoint treatment also remains rejected (+55% A/B: the
+    # concurrent explode legs carry no per-token hash work, so the
+    # checkpoint job costs more than the re-runs it removes).
+    bprof = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).withColumnsRenamed(
         {"w1": "p_w1", "w2": "p_w2"}
     )
-    uprof = dbc.groupBy("w1").agg(F.sum("cnt").alias("c1")).withColumnRenamed(
+    uprof = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed(
         "w1", "u_w1"
     )
     vocab = docs.select(
