@@ -30,6 +30,7 @@ from vmhub_data_pipeline_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_and_precision(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     # exact ground truth: all-pairs shingle-set jaccard (feasible at sf0.001)
@@ -55,6 +56,7 @@ def test_minhash_lsh_recall_and_precision(spark):
         assert len(approx) / len(exact) >= 0.8
 
 
+@pytest.mark.slow
 def test_simhash_deterministic_and_neardup_sane(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     s1 = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
@@ -434,6 +436,7 @@ def test_connected_components_chain_and_islands(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_lsh_clusters_refine_exact_clusters(spark):
     """LSH-pair clusters must refine the exact token-Jaccard clusters on
     this fixture. Within the shingle measure the property is structural
@@ -565,6 +568,7 @@ def test_ppm_decode_byte_exact():
     assert decode_ppm_pixels(b"BM\x00\x00") is None
 
 
+@pytest.mark.slow
 def test_pq_knn_recall_and_determinism(spark):
     """PQ (8x16, 8-byte codes) + exact re-rank of a 40-candidate shortlist:
     recall@5 >= 0.6 on the unit-normalized fixture (random near-orthogonal
@@ -752,6 +756,7 @@ def test_pca_power_matches_numpy_top_eigenpair(spark, sf_dir):
     assert len(top_spark & top_np) >= 15, sorted(top_spark ^ top_np)
 
 
+@pytest.mark.slow
 def test_ivfpq_knn_recall_vs_brute_and_determinism(spark):
     """The composed IVF-PQ (r7): full top-5 per query, a pinned recall
     floor vs brute force (nprobe=4 of 16 cells + 8x16 PQ quantization on
@@ -773,6 +778,7 @@ def test_ivfpq_knn_recall_vs_brute_and_determinism(spark):
     assert pairs == again
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_knn_recall_and_determinism(spark):
     """Residual IVF-PQ (r7): full top-5 per query, a recall floor vs
     brute force (measured 0.36 at sf0.001 — comparable to the
@@ -839,6 +845,7 @@ def test_dlit_literal_round_trip(spark):
     ]
 
 
+@pytest.mark.slow
 def test_ivfpq_fit_fused_bit_identical_to_sequential(spark):
     """ivfpq_fit_fused (r8) must produce BIT-identical models to running
     kmeans_fit then pq_fit — the fusion is a job-count optimization, and

@@ -89,6 +89,7 @@ def test_stateful_data_path_updates_and_extends_timeout():
     assert state.timeout_set == 24 * 3600 * 1000
 
 
+@pytest.mark.slow
 def test_stateful_user_profiles_match_batch(spark, tmp_path):
     import pyspark.sql.functions as F0
 

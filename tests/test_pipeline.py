@@ -4,6 +4,8 @@ src/utils/bigquery_helper.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import date
 
 import pyspark.sql.functions as F
@@ -63,6 +65,7 @@ def test_lake_roundtrip_partition_pruning(spark, tmp_path):
     assert back.select("id").first()["id"] is not None
 
 
+@pytest.mark.slow
 def test_refresh_idempotent_and_dedup(spark, tmp_path):
     layout = LakeLayout(str(tmp_path / "lake"))
     tbl = str(tmp_path / "warehouse" / "vendas")
@@ -124,6 +127,7 @@ def test_watermark_resume(spark, tmp_path):
     assert (date(2024, 2, 1) - resume_start(None, date(2024, 2, 1))).days == 730
 
 
+@pytest.mark.slow
 def test_compaction_preserves_content(spark, tmp_path):
     from vmhub_data_pipeline_spark.pipeline import compact_partition, partition_stats
 
@@ -148,6 +152,7 @@ def test_compaction_preserves_content(spark, tmp_path):
     ) == 0
 
 
+@pytest.mark.slow
 def test_compaction_recovers_from_stale_old_dir(spark, tmp_path):
     # A crash after the rename-aside leaves a {part}__old directory; the next
     # compaction must clear it and still swap atomically.
@@ -225,6 +230,7 @@ def test_zorder_key_matches_reference_morton(spark):
         assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
 
 
+@pytest.mark.slow
 def test_zorder_layout_improves_pruning(spark, tmp_path):
     """Writing files sorted by the z-key keeps per-file min/max spans tight
     on BOTH dimensions, where a linear sort leaves the second dimension's

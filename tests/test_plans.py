@@ -54,6 +54,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_in_pair_generation(spark, sf_dir):
     """Near-dup pair generation must never degrade to CartesianProduct —
     the inverted-index/LSH/bucket equi-joins are the whole point."""
@@ -83,6 +84,7 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+@pytest.mark.slow
 def test_shuffle_budgets(spark, sf_dir):
     """Exchange-count ceilings per query shape: catching a plan that grows
     an extra shuffle (e.g. a lost partitioning reuse) at review time."""
@@ -599,6 +601,7 @@ def test_budget_apportion_broadcasts_scalars(spark, sf_dir):
     assert has_broadcast_join(Q["curation_budget_apportion"].fn(spark, sf_dir))
 
 
+@pytest.mark.slow
 def test_survivorship_works_at_cluster_grain(spark, sf_dir):
     """Survivorship must never plan a cartesian; mode windows rank
     (cluster, value) count rows, not raw members."""
@@ -786,6 +789,7 @@ def test_drift_report_no_join(spark, sf_dir):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_cluster_split_assignment_is_projection(spark, sf_dir):
     """The split CASE itself must not add a shuffle on top of the CC +
     cluster-size machinery: the plan's exchange count equals the composed
@@ -838,6 +842,7 @@ SINGLE_PARTITION_WINDOW_ALLOWLIST = {
 }
 
 
+@pytest.mark.slow
 def test_no_data_grain_single_partition_windows(spark, sf_dir):
     """Catalog-wide: no query may plan a Window fed by Exchange
     SinglePartition unless pinned (with a bounded-grain justification) in

@@ -7,6 +7,8 @@ properties cap examples (session round-trips are ~100ms each).
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import date, timedelta
 from decimal import Decimal
 
@@ -57,6 +59,7 @@ _rows = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(rows=_rows)
+@pytest.mark.slow
 def test_keep_latest_invariant_under_duplication(spark, rows):
     """keep_latest(df ∪ df) == keep_latest(df), and the winner per key is
     the max (version, payload) under the dedup ordering."""
@@ -83,6 +86,7 @@ _money = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(cents=_money)
+@pytest.mark.slow
 def test_exact_dsum_matches_decimal_sum(spark, cents):
     """dsum over 2-dp doubles equals the exact Decimal sum, independent of
     partitioning (the whole point of integer quantization)."""
@@ -107,6 +111,7 @@ _pack_rows = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(rows=_pack_rows, budget=st.integers(min_value=50, max_value=200))
+@pytest.mark.slow
 def test_pack_sequences_properties(spark, rows, budget):
     """Invariants: bins within a shard are contiguous from 0; a bin's
     tokens_before values all fall in [bin*budget, (bin+1)*budget); every
@@ -137,6 +142,7 @@ def test_pack_sequences_properties(spark, rows, budget):
     ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
     n=st.integers(min_value=1, max_value=5),
 )
+@pytest.mark.slow
 def test_stratified_sample_is_deterministic_subset(spark, ids, n):
     from vmhub_data_pipeline_spark.operators.sampling import stratified_sample
 
@@ -163,6 +169,7 @@ def test_stratified_sample_is_deterministic_subset(spark, ids, n):
         min_size=1, max_size=12,
     )
 )
+@pytest.mark.slow
 def test_int8_quantization_error_bound(spark, vecs):
     """Symmetric nearest-rounding int8 quantization: reconstruction error is
     at most half a quantization step, scale_d / 254, per dimension."""
@@ -264,6 +271,7 @@ def test_kmv_merge_identity_pure():
     counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12),
     budget=st.integers(min_value=1, max_value=10**6),
 )
+@pytest.mark.slow
 def test_largest_remainder_apportionment_properties(spark, counts, budget):
     """For ANY group counts and budget: quotas sum to exactly B, every
     quota is within 1 of exact proportionality, and quotas are monotone
@@ -318,6 +326,7 @@ def test_largest_remainder_apportionment_properties(spark, counts, budget):
     bits=st.sampled_from([8, 16, 24, 32]),
     data=st.binary(min_size=0, max_size=64),
 )
+@pytest.mark.slow
 def test_wav_build_parse_roundtrip_any_params(spark, channels, rate, bits, data):
     """decode_wav_header must invert a canonical PCM header for ANY valid
     parameter combination — not just the fixture adapter's three rates and

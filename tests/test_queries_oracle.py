@@ -16,8 +16,20 @@ catalog._load_all()
 CASES = [(n, q) for n, q in sorted(catalog.REGISTRY.items()) if q.oracle is not None]
 NO_ORACLE = [(n, q) for n, q in sorted(catalog.REGISTRY.items()) if q.oracle is None]
 
+# r14 (VERDICT r13 task 2): the full 247-oracle mirror outgrew the external
+# verify budget (r13's driver pytest run was cut at ~48%). The default run
+# keeps the driver's own 50-entry PRIORITY_WINDOW (the entries the external
+# CORRECTNESS harness re-checks at sf0.01 — a window regression would fail
+# BOTH gates) and marks the rest `slow`; the full catalog mirror still runs
+# with `-m ""` / `-m slow` and before any registry/window change.
+_WINDOW = set(catalog.PRIORITY_WINDOW)
+_PARAMS = [
+    (n, q) if n in _WINDOW else pytest.param(n, q, marks=pytest.mark.slow)
+    for n, q in CASES
+]
 
-@pytest.mark.parametrize("name,q", CASES, ids=[n for n, _ in CASES])
+
+@pytest.mark.parametrize("name,q", _PARAMS, ids=[n for n, _ in CASES])
 def test_oracle_parity(spark, sf_dir, name, q):
     ok, detail = compare(spark, q.fn, q.oracle, sf_dir)
     assert ok, f"{name}: {detail}"

@@ -37,6 +37,7 @@ def test_lsh_persisted_round_trips_losslessly(spark, sf_dir):
     assert _same_rowset(r_toks, m_toks)
 
 
+@pytest.mark.slow
 def test_lsh_persist_probe_row_equal_to_resident(spark, sf_dir):
     """The probe from the reloaded artifact must serve the EXACT result
     the resident-index probe serves — the dedup analog of
@@ -58,6 +59,7 @@ def test_lsh_delete_purges_tombstoned_ids(spark, sf_dir):
     assert s_toks.filter(F.col("id") % 97 == 0).isEmpty()
 
 
+@pytest.mark.slow
 def test_lsh_delete_retraction_is_observable(spark, sf_dir):
     """A probe document duplicating a tombstoned document finds it in the
     resident index (identical text, band collision on every band) and no
@@ -120,6 +122,7 @@ def test_lsh_delete_audit_row_shape(spark, sf_dir):
 # --- task 4: streamed LSH index growth (12th streaming execution) ---------
 
 
+@pytest.mark.slow
 def test_streamed_lsh_growth_row_equal_to_batch_append(spark, sf_dir):
     """The streamed-grown parquets must hold EXACTLY the rows the
     batch-built grown index holds (lsh_index_appended — itself pinned
@@ -141,6 +144,7 @@ def test_streamed_lsh_growth_row_equal_to_batch_append(spark, sf_dir):
     assert _same_rowset(g_toks, b_toks)
 
 
+@pytest.mark.slow
 def test_streamed_lsh_growth_exactly_once_and_multibatch(spark, sf_dir):
     """Appends are exactly-once across clean re-invocations (a second run
     replays nothing — row counts stable in BOTH parquets) and the

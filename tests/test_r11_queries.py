@@ -43,6 +43,7 @@ def _skewed_docs(spark, n_boiler: int = 150, n_pairs: int = 20):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_band_cap_bounds_candidates_on_skewed_corpus(spark):
     """The mirror of test_jaccard_token_cap_bounds_candidates_on_skewed_
     corpus at the band grain: uncapped, the boilerplate bucket goes
@@ -186,6 +187,7 @@ def test_reband_restores_serving_under_the_cap(spark, sf_dir):
     assert served < 150 * 149 / 2, served
 
 
+@pytest.mark.slow
 def test_rebanded_serving_is_superset_of_capped(spark, sf_dir):
     """The close of the cap→audit→re-band loop: serving from the repaired
     index keeps every organic pair the capped miner found (repair never
@@ -235,6 +237,7 @@ def _replay_with_fresh_checkpoint(spark, sf_dir, name, grown_cache):
     return grown
 
 
+@pytest.mark.slow
 def test_lsh_growth_replay_is_idempotent(spark, sf_dir):
     """Batch-keyed partition overwrites make a FULL replay (fresh
     checkpoint, same arrival files, grown parquets already populated)
@@ -259,6 +262,7 @@ def test_lsh_growth_replay_is_idempotent(spark, sf_dir):
     assert before == after, (before, after)
 
 
+@pytest.mark.slow
 def test_ivfpq_growth_replay_is_idempotent(spark, sf_dir):
     """Same pin for the IVF-PQ growth stream's lists sink."""
     from vmhub_data_pipeline_spark.queries.streaming_queries import (
@@ -276,6 +280,7 @@ def test_ivfpq_growth_replay_is_idempotent(spark, sf_dir):
     assert before == after, (before, after)
 
 
+@pytest.mark.slow
 def test_lsh_growth_failure_discards_and_retry_recovers(spark, sf_dir):
     """ADVICE r10: a StreamingQueryException mid-growth must run the same
     discard path as the timeout branch (pop the cache, remove the growth
@@ -337,6 +342,7 @@ def test_artifact_paths_are_pure_and_content_keyed(sf_dir):
     assert ivfpq_artifact_dir(sf_dir) == ivfpq_artifact_dir(sf_dir)
 
 
+@pytest.mark.slow
 def test_lsh_cold_probe_serves_without_any_fit(spark, sf_dir, monkeypatch):
     """The fit→serve handoff survives the session: with the artifact
     published, every in-memory cache cleared, and the signer functions
@@ -436,6 +442,7 @@ def _ann_recall(df, truth, id_col="corpus_id"):
     )
 
 
+@pytest.mark.slow
 def test_opq_beats_pq_on_anisotropic_fixture(spark):
     """The recall ordering OPQ > PQ, pinned on a fixture where the effect
     is structural instead of noise (VERDICT r10 task 4): variance lives in
@@ -502,6 +509,7 @@ def test_opq_beats_pq_on_anisotropic_fixture(spark):
     assert r_pq <= 0.4, r_pq
 
 
+@pytest.mark.slow
 def test_residual_beats_vector_coded_on_clustered_fixture(spark):
     """The recall ordering residual-coded > vector-coded IVF-PQ, pinned on
     the fixture the layouts differ on: far-apart cluster centers (the

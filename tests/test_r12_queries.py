@@ -44,6 +44,7 @@ def _skewed_docs(spark, n_boiler: int = 150, n_pairs: int = 20):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_capped_cluster_work_stays_bounded_on_skewed_corpus(spark):
     """The cluster pipeline's PAIR stage under the production cap never
     materializes the boilerplate bucket's quadratic pair set — the r11
@@ -76,6 +77,7 @@ def test_capped_cluster_work_stays_bounded_on_skewed_corpus(spark):
         assert comp.get(a) is not None and comp[a] == comp.get(b), (a, b)
 
 
+@pytest.mark.slow
 def test_cluster_entry_consumes_capped_pairs(spark, sf_dir):
     """dedup_cluster_lsh's pair set IS the capped production artifact:
     row-identical to a direct capped mine from the maintained index, and
@@ -100,6 +102,7 @@ def test_cluster_entry_consumes_capped_pairs(spark, sf_dir):
 # --- task 2: the pair set is a durable content-keyed artifact --------------
 
 
+@pytest.mark.slow
 def test_pair_set_artifact_is_durable_and_serves_without_remine(
     spark, sf_dir, monkeypatch
 ):
@@ -153,6 +156,7 @@ def test_repair_all_clears_every_hot_bucket_in_one_pass(spark, sf_dir):
         assert r["second_pass_changed"] == 0, (band, r)
 
 
+@pytest.mark.slow
 def test_reband_is_idempotent_rowwise_once_cleared(spark):
     """Operator-level pin: once one pass clears every hot bucket (true at
     the production cap on this fixture — the 150-doc family splits to
@@ -180,6 +184,7 @@ def test_reband_is_idempotent_rowwise_once_cleared(spark):
 # --- task 4: durable grown indexes ------------------------------------------
 
 
+@pytest.mark.slow
 def test_lsh_grown_cold_probe_serves_without_fit_or_growth(
     spark, sf_dir, monkeypatch
 ):
@@ -222,6 +227,7 @@ def test_lsh_grown_cold_probe_serves_without_fit_or_growth(
     assert {tuple(r) for r in cold.collect()} == warm_rows
 
 
+@pytest.mark.slow
 def test_ann_grown_cold_reload_serves_without_fit_or_growth(
     spark, sf_dir, monkeypatch
 ):

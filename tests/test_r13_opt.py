@@ -20,6 +20,8 @@ measured pathologies:
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from vmhub_data_pipeline_spark import queries as catalog
@@ -75,6 +77,7 @@ def test_ivf_multi_corpus_partitions_bounded(spark, sf_dir):
     assert c.rdd.getNumPartitions() <= scan_parts + 6
 
 
+@pytest.mark.slow
 def test_grouped_kmeans_fit_matches_per_cell_fits(spark, sf_dir):
     """ann_ivf_rebalance_all's grouped Lloyd (one job per round for ALL
     hot cells) must return bit-identical models to the per-cell

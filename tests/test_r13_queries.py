@@ -25,6 +25,7 @@ def _same_rowset(a, b) -> bool:
 # --- task 1: one-pass ANN repair-all -----------------------------------------
 
 
+@pytest.mark.slow
 def test_ann_repair_all_clears_every_hot_cell_in_one_pass(spark, sf_dir):
     """The three planted families start as 3 over-cap cells (241/191/161
     members); ONE maintenance pass lands every post-repair cell under the
@@ -218,6 +219,7 @@ def test_compact_grown_index_folds_partitions_and_conserves_rows(
     assert m2["compacted"] is False and m2["rows"] == 300
 
 
+@pytest.mark.slow
 def test_compact_grown_lsh_dir_preserves_probe_without_reencode(
     spark, sf_dir, monkeypatch
 ):
@@ -268,6 +270,7 @@ def test_compact_grown_lsh_dir_preserves_probe_without_reencode(
 # --- task 6: the maintenance runbook as one query ----------------------------
 
 
+@pytest.mark.slow
 def test_index_maintenance_flagship_composes_all_steps(spark, sf_dir):
     """detect->repair->compact->prune across both families in one pass:
     the audit trail carries each family's native totals, and a SECOND
@@ -293,6 +296,7 @@ def test_index_maintenance_flagship_composes_all_steps(spark, sf_dir):
     assert second == first
 
 
+@pytest.mark.slow
 def test_index_maintenance_plan_adds_no_corpus_scans(spark, sf_dir):
     """The flagship's plan gate (VERDICT r12 task 6): both repair legs
     aggregate RESIDENT checkpointed indexes and the operator-action rows

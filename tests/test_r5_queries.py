@@ -5,6 +5,8 @@ computed expectations on crafted corpora, and shape invariants.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from vmhub_data_pipeline_spark import queries as catalog
@@ -13,6 +15,7 @@ catalog._load_all()
 Q = {n: q.fn for n, q in catalog.REGISTRY.items()}
 
 
+@pytest.mark.slow
 def test_cluster_split_is_leak_free(spark, sf_dir):
     """No near-dup pair may straddle a split boundary (the property the
     query exists for) — while the naive per-doc hash split DOES leak on
@@ -46,6 +49,7 @@ def test_cluster_split_is_leak_free(spark, sf_dir):
     assert naive_leaked > 0, "per-doc split should leak on this near-dup-rich fixture"
 
 
+@pytest.mark.slow
 def test_cluster_split_covers_every_doc(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = Q["curation_cluster_split"](spark, sf_dir)
@@ -166,6 +170,7 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
     assert first["novelty_bp"] == 10000 and first["n_novel"] == first["n_distinct_ngrams"]
 
 
+@pytest.mark.slow
 def test_shard_manifest_is_balanced(spark, sf_dir):
     rows = Q["curation_shard_manifest"](spark, sf_dir).collect()
     assert len(rows) == 16 and {r["shard"] for r in rows} == set(range(16))
@@ -180,6 +185,7 @@ def test_shard_manifest_is_balanced(spark, sf_dir):
     assert all(abs(r["share_permyriad16"] - 10000) < 1000 for r in rows)
 
 
+@pytest.mark.slow
 def test_dbscan_grid_labels_partition_points(spark, sf_dir):
     rows = Q["dedup_dbscan_grid"](spark, sf_dir).collect()
     emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()

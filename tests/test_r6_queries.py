@@ -6,6 +6,8 @@ correlated-threshold semantics.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from vmhub_data_pipeline_spark import queries as catalog
@@ -52,6 +54,7 @@ def test_psi_bins_balanced_and_shares_sum(spark, sf_dir):
     assert abs(sum(r["cur_bp"] for r in rows) - 10000) <= 10
 
 
+@pytest.mark.slow
 def test_theta_difference_identities_and_accuracy(spark, sf_dir):
     """Exact columns obey set algebra (|A u B| = |A| + |B| - |A n B| >=
     max side; A-not-B <= |A|); sketch estimates land within the k=64 KMV
@@ -75,6 +78,7 @@ def test_theta_difference_identities_and_accuracy(spark, sf_dir):
             assert abs(r["est_union"] - r["n_exact_union"]) <= 0.5 * r["n_exact_union"]
 
 
+@pytest.mark.slow
 def test_dsir_separates_target_language(spark, sf_dir):
     """The importance score exists to pull target-domain docs upward: the
     mean score of 'en' documents must exceed the mean of the rest, and
@@ -97,6 +101,7 @@ def test_dsir_separates_target_language(spark, sf_dir):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_q2_costs_are_group_minima_in_europe(spark, sf_dir):
     """Every emitted offer must carry its part's minimum cost, and every
     emitted supplier must be region-qualified."""
@@ -124,6 +129,7 @@ def test_q2_costs_are_group_minima_in_europe(spark, sf_dir):
     assert {r["s_name"] for r in rows} <= eu_names
 
 
+@pytest.mark.slow
 def test_q11_threshold_and_q16_bounds(spark, sf_dir):
     """Q11: every kept part exceeds the 0.1% concentration threshold
     against the total implied by the full stock rollup; Q16: supplier

@@ -6,6 +6,8 @@ must NOT match)."""
 
 from __future__ import annotations
 
+import pytest
+
 from vmhub_data_pipeline_spark import queries as catalog
 
 catalog._load_all()
@@ -61,6 +63,7 @@ def test_passage_rebuild_hand_corpus(spark, tmp_path):
     assert out[5]["cleaned_text"] == ""
 
 
+@pytest.mark.slow
 def test_incremental_lsh_asymmetry_hand_corpus(spark, tmp_path):
     """Crafted corpus with max(doc_id)=10 -> cutoff 8: new batch {8,9,10}
     probes old corpus {1..7} ONLY. Doc 8 duplicates old doc 3 (must
@@ -96,6 +99,7 @@ def test_incremental_lsh_asymmetry_hand_corpus(spark, tmp_path):
         assert out[new_id]["best_jaccard"] is None
 
 
+@pytest.mark.slow
 def test_incremental_cutoff_truncates_on_both_engines(spark, tmp_path):
     """max(doc_id)=11 makes the 80% cutoff 8.8 — Spark must FLOOR it to 8
     (matching the oracle's explicit FLOOR; a bare BIGINT cast rounds to 9
@@ -135,6 +139,7 @@ def test_streaming_ann_route_equals_batch_probe(spark, sf_dir):
     assert len(routed) == 50  # 10 queries x top-5
 
 
+@pytest.mark.slow
 def test_ivf_rebalance_splits_the_audited_hot_cell(spark, sf_dir):
     """The split must (a) target exactly the cell the occupancy audit
     ranks hottest (same count-DESC, bucket-ASC tie rule), (b) cover that
@@ -153,6 +158,7 @@ def test_ivf_rebalance_splits_the_audited_hot_cell(spark, sf_dir):
     assert kept > 0 and appended > 0  # a real split, not a rename
 
 
+@pytest.mark.slow
 def test_late_data_drop_semantics_hand_corpus(spark, tmp_path):
     """Crafted arrival history pinning BOTH probed Spark semantics the
     oracle replays: the drop predicate is window-end vs watermark (user 3
@@ -185,6 +191,7 @@ def test_late_data_drop_semantics_hand_corpus(spark, tmp_path):
     }  # no day-2 row (dropped), no sentinel window (never finalized)
 
 
+@pytest.mark.slow
 def test_streaming_route_handles_zero_norm_candidates(spark, tmp_path):
     """Crafted corpus where a zero-norm junk vector (vec_id 26) lands in a
     cell EVERY query probes (orthogonal anchors; the small-norm cell wins
@@ -239,6 +246,7 @@ def test_streaming_route_handles_zero_norm_candidates(spark, tmp_path):
     assert all(nid != 26 for nid, _ in routed.values())  # junk out of every top-5
 
 
+@pytest.mark.slow
 def test_filtered_topk_respects_allow_list(spark, sf_dir):
     """ann_ivfpq_filtered_topk (r8b): every returned neighbor must satisfy
     the allow-list predicate (label % 3 = 0) — the guarantee

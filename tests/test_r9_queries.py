@@ -3,6 +3,8 @@ sees the batch), streamed IVF-PQ index growth, and OPQ recall."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from vmhub_data_pipeline_spark import queries as catalog
@@ -20,6 +22,7 @@ def _same_rowset(a, b) -> bool:
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+@pytest.mark.slow
 def test_lsh_append_equals_full_rebuild(spark, sf_dir):
     """append(frozen, batch) ≡ rebuild(corpus): merging the batch's
     freshly-signed band rows and shingle sets into the frozen index
@@ -31,6 +34,7 @@ def test_lsh_append_equals_full_rebuild(spark, sf_dir):
     assert _same_rowset(grown_toks, full_toks)
 
 
+@pytest.mark.slow
 def test_lsh_append_then_probe_finds_new_batch_dup(spark, sf_dir):
     """Index GROWTH is observable: a probe document duplicating a
     new-batch document finds it in the grown index (band-hash collision
@@ -78,6 +82,7 @@ def test_lsh_append_then_probe_finds_new_batch_dup(spark, sf_dir):
     assert target["doc_id"] not in frozen_hits
 
 
+@pytest.mark.slow
 def test_streamed_growth_row_equal_to_batch_rebuild(spark, sf_dir):
     """The streamed-grown index must serve the EXACT result a batch-built
     grown index serves: base lists ∪ batch add-rows (ann_ivfpq_add_batch's
@@ -182,6 +187,7 @@ def test_opq_recall_at_least_flat_pq(spark, sf_dir):
         assert opq >= 0.3, opq
 
 
+@pytest.mark.slow
 def test_opq_transform_is_orthogonal(spark, sf_dir):
     """Reflection + permutation is orthogonal: pairwise cosines of the
     transformed vectors equal the raw cosines to fp tolerance, and

@@ -12,45 +12,46 @@ from vmhub_data_pipeline_spark.queries import PRIORITY_WINDOW, queries, oracle_s
 
 WINDOW = 50
 
-# Round-12 composition (VERDICT r11 tasks 1, 4, 5, 6): 3 first contacts
-# for the r12 additions (the one-pass maintenance entry and the two
-# durable-GROWN-index cold-serve entries), 7 regression guards for the
-# round's rewritten paths (the capped cluster entry + durable pair
-# artifact, the hardened artifact/dir fingerprints on every cold/persist
-# entry, the growth streams' publish step), and 40 slots draining the
-# oldest evidence (all 7 r6 stragglers + the first 33 of the r7 cohort)
-# in registration order. The r8-r11-fresh tiers (multimodal, stats,
-# graph, sampling beyond DSIR, setops beyond the r7 leftovers) hold
-# recent greens and sit this round out — they stay covered by the
-# full-catalog local mirror.
+# Round-14 composition (VERDICT r13 task 4): 3 first contacts for the
+# r13-build additions that never had driver contact, 5 regression guards
+# for the paths most rewritten by the two optimization rounds, and 42
+# slots draining the oldest evidence (the 9 oracle-backed r7 stragglers,
+# then the r8 cohort in registration order, tail swapped so agg and
+# stats keep coverage). The no-oracle entries (agg_approx_sketches,
+# multimodal_features) sit out; everything rotated out stays covered by
+# the full-catalog local mirror at sf0.001.
 REQUIRED_IN_WINDOW = {
-    "agg": ["agg_theta_difference", "agg_percentiles", "agg_variance_corr"],
-    "window": ["window_topk_per_group"],
-    "join": ["join_q3_shipping", "join_asof_attribution"],
-    "subquery": ["subquery_scalar", "subquery_exists"],
-    "events": ["events_sessionize", "events_rfm_segmentation"],
-    "text": ["text_stats", "text_token_count", "text_quality"],
-    "curation": ["curation_dsir_weights"],
-    "pipeline": ["pipeline_training_manifest", "pipeline_date_functions"],
+    "agg": ["agg_hll_distinct"],
+    "stats": ["stats_psi_drift"],
+    "join": ["join_q8_market_share", "join_salted_skew"],
+    "subquery": ["subquery_correlated_scalar"],
+    "setops": ["set_union_all"],
+    "events": ["events_tumbling_day", "events_scd2_history"],
+    "text": ["text_langid", "text_quality_filter", "text_tfidf_topterms"],
+    "curation": ["curation_hash_split", "curation_global_shuffle"],
+    "pipeline": [
+        "pipeline_index_maintenance",
+        "pipeline_rag_retrieval",
+        "pipeline_corpus_curation",
+    ],
     "dedup": [
-        "dedup_lsh_repair_all",
-        "dedup_lsh_grown_cold_probe",
-        "dedup_cluster_lsh",
-        "dedup_lsh_cold_probe",
-        "dedup_lsh_persist_probe",
-        "dedup_jaccard_pairs_capped",
-        "dedup_simhash",
+        "dedup_lsh_grown_maintenance",
+        "dedup_incremental_lsh",
+        "dedup_minhash_lsh",
+        "dedup_winnow_pairs",
+        "dedup_sorted_neighborhood",
     ],
     "vector": [
-        "ann_ivfpq_grown_cold_reload",
-        "ann_ivfpq_cold_reload",
-        "ann_ivfpq_persist_probe",
-        "knn_cosine_topk",
-        "ann_ivf_topk",
+        "ann_ivf_rebalance_all",
+        "vector_pca_power",
+        "ann_ivf_cell_stats",
+        "knn_int8_rerank",
     ],
+    "graph": ["graph_pagerank_dups"],
     "streaming": [
-        "streaming_lsh_index_growth",
-        "streaming_index_growth",
+        "streaming_tumbling_day",
+        "streaming_session_windows",
+        "streaming_interval_join",
     ],
 }
 
@@ -75,9 +76,7 @@ def test_window_members_exist_and_oracle_backed_where_expected():
     oracles = oracle_sql()
     for name in PRIORITY_WINDOW:
         assert name in qs
-    # The r9 rotation's r3/r4-evidence tiers are fully oracle-backed, and
-    # so are the round's three first contacts and the guard — the
-    # catalog's two BY-DESIGN rows-only entries (agg_approx_sketches,
+    # The catalog's two BY-DESIGN rows-only entries (agg_approx_sketches,
     # multimodal_features) hold r7 driver rows and sit this round out, so
     # EVERY window member is oracle-backed.
     rows_only = {n for n in PRIORITY_WINDOW if n not in oracles}

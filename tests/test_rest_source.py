@@ -118,6 +118,7 @@ def test_poison_page_bisect_salvage():
     assert got == RECORDS
 
 
+@pytest.mark.slow
 def test_python_datasource_with_pushdown(spark):
     """The vmhub format: catalog-integrated scan with date-filter pushdown
     pruning fetch partitions before any 'network' call."""

@@ -100,6 +100,7 @@ def test_zip_with_global_index_more_partitions_than_rows(spark):
     ]
 
 
+@pytest.mark.slow
 def test_pagerank_integer_chain_hand_computed(spark):
     """a-b-c chain, 2 rounds, hand-computed integer arithmetic: the center
     accumulates mass, ends are symmetric, every digit exact."""
@@ -142,6 +143,7 @@ def test_sample_chunks_empty_payload_yields_no_rows(spark):
     assert {r["id"] for r in rows} == {1}  # empty payload: zero chunks, no crash
 
 
+@pytest.mark.slow
 def test_decontaminate_ngram_hot_gram_cap(spark):
     """A boilerplate 13-gram shared by every doc must NOT generate e*t pair
     rows once the train-side doc-frequency cap kicks in — only pairs sharing
@@ -251,6 +253,7 @@ def test_temperature_mix_isqrt_exact_over_range(spark):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_distributed_ntile_matches_builtin_ntile(spark):
     """distributed_ntile must reproduce SQL-standard NTILE exactly across
     remainder shapes: n % k == 0, n % k != 0, n < k, and k == 1."""

@@ -137,6 +137,7 @@ def test_stream_dedup_drops_replayed_file(spark, events_json_dir, tmp_path):
         os.remove(f"{events_json_dir}/replayed-copy.json")
 
 
+@pytest.mark.slow
 def test_streaming_catalog_caches_fixture_landing(spark, monkeypatch):
     """The catalog streaming queries land the NDJSON fixture once per
     (app, sf_dir); a second invocation reuses the scratch dir and performs
@@ -164,6 +165,7 @@ def test_streaming_catalog_caches_fixture_landing(spark, monkeypatch):
     assert first == again
 
 
+@pytest.mark.slow
 def test_stream_to_lake_foreachbatch_idempotent_replay(spark, tmp_path):
     """foreachBatch -> refresh_table sink: streaming the fixture into the
     warehouse equals the batch content, and REPLAYING the whole stream

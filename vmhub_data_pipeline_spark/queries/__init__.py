@@ -68,79 +68,75 @@ _LOADED = False
 # regression guard of previously-verified queries from each older class.
 # ``tests/test_registry_order.py`` pins the window composition.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # Round-12 composition (VERDICT r11 tasks 1, 4, 5, 6): 3 first
-    # contacts for the r12 additions (the one-pass detect->repair->verify
-    # maintenance entry and the two durable-GROWN-index cold-serve
-    # entries), 7 regression guards for the round's rewritten paths (the
-    # cluster entry now consumes the CAPPED pair set published as a
-    # durable artifact — its oracle gained the HAVING-count band CTE; the
-    # fitted-artifact cold/persist entries re-key under the hardened
-    # st_mtime_ns corpus fingerprint and the sha256 dir fingerprints; the
-    # growth streams gained the post-drain publish step), and 40 slots
-    # draining the oldest evidence: all 7 r6 stragglers plus the first 33
-    # of the 42-row r7 cohort in registration order. 3 + 7 + 40 = the
-    # 50-slot window exactly; the 9 r7 leftovers
-    # (subquery_correlated_scalar, set_union_all, curation_hash_split,
-    # curation_stratified_sample, curation_pack_sequences,
-    # curation_global_shuffle, streaming_tumbling_day,
-    # streaming_session_windows, streaming_interval_join) head the r13
-    # queue and remain covered by the full-catalog local mirror at
-    # sf0.001 (tests/test_queries_oracle.py).
+    # Round-14 composition (VERDICT r13 task 4): 3 first contacts for the
+    # r13-build additions that have never had driver contact, 5 regression
+    # guards for the paths most rewritten by the two optimization rounds
+    # (single-scan LSH build + joint checkpoint, text per-grain revert,
+    # hash-once RAG embedding, literal-matrix PCA), and 42 slots draining
+    # the oldest evidence: the 9 oracle-backed r7 stragglers, then the
+    # r8 cohort in registration order, with the tail swapped so the agg
+    # and stats tiers keep window coverage (agg_hll_distinct,
+    # stats_psi_drift; both last verified r8). agg_approx_sketches and
+    # multimodal_features stay out: they expose no oracle and would burn
+    # slots on err="no_oracle" rows. Everything rotated out stays covered
+    # by the full-catalog local mirror at sf0.001
+    # (tests/test_queries_oracle.py).
     #
-    # -- r12 first driver contact --
-    "dedup_lsh_repair_all",        # one-pass detect->repair->verify + idempotence
-    "dedup_lsh_grown_cold_probe",  # mount a previously-GROWN dedup index
-    "ann_ivfpq_grown_cold_reload", # mount a previously-GROWN ANN index
-    # -- r12-touched regression guards --
-    "dedup_cluster_lsh",           # capped pair set + durable pair artifact + new oracle
-    "dedup_lsh_cold_probe",        # hardened artifact/dir fingerprints
-    "ann_ivfpq_cold_reload",       # hardened fingerprints + fingerprinted probe frame
-    "dedup_lsh_persist_probe",     # hardened fingerprints
-    "ann_ivfpq_persist_probe",     # fingerprinted probe frame
-    "streaming_lsh_index_growth",  # post-drain publish step added
-    "streaming_index_growth",      # post-drain publish step added
-    # -- oldest-evidence rotation: the 7 r6 stragglers, registration order --
-    "text_stats",
-    "text_token_count",
-    "dedup_jaccard_pairs_capped",
-    "dedup_simhash",
-    "events_lorenz_curve",
-    "agg_theta_difference",
-    "curation_dsir_weights",
-    # -- then the first 33 of the r7 cohort, registration order --
-    "q1_pricing_summary",
-    "window_topk_per_group",
-    "join_q3_shipping",
-    "join_asof_attribution",
-    "join_q20_potential_promotion",
-    "topk_orders",
-    "events_sessionize",
-    "events_rfm_segmentation",
-    "text_quality",
-    "text_fingerprint",
-    "text_shingles",
-    "text_pii_redact",
-    "text_line_dedup",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "pipeline_training_manifest",
-    "knn_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "pipeline_lake_paths",
-    "pipeline_date_functions",
-    "pipeline_bad_date_tolerance",
-    "pipeline_string_functions",
-    "pipeline_date_series",
-    "agg_variance_corr",
-    "agg_percentiles",
-    "agg_arg_minmax",
-    "agg_collect_sorted",
-    "subquery_scalar",
-    "subquery_exists",
+    # -- r13-build first driver contact --
+    "ann_ivf_rebalance_all",
+    "dedup_lsh_grown_maintenance",
+    "pipeline_index_maintenance",
+    # -- r13/r14 optimization regression guards --
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "text_langid",
+    "pipeline_rag_retrieval",
+    "vector_pca_power",
+    # -- oldest-evidence rotation: the 9 oracle-backed r7 stragglers --
+    "subquery_correlated_scalar",
+    "set_union_all",
+    "curation_hash_split",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_global_shuffle",
+    "streaming_tumbling_day",
+    "streaming_session_windows",
+    "streaming_interval_join",
+    # -- then the r8 cohort, registration order --
+    "join_q13_order_distribution",
+    "join_q17_small_quantity",
+    "join_q18_large_orders",
+    "join_q22_dormant_customers",
+    "join_q8_market_share",
+    "join_q15_top_supplier",
+    "join_q21_waiting_supplier",
+    "join_salted_skew",
+    "events_tumbling_day",
+    "events_dedup_latest",
+    "events_watermark",
+    "events_scd2_history",
+    "events_variant_extract",
+    "text_repetition_signals",
+    "text_quality_filter",
+    "text_classifier_score",
+    "text_line_dedup_rebuild",
+    "text_tfidf_topterms",
+    "text_langid_margin",
+    "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
+    "dedup_semantic",
+    "pipeline_corpus_curation",
+    "graph_pagerank_dups",
+    "dedup_incremental_exact",
+    "dedup_sorted_neighborhood",
+    "text_passage_dedup_rebuild",
+    "ann_ivf_cell_stats",
+    "ann_ivf_rebalance",
+    "ann_ivf_delete",
+    "knn_int8_rerank",
+    # -- tier coverage for agg/stats (both last verified r8) --
+    "agg_hll_distinct",
+    "stats_psi_drift",
 )
 
 
