@@ -42,7 +42,7 @@ def main() -> None:
     )
     from vmhub_data_pipeline_spark.operators.similarity import checkpoint_index
     from vmhub_data_pipeline_spark.queries import dedup as qd
-    from vmhub_data_pipeline_spark.queries.core import load
+    from vmhub_data_pipeline_spark.tables import load
 
     spark = build_session("ab-lsh-build")
     cap = qd._LSH_HOT_CAP
@@ -70,6 +70,31 @@ def main() -> None:
         toks = checkpoint_index(joint.select("id", "ws"))
         return banded, toks
 
+    def build_d():
+        # single-scan build, hash work spread wide, then the RESIDENT index
+        # narrowed to a byte-derived width for the cheap mine-side jobs
+        # (coalesce after the checkpoint: no shuffle, blocks merge at read)
+        import math
+        import os as _os
+
+        (docs,) = load(spark, SF_DIR, "documents")
+        try:
+            nbytes = sum(
+                _os.path.getsize(f.removeprefix("file:")) for f in docs.inputFiles()
+            )
+        except OSError:
+            nbytes = 0
+        k = max(1, math.ceil(nbytes / (256 * 1024))) if nbytes else None
+        joint = checkpoint_index(
+            minhash_signed_sets(docs, "doc_id", "text", portable=True)
+        )
+        if k is not None and k < joint.rdd.getNumPartitions():
+            joint = joint.coalesce(k)
+        banded = checkpoint_index(banded_from_sig(joint, portable=True))
+        if k is not None and k < banded.rdd.getNumPartitions():
+            banded = banded.coalesce(k)
+        return banded, joint.select("id", "ws")
+
     def mine(banded, toks, root):
         pairs = minhash_pairs_from_index(banded, toks, threshold=0.9, max_bucket_occupancy=cap)
         path = os.path.join(root, "pairs_artifact")
@@ -80,14 +105,13 @@ def main() -> None:
         publish_artifact(path, _build)
         return spark.read.parquet(f"{path}/pairs").count()
 
+    arms = (("A", build_a), ("B", build_b), ("C", build_c), ("D", build_d))
     results: dict[str, dict[str, list[float]]] = {
-        "A": {"index": [], "pairs": []},
-        "B": {"index": [], "pairs": []},
-        "C": {"index": [], "pairs": []},
+        arm: {"index": [], "pairs": []} for arm, _ in arms
     }
     counts = set()
     for rep in range(REPS):
-        for arm, builder in (("A", build_a), ("B", build_b), ("C", build_c)):
+        for arm, builder in arms:
             with tempfile.TemporaryDirectory() as root:
                 spark.sparkContext.setJobDescription(f"ab-lsh {arm} rep{rep} index")
                 t0 = time.perf_counter()
@@ -105,7 +129,7 @@ def main() -> None:
                     flush=True,
                 )
     assert len(counts) == 1, f"pair counts diverged: {counts}"
-    for arm in ("A", "B", "C"):
+    for arm, _ in arms:
         for leg in ("index", "pairs"):
             xs = results[arm][leg]
             print(

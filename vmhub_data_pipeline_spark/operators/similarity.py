@@ -123,16 +123,56 @@ def spread_small_input(
         import math
         import os
 
-        try:
-            nbytes = sum(
-                os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
-            )
-        except OSError:
-            nbytes = 0
+        nbytes = _input_bytes(df)
         if nbytes > 0:
             target = min(target, max(1, math.ceil(nbytes / bytes_per_slice)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(id_col))
+    return df
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of ``df``'s file sources, 0 when unknown.
+    Any failure to size the input (non-file relations, unions with
+    synthetic legs, streaming plans — inputFiles itself can raise there)
+    degrades to 0 so callers keep their full-cores / no-op behavior."""
+    import os
+
+    try:
+        return sum(
+            os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+        )
+    except Exception:
+        return 0
+
+
+def narrow_resident(
+    df: DataFrame, source_df: DataFrame, bytes_per_slice: int | None = None
+) -> DataFrame:
+    """Coalesce a RESIDENT (checkpointed) index frame down to the width
+    its SOURCE bytes justify — the read-side twin of
+    :func:`spread_small_input` (guide §2.2 fewer-larger-partitions).
+
+    The heavy build projections (hash chains, shingle explodes) want the
+    full-cores spread, so the checkpoint materializes wide; but every
+    DOWNSTREAM job over the resident blocks (band self-join, verify join,
+    artifact write) then pays the per-task scheduling floor again for
+    per-task work far under it. ``coalesce`` after the checkpoint merges
+    blocks at read time — no shuffle, the build's parallelism is
+    untouched — so mine-side jobs run ceil(source_bytes / slice) tasks.
+    At scale the source has >= cores x slice bytes and this is a no-op;
+    when the source cannot be sized (synthetic unions) the frame is
+    returned unchanged. Row values are untouched — partitioning only."""
+    if bytes_per_slice is None:
+        bytes_per_slice = _FIT_BYTES_PER_SLICE
+    import math
+
+    nbytes = _input_bytes(source_df)
+    if nbytes <= 0:
+        return df
+    k = max(1, math.ceil(nbytes / bytes_per_slice))
+    if k < df.rdd.getNumPartitions():
+        return df.coalesce(k)
     return df
 
 

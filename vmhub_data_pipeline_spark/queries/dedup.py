@@ -1134,7 +1134,7 @@ _LSH_INDEX_CACHE: dict[tuple, tuple] = {}
 
 def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
     from ..operators.dedup import banded_from_sig, minhash_signed_sets
-    from ..operators.similarity import checkpoint_index
+    from ..operators.similarity import checkpoint_index, narrow_resident
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LSH_INDEX_CACHE.get(key)
@@ -1147,8 +1147,19 @@ def lsh_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
         # digests, see minhash_signed_sets — and the band explode runs
         # over the checkpointed blocks, not the corpus. banded and toks
         # row values are bit-identical to the old build.
-        joint = checkpoint_index(
-            minhash_signed_sets(docs, "doc_id", "text", portable=True)
+        # r14 (guide §2.2): the resident index is then NARROWED to the
+        # width the corpus bytes justify (narrow_resident) — the build's
+        # hash work keeps the full-cores spread, but the cheap mine-side
+        # jobs (band join, verify join, pair publish) no longer pay a
+        # full-cores task floor per job; no-op at scale. This is what the
+        # driver's lsh_pairs_build regression (r13: 1.89 -> 3.30 s) was:
+        # the r12 index rode the scan's 1-split layout into the mine,
+        # the r13 spread-wide checkpoint made the mine 32-wide.
+        joint = narrow_resident(
+            checkpoint_index(
+                minhash_signed_sets(docs, "doc_id", "text", portable=True)
+            ),
+            docs,
         )
         banded = checkpoint_index(banded_from_sig(joint, portable=True))
         toks = joint.select("id", "ws")
@@ -1796,16 +1807,24 @@ _LSH_AUG_CACHE: dict[tuple, tuple] = {}
 
 def lsh_aug_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
     from ..operators.dedup import banded_from_sig, minhash_signed_sets
-    from ..operators.similarity import checkpoint_index
+    from ..operators.similarity import checkpoint_index, narrow_resident
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LSH_AUG_CACHE.get(key)
     if cached is None:
+        (docs,) = load(spark, sf_dir, "documents")
         aug = boilerplate_corpus(spark, sf_dir)
         # r13: one joint scan for banded + toks (the lsh_index_cached
         # single-scan build — see minhash_signed_sets; values unchanged)
-        joint = checkpoint_index(
-            minhash_signed_sets(aug, "doc_id", "text", portable=True)
+        # r14: resident index narrowed to corpus-bytes width for the
+        # mine-side jobs (see lsh_index_cached) — the union's synthetic
+        # leg defeats inputFiles, so the parquet side sizes the width
+        # (the 150-template slice is noise next to it).
+        joint = narrow_resident(
+            checkpoint_index(
+                minhash_signed_sets(aug, "doc_id", "text", portable=True)
+            ),
+            docs,
         )
         banded = checkpoint_index(banded_from_sig(joint, portable=True))
         toks = joint.select("id", "ws")
