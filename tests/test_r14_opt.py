@@ -48,6 +48,31 @@ def test_narrow_resident_widths(spark):
     assert narrow_resident(wide2, synthetic).rdd.getNumPartitions() == 16
 
 
+def test_capped_spread_keeps_resident_layout(spark):
+    """A byte-capped spread over an UNSIZEABLE input (resident/
+    checkpointed frames have no inputFiles) must keep the input's own
+    layout, not fall back to a full-cores repartition: the sequential
+    fit rounds (Lloyd, power iteration) pay the width as a per-round
+    task floor (the r13 ann_opq_rotation_fit / ann_coarse_fit
+    regression — the cap was inert exactly where it was written for)."""
+    from vmhub_data_pipeline_spark.operators.similarity import (
+        spread_small_input,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    resident = checkpoint_index(docs.select("doc_id", "n_chars"))
+    before = resident.rdd.getNumPartitions()
+    spread = spread_small_input(resident, "doc_id", _FIT_BYTES_PER_SLICE)
+    assert spread.rdd.getNumPartitions() == before
+    # an UNCAPPED spread of the same frame still fans out (the hash-chain
+    # builders' contract is unchanged)
+    wide = spread_small_input(resident, "doc_id")
+    assert (
+        wide.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
 def test_lsh_index_mine_side_is_narrow(spark):
     """The maintained LSH index hands its consumers corpus-width frames:
     banded and toks must read at the byte-derived width, not the build's

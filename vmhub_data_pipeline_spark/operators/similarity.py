@@ -126,6 +126,18 @@ def spread_small_input(
         nbytes = _input_bytes(df)
         if nbytes > 0:
             target = min(target, max(1, math.ceil(nbytes / bytes_per_slice)))
+        else:
+            # r14 (VERDICT r13 task 6): a capped caller declared its
+            # per-row work LIGHT, and an unsizeable input here is a
+            # RESIDENT frame (checkpointed fit corpora have no
+            # inputFiles) — whose width its own builder already chose.
+            # Spreading it to full cores made every sequential fit round
+            # (Lloyd, power iteration: max_iter collect jobs) pay a
+            # full-cores task floor for sub-slice work; measured on the
+            # regressed driver lines (interleaved, models bit-identical):
+            # ann_opq_rotation_fit 2.42 -> 1.79 s, ann_coarse_fit
+            # 2.75 -> 1.32 s at sf0.01. Keep the input's layout.
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(id_col))
     return df

@@ -1769,11 +1769,21 @@ def opq_model_fit(e: DataFrame, dim: int = 64, m: int = 8, iters: int = 48) -> t
     corpus."""
     import math
 
-    from ..operators.similarity import checkpoint_index, dot_expr, spread_small_input
+    from ..operators.similarity import (
+        _FIT_BYTES_PER_SLICE,
+        checkpoint_index,
+        dot_expr,
+        spread_small_input,
+    )
 
     # r13: one materialization feeds the scatter pass AND the rotated-
     # energy scan below (see vector_pca_power; values bit-identical)
-    e = checkpoint_index(spread_small_input(e, "vec_id"))
+    # r14 (VERDICT r13 task 6): byte-capped like the Lloyd fits — the
+    # 48 sequential power-iteration rounds pay the spread width as a
+    # per-round task floor, which dominated the one heavy scatter pass
+    # (driver: 1.66 -> 2.83 s; capped/unspread fit measured 1.79 s,
+    # model bit-identical — scripts/ab_fit_spread.py).
+    e = checkpoint_index(spread_small_input(e, "vec_id", _FIT_BYTES_PER_SLICE))
     _mu, v1, _lam = _power_top_pc(e, dim, iters)
     # Householder direction w = normalize(v1 - e1): H = I - 2ww^T
     # maps v1 onto coordinate 0 (left-to-right accumulation, matching
